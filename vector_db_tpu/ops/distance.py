@@ -1,0 +1,85 @@
+"""Batched distance kernels.
+
+TPU-native replacement for the reference's per-pair
+``euclidean_vector_distance`` (src/vector_db/util/distance.py:3-4), which the
+reference calls once per graph edge inside Python loops
+(src/vector_db/indexing/hnsw.py:102-131). Here every distance computation is
+a batched matmul expansion ``||q - x||² = ||q||² - 2 q·x + ||x||²`` so the
+FLOPs land on the MXU and elementwise terms fuse into the matmul epilogue.
+
+All distances are SQUARED L2 internally (monotone in L2, so rankings match);
+take ``sqrt`` only at the host-facing edge for reference-parity distance
+values.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(3.0e38)  # sentinel "infinite" distance for masked entries
+
+
+def squared_norms(x: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise squared L2 norms: f32[N, d] -> f32[N]."""
+    return jnp.sum(x * x, axis=-1)
+
+
+def l2_sq(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 between one query f32[d] and rows of x f32[N, d] -> f32[N]."""
+    return l2_sq_pairwise(q[None, :], x)[0]
+
+
+def l2_sq_pairwise(
+    q: jnp.ndarray,
+    x: jnp.ndarray,
+    x_sq: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Squared L2 distance matrix: f32[B, d] × f32[N, d] -> f32[B, N].
+
+    ``x_sq`` (precomputed row norms of ``x``) is an optional cache — the
+    corpus norms are computed once at ingest and reused per query batch.
+    The ``q·xᵀ`` term is a single MXU matmul.
+    """
+    if x_sq is None:
+        x_sq = squared_norms(x)
+    q_sq = squared_norms(q)
+    cross = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    d = q_sq[:, None] - 2.0 * cross + x_sq[None, :]
+    # Guard tiny negatives from float cancellation (exact self-match must be 0).
+    return jnp.maximum(d, 0.0)
+
+
+def cosine_distance_pairwise(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Cosine distance matrix 1 - cos(q, x): f32[B, d] × f32[N, d] -> f32[B, N].
+
+    The reference only supports L2; cosine is added because its default
+    embedder (all-MiniLM-L6-v2) L2-normalizes, making L2 ranking monotone in
+    cosine — supporting both explicitly lets callers pick either.
+    """
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    return 1.0 - jnp.dot(qn, xn.T, preferred_element_type=jnp.float32)
+
+
+def gather_l2_sq(
+    q: jnp.ndarray, emb: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Distances from one query to a gathered index set, masked.
+
+    q: f32[d]; emb: f32[capacity, d]; idx: int32[K] (may contain -1 padding);
+    valid: bool[K]. Returns f32[K] with BIG where invalid.
+
+    This is the HNSW neighbor-expansion primitive: gather K embedding rows
+    from HBM, one (K, d) · (d,) contraction, mask.
+    """
+    safe = jnp.maximum(idx, 0)
+    rows = emb[safe]  # [K, d] gather
+    diff_sq = (
+        jnp.sum(rows * rows, axis=-1)
+        - 2.0 * jnp.dot(rows, q, preferred_element_type=jnp.float32)
+        + jnp.dot(q, q, preferred_element_type=jnp.float32)
+    )
+    diff_sq = jnp.maximum(diff_sq, 0.0)
+    ok = valid & (idx >= 0)
+    return jnp.where(ok, diff_sq, BIG)
