@@ -1,0 +1,154 @@
+"""Flat (exact brute-force) index — fused matmul + top-k on the MXU.
+
+No reference analog (the reference's only exact path is the in-test brute
+force used as recall ground truth, tests/indexing/test_hnsw.py:127-153);
+here it is a first-class index: the recall oracle for every ANN mode and a
+production path in its own right — one MXU matmul scores a whole query
+batch against the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vector_db_tpu.ops.exact import exact_search, exact_search_tiled
+from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
+from vector_db_tpu.types import Node
+
+MIN_CAPACITY = 256
+# Above this corpus size, stream the corpus in tiles instead of one matmul.
+SINGLE_TILE_LIMIT = 262144
+
+
+class FlatIndex:
+    def __init__(
+        self,
+        storage: Optional[NodeStorage] = None,
+        capacity: int = MIN_CAPACITY,
+    ) -> None:
+        self.storage = storage or InMemoryNodeStorage()
+        self._capacity = int(capacity)
+        self._dim: Optional[int] = None
+        self._emb: Optional[jnp.ndarray] = None
+        self._valid: Optional[jnp.ndarray] = None
+        self._id_of_slot: Optional[np.ndarray] = None
+        self._slot_of_id: Dict[int, int] = {}
+        self._free_slots: List[int] = []
+        self._n_used = 0
+
+    @property
+    def size(self) -> int:
+        return len(self._slot_of_id)
+
+    def _ensure_init(self, dim: int) -> None:
+        if self._dim is None:
+            self._dim = int(dim)
+            self._emb = jnp.zeros((self._capacity, dim), jnp.float32)
+            self._valid = jnp.zeros((self._capacity,), bool)
+            self._id_of_slot = np.full((self._capacity,), -1, np.int64)
+        elif dim != self._dim:
+            raise ValueError(f"Embedding dim {dim} != index dim {self._dim}")
+
+    def _grow(self, need: int) -> None:
+        new_cap = self._capacity
+        while new_cap < need:
+            new_cap *= 2
+        pad = new_cap - self._capacity
+        self._emb = jnp.concatenate(
+            [self._emb, jnp.zeros((pad, self._dim), jnp.float32)]
+        )
+        self._valid = jnp.concatenate([self._valid, jnp.zeros((pad,), bool)])
+        self._id_of_slot = np.concatenate(
+            [self._id_of_slot, np.full((pad,), -1, np.int64)]
+        )
+        self._capacity = new_cap
+
+    def insert_nodes(self, nodes: Sequence[Node]) -> None:
+        if not nodes:
+            return
+        for node in nodes:
+            self.storage.save(node)
+        fresh = [n for n in nodes if n.id not in self._slot_of_id]
+        if not fresh:
+            return
+        self._ensure_init(len(np.asarray(fresh[0].embedding)))
+        if self._n_used + len(fresh) > self._capacity and not self._free_slots:
+            self._grow(self._n_used + len(fresh))
+        slots = []
+        for n in fresh:
+            slot = self._free_slots.pop() if self._free_slots else self._n_used
+            if slot == self._n_used:
+                self._n_used += 1
+            self._slot_of_id[n.id] = slot
+            self._id_of_slot[slot] = n.id
+            slots.append(slot)
+        slots = np.asarray(slots, np.int32)
+        embs = np.stack([np.asarray(n.embedding, np.float32) for n in fresh])
+        self._emb = self._emb.at[slots].set(jnp.asarray(embs))
+        self._valid = self._valid.at[slots].set(True)
+
+    def insert_node(self, node: Node) -> None:
+        self.insert_nodes([node])
+
+    def build_index(self, nodes: Sequence[Node]) -> None:
+        self.insert_nodes(nodes)
+
+    def delete_node(self, node_id: int) -> None:
+        slot = self._slot_of_id.pop(node_id, None)
+        if slot is None:
+            return
+        self._valid = self._valid.at[slot].set(False)
+        self._id_of_slot[slot] = -1
+        self._free_slots.append(slot)
+        if hasattr(self.storage, "delete"):
+            self.storage.delete(node_id)
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        filter_ids: Optional[Set[int]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(L2 dists f32[B, k], node ids int64[B, k]), (inf, -1) padded."""
+        q = np.asarray(queries, np.float32)
+        if self.size == 0:
+            return (
+                np.full((q.shape[0], k), np.inf, np.float32),
+                np.full((q.shape[0], k), -1, np.int64),
+            )
+        valid = self._valid
+        if filter_ids is not None:
+            mask = np.zeros((self._capacity,), bool)
+            for nid in filter_ids:
+                slot = self._slot_of_id.get(int(nid))
+                if slot is not None:
+                    mask[slot] = True
+            valid = valid & jnp.asarray(mask)
+        if self._capacity <= SINGLE_TILE_LIMIT:
+            d_sq, slots = exact_search(jnp.asarray(q), self._emb, valid, k)
+        else:
+            d_sq, slots = exact_search_tiled(
+                jnp.asarray(q), self._emb, valid, k
+            )
+        d_sq = np.asarray(d_sq)
+        slots = np.asarray(slots)
+        ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
+        dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
+        return dists.astype(np.float32), ids
+
+    def search(self, query: np.ndarray, k: int, **kwargs) -> List[Tuple[Node, float]]:
+        dists, ids = self.search_batch(
+            np.asarray(query, np.float32)[None, :], k,
+            filter_ids=kwargs.get("filter_ids"),
+        )
+        out = []
+        for nid, d in zip(ids[0], dists[0]):
+            if nid < 0:
+                continue
+            node = self.storage.get(int(nid))
+            if node is not None:
+                out.append((node, float(d)))
+        return out

@@ -1,0 +1,397 @@
+"""Host-facing HNSW index over the TPU kernels.
+
+Parity target: reference ``HNSW`` (src/vector_db/indexing/hnsw.py:30-423):
+same constructor shape ``HNSW(M, ef_construction, rng, storage, index_file)``,
+same level sampling ``int(-ln(U) / ln(M))`` (hnsw.py:66-68), idempotent
+insert (hnsw.py:152-155), delete with entry re-election (hnsw.py:227-277),
+``search(query, k, ef=, filter_ids=)`` returning ``[(Node, distance)]``
+(hnsw.py:330-374), and graph-only persistence (embeddings stay in storage,
+hnsw.py:18-21, 376-423).
+
+TPU-first differences:
+- embeddings mirror into an HBM-resident f32[capacity, dim] table; all
+  traversal distance math happens on-device in batched form;
+- ``insert_nodes`` bulk-inserts: beam searches for the whole batch run
+  vmapped in parallel against the pre-batch graph, then edges commit
+  sequentially inside one jitted fori_loop, with earlier batch members
+  injected as exact-distance candidates (so batch order still "sees"
+  earlier inserts, like the reference's sequential loop);
+- ``search_batch`` answers a whole query batch per device program;
+- persistence is npz of the fixed-degree tables (+ id map), not pickle of a
+  dict graph — and is NOT rewritten after every insert; threshold-flush
+  policy lives in IndexingService, as in the reference's service layer
+  (services/indexing_service.py:85-89,137-144).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vector_db_tpu.index import hnsw_kernels as K
+from vector_db_tpu.ops.distance import l2_sq_pairwise
+from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
+from vector_db_tpu.types import Node
+
+DEFAULT_L_MAX = 6
+MIN_CAPACITY = 256
+
+
+class HNSW:
+    def __init__(
+        self,
+        M: int,
+        ef_construction: int,
+        rng: random.Random,
+        storage: Optional[NodeStorage] = None,
+        index_file: Optional[Union[str, Path]] = None,
+        l_max: int = DEFAULT_L_MAX,
+        capacity: int = MIN_CAPACITY,
+        max_steps: int = 0,
+    ) -> None:
+        self.M = int(M)
+        self.M_max = self.M
+        self.M_max0 = self.M * 2
+        self.ef_construction = int(ef_construction)
+        self.rng = rng
+        self.storage = storage or InMemoryNodeStorage()
+        self.index_file = Path(index_file) if index_file else None
+        self.l_max = int(l_max)
+        self.level_mult = 1.0 / math.log(self.M) if self.M > 1 else 1.0
+        # beam expansion budget; 0 = auto (2*ef + 16 at query time)
+        self.max_steps = int(max_steps)
+
+        self._capacity = int(capacity)
+        self._dim: Optional[int] = None
+        self.graph: Optional[K.Graph] = None
+        self._emb: Optional[jnp.ndarray] = None
+        self._has_emb: Optional[jnp.ndarray] = None
+        self._id_of_slot: Optional[np.ndarray] = None
+        self._slot_of_id: Dict[int, int] = {}
+        self._free_slots: List[int] = []
+        self._n_slots_used = 0
+
+        if self.index_file and self.index_file.exists():
+            self.load_index()
+
+    # ------------------------------------------------------------------
+    @property
+    def size(self) -> int:
+        return len(self._slot_of_id)
+
+    def __len__(self) -> int:
+        return self.size
+
+    def sample_level(self) -> int:
+        """Geometric level sampling (reference hnsw.py:66-68), clamped to
+        the static table depth."""
+        lvl = int(-math.log(self.rng.random()) * self.level_mult)
+        return min(lvl, self.l_max - 1)
+
+    # ------------------------------------------------------------------
+    def _ensure_init(self, dim: int) -> None:
+        if self._dim is None:
+            self._dim = int(dim)
+            self._alloc(self._capacity)
+        elif dim != self._dim:
+            raise ValueError(f"Embedding dim {dim} != index dim {self._dim}")
+
+    def _alloc(self, capacity: int) -> None:
+        self._capacity = capacity
+        self.graph = K.empty_graph(capacity, self.M, self.l_max)
+        self._emb = jnp.zeros((capacity, self._dim), jnp.float32)
+        self._has_emb = jnp.zeros((capacity,), bool)
+        self._id_of_slot = np.full((capacity,), -1, np.int64)
+
+    def _grow(self, need: int) -> None:
+        new_cap = self._capacity
+        while new_cap < need:
+            new_cap *= 2
+        pad = new_cap - self._capacity
+        g = self.graph
+        self.graph = K.Graph(
+            neighbors=jnp.concatenate(
+                [g.neighbors, jnp.full((pad, g.neighbors.shape[1]), -1, jnp.int32)]
+            ),
+            levels=jnp.concatenate([g.levels, jnp.full((pad,), -1, jnp.int32)]),
+            entry=g.entry,
+            entry_level=g.entry_level,
+        )
+        self._emb = jnp.concatenate(
+            [self._emb, jnp.zeros((pad, self._dim), jnp.float32)]
+        )
+        self._has_emb = jnp.concatenate([self._has_emb, jnp.zeros((pad,), bool)])
+        self._id_of_slot = np.concatenate(
+            [self._id_of_slot, np.full((pad,), -1, np.int64)]
+        )
+        self._capacity = new_cap
+
+    def _take_slot(self, node_id: int) -> int:
+        if self._free_slots:
+            slot = self._free_slots.pop()
+        else:
+            if self._n_slots_used >= self._capacity:
+                self._grow(self._n_slots_used + 1)
+            slot = self._n_slots_used
+            self._n_slots_used += 1
+        self._slot_of_id[node_id] = slot
+        self._id_of_slot[slot] = node_id
+        return slot
+
+    # ------------------------------------------------------------------
+    def insert_node(self, node: Node) -> None:
+        """Single insert (reference insert_node, hnsw.py:143-225)."""
+        self.insert_nodes([node])
+
+    def build_index(self, nodes: Sequence[Node]) -> None:
+        """Bulk build (reference build_index, hnsw.py:279-287)."""
+        self.insert_nodes(nodes)
+
+    def insert_nodes(self, nodes: Sequence[Node], batch_size: int = 1024) -> None:
+        """Bulk insert. Embedding writes, construction searches, and edge
+        commits all run on-device; levels are sampled host-side from the
+        same rng stream as the reference."""
+        if not nodes:
+            return
+        # storage first (reference hnsw.py:150)
+        for node in nodes:
+            self.storage.save(node)
+        fresh = [n for n in nodes if n.id not in self._slot_of_id]
+        # reference samples a level per insert_node call even for dup ids?
+        # No — it returns before sampling (hnsw.py:152-155). Match that.
+        if not fresh:
+            return
+        self._ensure_init(len(np.asarray(fresh[0].embedding)))
+        for i in range(0, len(fresh), batch_size):
+            self._insert_batch(fresh[i : i + batch_size])
+
+    def _insert_batch(self, batch: List[Node]) -> None:
+        b = len(batch)
+        if self._n_slots_used + b > self._capacity and not self._free_slots:
+            self._grow(self._n_slots_used + b)
+        slots = np.array([self._take_slot(n.id) for n in batch], np.int32)
+        levels = np.array([self.sample_level() for _ in batch], np.int32)
+        embs = jnp.asarray(
+            np.stack([np.asarray(n.embedding, np.float32) for n in batch])
+        )
+
+        self._emb = self._emb.at[slots].set(embs)
+        self._has_emb = self._has_emb.at[slots].set(True)
+
+        max_steps = self.max_steps or (2 * self.ef_construction + 16)
+        cd, cs = K.construction_search(
+            self.graph, self._emb, self._has_emb, embs, jnp.asarray(levels),
+            M=self.M, l_max=self.l_max,
+            ef_construction=self.ef_construction, max_steps=max_steps,
+        )
+        batch_d = l2_sq_pairwise(embs, embs)
+        self.graph = K.commit_inserts(
+            self.graph, self._emb, self._has_emb,
+            jnp.asarray(slots), jnp.asarray(levels), cd, cs, batch_d,
+            M=self.M, l_max=self.l_max, ef_construction=self.ef_construction,
+        )
+
+    # ------------------------------------------------------------------
+    def delete_node(self, node_id: int) -> None:
+        """Delete (reference delete_node, hnsw.py:227-277): unlink edges,
+        re-elect entry, drop from storage too."""
+        slot = self._slot_of_id.pop(node_id, None)
+        if slot is None:
+            return
+        self.graph = K.delete_slot(
+            self.graph, jnp.int32(slot), M=self.M, l_max=self.l_max
+        )
+        self._has_emb = self._has_emb.at[slot].set(False)
+        self._id_of_slot[slot] = -1
+        self._free_slots.append(slot)
+        if hasattr(self.storage, "delete"):
+            self.storage.delete(node_id)
+
+    def sync_storage(self) -> None:
+        """Re-check which graph nodes still exist in storage and mask out
+        the missing ones (reference semantics: nodes deleted from storage
+        behind the index's back are skipped at query time, hnsw.py:117-121).
+        """
+        if self.graph is None:
+            return
+        has = np.zeros((self._capacity,), bool)
+        for nid, slot in self._slot_of_id.items():
+            try:
+                self.storage.get_embedding(nid)
+                has[slot] = True
+            except KeyError:
+                continue
+        self._has_emb = jnp.asarray(has)
+
+    # ------------------------------------------------------------------
+    def search(
+        self, query: np.ndarray, k: int, **kwargs
+    ) -> List[Tuple[Node, float]]:
+        """Reference-shaped search (hnsw.py:330-374): returns [(Node, L2)]
+        ascending. kwargs: ef (default 50), filter_ids (set of node ids);
+        unknown kwargs ignored, as in the reference."""
+        ef = int(kwargs.get("ef", 50) or 50)
+        filter_ids = kwargs.get("filter_ids")
+        dists, ids = self.search_batch(
+            np.asarray(query, np.float32)[None, :], k, ef=ef,
+            filter_ids=filter_ids,
+        )
+        out: List[Tuple[Node, float]] = []
+        for nid, d in zip(ids[0], dists[0]):
+            if nid < 0:
+                continue
+            node = self.storage.get(int(nid))
+            if node is not None:
+                out.append((node, float(d)))
+        return out
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int = 50,
+        filter_ids: Optional[Set[int]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Device fast path: (L2 dists f32[B, k], node ids int64[B, k]);
+        missing results padded with (inf, -1)."""
+        if self.size == 0 or self.graph is None:
+            b = np.asarray(queries).shape[0]
+            return (
+                np.full((b, k), np.inf, np.float32),
+                np.full((b, k), -1, np.int64),
+            )
+        ef = max(ef, k)
+        use_filter = filter_ids is not None
+        if use_filter:
+            mask = np.zeros((self._capacity,), bool)
+            for nid in filter_ids:
+                slot = self._slot_of_id.get(int(nid))
+                if slot is not None:
+                    mask[slot] = True
+            filter_mask = jnp.asarray(mask)
+        else:
+            filter_mask = None
+        max_steps = self.max_steps or (2 * ef + 16)
+        d_sq, slots = K.search_batch(
+            self.graph, self._emb, self._has_emb,
+            jnp.asarray(np.asarray(queries, np.float32)), filter_mask,
+            M=self.M, l_max=self.l_max, ef=ef, k=k,
+            max_steps=max_steps, use_filter=use_filter,
+        )
+        d_sq = np.asarray(d_sq)
+        slots = np.asarray(slots)
+        ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
+        dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
+        return dists.astype(np.float32), ids
+
+    # ------------------------------------------------------------------
+    @property
+    def entry_node_id(self) -> Optional[int]:
+        if self.graph is None:
+            return None
+        e = int(self.graph.entry)
+        return int(self._id_of_slot[e]) if e >= 0 else None
+
+    @property
+    def max_level(self) -> int:
+        return int(self.graph.entry_level) if self.graph is not None else -1
+
+    def neighbors_of(self, node_id: int, level: int) -> List[int]:
+        """Introspection: the node's neighbor ids at ``level`` (used by
+        graph-structural tests, mirrors reference InternalNode.neighbors)."""
+        slot = self._slot_of_id.get(node_id)
+        if slot is None or self.graph is None:
+            return []
+        start = K.level_col_start(level, self.M)
+        width = K.level_width(level, self.M)
+        row = np.asarray(self.graph.neighbors[slot, start : start + width])
+        return [int(self._id_of_slot[s]) for s in row if s >= 0]
+
+    # ------------------------------------------------------------------
+    def save_index(self) -> None:
+        """Persist graph structure + hyperparams (reference save_index,
+        hnsw.py:376-398 — pickle there, npz of the tables here). Embeddings
+        are NOT saved: they live in storage, as in the reference."""
+        if self.index_file is None or self.graph is None:
+            return
+        self.index_file.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            self.index_file,
+            neighbors=np.asarray(self.graph.neighbors),
+            levels=np.asarray(self.graph.levels),
+            entry=np.asarray(self.graph.entry),
+            entry_level=np.asarray(self.graph.entry_level),
+            id_of_slot=self._id_of_slot,
+            M=self.M,
+            ef_construction=self.ef_construction,
+            l_max=self.l_max,
+        )
+
+    def load_index(self) -> None:
+        """Load graph structure; embeddings re-fetched from storage per live
+        id (reference load_index, hnsw.py:400-423 + reopen test pattern)."""
+        if self.index_file is None or not self.index_file.exists():
+            return
+        with np.load(self.index_file) as z:
+            self.M = int(z["M"])
+            self.M_max = self.M
+            self.M_max0 = self.M * 2
+            self.ef_construction = int(z["ef_construction"])
+            self.l_max = int(z["l_max"])
+            self.level_mult = 1.0 / math.log(self.M) if self.M > 1 else 1.0
+            neighbors = np.asarray(z["neighbors"])
+            levels = np.asarray(z["levels"])
+            entry = np.asarray(z["entry"])
+            entry_level = np.asarray(z["entry_level"])
+            self._id_of_slot = np.asarray(z["id_of_slot"])
+
+        self._capacity = neighbors.shape[0]
+        self.graph = K.Graph(
+            neighbors=jnp.asarray(neighbors),
+            levels=jnp.asarray(levels),
+            entry=jnp.asarray(entry),
+            entry_level=jnp.asarray(entry_level),
+        )
+        self._slot_of_id = {
+            int(nid): int(s)
+            for s, nid in enumerate(self._id_of_slot)
+            if nid >= 0
+        }
+        self._free_slots = []
+        self._n_slots_used = (
+            1 + max(self._slot_of_id.values()) if self._slot_of_id else 0
+        )
+        used = set(self._slot_of_id.values())
+        self._free_slots = [
+            s for s in range(self._n_slots_used) if s not in used
+        ]
+
+        # hydrate the device embedding table from storage
+        emb = None
+        has = np.zeros((self._capacity,), bool)
+        dropped = []
+        for nid, slot in self._slot_of_id.items():
+            try:
+                v = np.asarray(self.storage.get_embedding(nid), np.float32)
+            except KeyError:
+                # node deleted from storage while index file persisted —
+                # reference tolerates this by skipping at query time
+                dropped.append((nid, slot))
+                continue
+            if emb is None:
+                self._dim = v.shape[0]
+                emb = np.zeros((self._capacity, self._dim), np.float32)
+            emb[slot] = v
+            has[slot] = True
+        if emb is not None:
+            self._emb = jnp.asarray(emb)
+            self._has_emb = jnp.asarray(has)
+        elif self._dim is not None:
+            self._emb = jnp.zeros((self._capacity, self._dim), jnp.float32)
+            self._has_emb = jnp.asarray(has)

@@ -1,0 +1,495 @@
+"""Device-side HNSW kernels: batched beam search over fixed-degree tables.
+
+TPU-native re-design of the reference HNSW (src/vector_db/indexing/hnsw.py).
+The reference stores the graph as ``Dict[id, InternalNode{neighbors:
+Dict[level, List[id]]}]`` and traverses it with Python heapqs, calling a
+per-pair NumPy distance once per edge (hnsw.py:89-134). Here:
+
+- the graph is one ``int32[capacity, NCOLS]`` neighbor table in HBM, -1
+  padded: level-0 edges occupy columns [0, 2M) (M_max0 = 2M,
+  hnsw.py:48-50), level-l >= 1 edges occupy columns [M(l+1), M(l+2));
+- search is a fixed-shape best-first beam under ``lax.while_loop``: each
+  step expands the nearest unexpanded candidate, gathers its <=2M neighbor
+  rows, computes all edge distances in one (2M, d) contraction on the MXU,
+  and merges into the candidate/result pools with ``lax.top_k``;
+- the visited set is a packed int32 bitmap (capacity/32 words) carried
+  through the loop;
+- queries batch via ``vmap``.
+
+Semantics matched to the reference:
+- candidate pop + "break when best unexpanded > worst of ef results"
+  termination (hnsw.py:102-112) — popping is modelled by setting the
+  expanded slot's pool distance to +inf;
+- ``filter_ids`` navigates through non-matching nodes but excludes them
+  from results (hnsw.py:81-88, 96-97, 127-131) — a per-slot bool mask;
+- nodes missing from storage are skipped entirely (never enter the pool,
+  hnsw.py:117-121) — the ``has_emb`` mask;
+- greedy 1-best hill-climb descent on upper levels (hnsw.py:289-328);
+- naive closest-M neighbor selection (hnsw.py:136-141) and append-then-
+  prune-to-m_limit backlinks (hnsw.py:190-213).
+
+One deliberate approximation: the reference's candidate heap is unbounded;
+here the candidate pool is a fixed-size top-ef array, so candidates worse
+than the current ef-th best are dropped early. The reference's termination
+rule would almost never expand those anyway; recall parity is validated in
+tests against brute force.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vector_db_tpu.ops.distance import BIG, gather_l2_sq
+from vector_db_tpu.ops.topk import masked_top_k_smallest
+
+BIG_THRESH = jnp.float32(1.0e37)
+
+
+class Graph(NamedTuple):
+    """HNSW graph state (a pytree; all arrays device-resident).
+
+    neighbors: int32[capacity, NCOLS] — -1-padded adjacency rows per level.
+    levels:    int32[capacity] — node's top level; -1 = slot not in graph.
+    entry:     int32[] — entry point slot; -1 = empty graph.
+    entry_level: int32[] — level of the entry point (-1 = empty).
+    """
+
+    neighbors: jnp.ndarray
+    levels: jnp.ndarray
+    entry: jnp.ndarray
+    entry_level: jnp.ndarray
+
+
+def ncols(M: int, l_max: int) -> int:
+    # level 0: 2M cols at [0, 2M); level l>=1: M cols at [M(l+1), M(l+2)).
+    # One extra M of -1 padding at the tail lets upper-level reads use a
+    # static 2M-wide slice regardless of level.
+    return M * (l_max + 2)
+
+
+def level_col_start(level: int, M: int) -> int:
+    """Static column offset of level ``level``'s adjacency slice."""
+    return 0 if level == 0 else M * (level + 1)
+
+
+def level_width(level: int, M: int) -> int:
+    """m_limit per level: M_max0 = 2M at level 0, M_max = M above
+    (reference hnsw.py:48-50, 188)."""
+    return 2 * M if level == 0 else M
+
+
+def empty_graph(capacity: int, M: int, l_max: int) -> Graph:
+    return Graph(
+        neighbors=jnp.full((capacity, ncols(M, l_max)), -1, jnp.int32),
+        levels=jnp.full((capacity,), -1, jnp.int32),
+        entry=jnp.int32(-1),
+        entry_level=jnp.int32(-1),
+    )
+
+
+def _neighbor_slice_dyn(row: jnp.ndarray, level: jnp.ndarray, M: int) -> jnp.ndarray:
+    """Dynamic-level read of a node's adjacency at ``level`` (upper levels
+    only, width M) — used by greedy descent where level is traced."""
+    start = M * (level + 1)
+    return lax.dynamic_slice(row, (start,), (M,))
+
+
+def _dist_to(q: jnp.ndarray, emb: jnp.ndarray, idx: jnp.ndarray,
+             has_emb: jnp.ndarray) -> jnp.ndarray:
+    safe = jnp.maximum(idx, 0)
+    return gather_l2_sq(q, emb, idx, has_emb[safe])
+
+
+def greedy_descent(
+    graph: Graph,
+    emb: jnp.ndarray,
+    has_emb: jnp.ndarray,
+    q: jnp.ndarray,
+    start_slot: jnp.ndarray,
+    start_d: jnp.ndarray,
+    stop_level: jnp.ndarray,
+    M: int,
+    l_max: int,
+    max_moves: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1-best hill climb from entry_level down to ``stop_level`` (exclusive
+    of levels < stop_level). Mirrors reference _greedy_search_level
+    (hnsw.py:289-328) applied over range(max_level, stop_level-1, -1)."""
+
+    def climb_at(level: int, cur: jnp.ndarray, cur_d: jnp.ndarray):
+        active = (level <= graph.entry_level) & (level >= stop_level)
+
+        def cond(c):
+            cur, cur_d, moved, steps = c
+            return active & moved & (steps < max_moves)
+
+        def body(c):
+            cur, cur_d, _, steps = c
+            row = graph.neighbors[cur]
+            nbr = _neighbor_slice_dyn(row, jnp.int32(level), M)
+            d = _dist_to(q, emb, nbr, has_emb)
+            j = jnp.argmin(d)
+            better = d[j] < cur_d
+            return (
+                jnp.where(better, nbr[j], cur),
+                jnp.where(better, d[j], cur_d),
+                better,
+                steps + 1,
+            )
+
+        cur, cur_d, _, _ = lax.while_loop(
+            cond, body, (cur, cur_d, jnp.bool_(True), jnp.int32(0))
+        )
+        return cur, cur_d
+
+    cur, cur_d = start_slot, start_d
+    for level in range(l_max - 1, 0, -1):
+        cur, cur_d = climb_at(level, cur, cur_d)
+    return cur, cur_d
+
+
+def beam_layer(
+    graph: Graph,
+    emb: jnp.ndarray,
+    has_emb: jnp.ndarray,
+    q: jnp.ndarray,
+    entry_slot: jnp.ndarray,
+    entry_d: jnp.ndarray,
+    active: jnp.ndarray,
+    res_mask: Optional[jnp.ndarray],
+    level: int,
+    ef: int,
+    M: int,
+    max_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best-first search of width ``ef`` at a static ``level``.
+
+    Returns (res_d f32[ef], res_s int32[ef]) — the ef closest found, BIG/-1
+    padded, unsorted. ``res_mask`` (bool[capacity] or None) is the
+    filter-ids semantics: masked-out nodes navigate but never enter results.
+    ``active`` disables the whole layer (used for masked per-level unrolls).
+    """
+    capacity = emb.shape[0]
+    words = (capacity + 31) // 32
+    start = level_col_start(level, M)
+    width = level_width(level, M)
+
+    cand_d = jnp.full((ef,), BIG, jnp.float32).at[0].set(entry_d)
+    cand_s = jnp.full((ef,), -1, jnp.int32).at[0].set(entry_slot)
+
+    entry_ok = has_emb[jnp.maximum(entry_slot, 0)] & (entry_slot >= 0)
+    if res_mask is not None:
+        entry_in_res = entry_ok & res_mask[jnp.maximum(entry_slot, 0)]
+    else:
+        entry_in_res = entry_ok
+    res_d = jnp.full((ef,), BIG, jnp.float32)
+    res_s = jnp.full((ef,), -1, jnp.int32)
+    res_d = jnp.where(entry_in_res, res_d.at[0].set(entry_d), res_d)
+    res_s = jnp.where(entry_in_res, res_s.at[0].set(entry_slot), res_s)
+
+    visited = jnp.zeros((words,), jnp.int32)
+    e_word = jnp.maximum(entry_slot, 0) // 32
+    e_bit = jnp.maximum(entry_slot, 0) % 32
+    visited = visited.at[e_word].set(
+        jnp.where(entry_slot >= 0, (1 << e_bit).astype(jnp.int32), 0)
+    )
+
+    def cond(c):
+        cand_d, cand_s, res_d, res_s, visited, steps = c
+        best = jnp.min(cand_d)
+        worst_res = jnp.max(res_d)
+        # Reference break rule (hnsw.py:102-112): stop when the nearest
+        # unexpanded candidate is farther than the worst of a full result set.
+        go = (best < BIG_THRESH) & ~(best > worst_res)
+        return active & go & (steps < max_steps)
+
+    def body(c):
+        cand_d, cand_s, res_d, res_s, visited, steps = c
+        j = jnp.argmin(cand_d)
+        cur = cand_s[j]
+        # pop (reference heappop, hnsw.py:103)
+        cand_d = cand_d.at[j].set(BIG)
+
+        row = lax.dynamic_slice(graph.neighbors[cur], (start,), (2 * M,))
+        col_ok = jnp.arange(2 * M) < width
+        nbr = jnp.where(col_ok, row, -1)
+        safe = jnp.maximum(nbr, 0)
+
+        bits = (visited[safe // 32] >> (safe % 32)) & 1
+        fresh = (nbr >= 0) & (bits == 0)
+
+        # mark visited (ids within a row are unique, so add == bitwise-or)
+        wordv = jnp.where(fresh, (1 << (safe % 32)).astype(jnp.int32), 0)
+        visited = visited.at[jnp.where(fresh, safe // 32, 0)].add(
+            jnp.where(fresh, wordv, 0)
+        )
+
+        d = _dist_to(q, emb, jnp.where(fresh, nbr, -1), has_emb)
+
+        # merge into candidate pool (traversal uses every fresh node,
+        # hnsw.py:123-124)
+        md, ms = masked_top_k_smallest(
+            jnp.concatenate([cand_d, d]),
+            jnp.concatenate([cand_s, nbr]),
+            ef,
+        )
+
+        # merge into result pool (filtered, hnsw.py:127-131)
+        if res_mask is not None:
+            d_res = jnp.where(res_mask[safe], d, BIG)
+        else:
+            d_res = d
+        rd, rs = masked_top_k_smallest(
+            jnp.concatenate([res_d, d_res]),
+            jnp.concatenate([res_s, nbr]),
+            ef,
+        )
+        return md, ms, rd, rs, visited, steps + 1
+
+    cand_d, cand_s, res_d, res_s, visited, _ = lax.while_loop(
+        cond, body, (cand_d, cand_s, res_d, res_s, visited, jnp.int32(0))
+    )
+    return res_d, res_s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "l_max", "ef", "k", "max_steps", "use_filter"),
+)
+def search_batch(
+    graph: Graph,
+    emb: jnp.ndarray,
+    has_emb: jnp.ndarray,
+    queries: jnp.ndarray,
+    filter_mask: Optional[jnp.ndarray],
+    M: int,
+    l_max: int,
+    ef: int,
+    k: int,
+    max_steps: int,
+    use_filter: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched HNSW search (reference HNSW.search, hnsw.py:330-374).
+
+    queries: f32[B, d]. Returns (dists_sq f32[B, k], slots int32[B, k]),
+    sorted ascending, (BIG, -1) padded.
+    """
+    rm = filter_mask if use_filter else None
+
+    def one(q):
+        entry = graph.entry
+        entry_d = _dist_to(q, emb, entry[None], has_emb)[0]
+        cur, cur_d = greedy_descent(
+            graph, emb, has_emb, q, entry, entry_d, jnp.int32(1), M, l_max
+        )
+        rd, rs = beam_layer(
+            graph, emb, has_emb, q, cur, cur_d,
+            active=entry >= 0, res_mask=rm, level=0,
+            ef=ef, M=M, max_steps=max_steps,
+        )
+        return masked_top_k_smallest(rd, rs, k)
+
+    return jax.vmap(one)(queries)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "l_max", "ef_construction", "max_steps")
+)
+def construction_search(
+    graph: Graph,
+    emb: jnp.ndarray,
+    has_emb: jnp.ndarray,
+    queries: jnp.ndarray,
+    target_levels: jnp.ndarray,
+    M: int,
+    l_max: int,
+    ef_construction: int,
+    max_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase 1 of bulk insert: per new point, per level <= target, the
+    ef_construction-wide candidate set (reference insert_node hnsw.py:174-184).
+
+    Returns (cand_d f32[B, l_max, efc], cand_s int32[B, l_max, efc]).
+    Levels above min(target, entry_level) come back empty (BIG/-1) — the
+    reference gives such levels no edges either (hnsw.py:179-184 only covers
+    start_level..0).
+    """
+    efc = ef_construction
+
+    def one(q, tgt):
+        entry = graph.entry
+        entry_d = _dist_to(q, emb, entry[None], has_emb)[0]
+        # greedy descent for levels above the new node's level
+        cur, cur_d = greedy_descent(
+            graph, emb, has_emb, q, entry, entry_d, tgt + 1, M, l_max
+        )
+        start_level = jnp.minimum(tgt, graph.entry_level)
+
+        cds = []
+        css = []
+        for level in range(l_max - 1, -1, -1):
+            act = (graph.entry >= 0) & (level <= start_level)
+            rd, rs = beam_layer(
+                graph, emb, has_emb, q, cur, cur_d,
+                active=act, res_mask=None, level=level,
+                ef=efc, M=M, max_steps=max_steps,
+            )
+            rd = jnp.where(act, rd, BIG)
+            rs = jnp.where(act, rs, -1)
+            cds.append(rd)
+            css.append(rs)
+            # entry for the next level down = closest candidate
+            # (reference: curr_id = selected_neighbors[0], hnsw.py:216)
+            jbest = jnp.argmin(rd)
+            has_best = rd[jbest] < BIG_THRESH
+            cur = jnp.where(act & has_best, rs[jbest], cur)
+            cur_d = jnp.where(act & has_best, rd[jbest], cur_d)
+        # cds was built top level first; reorder to [level] ascending
+        cd = jnp.stack(cds[::-1])  # [l_max, efc]
+        cs = jnp.stack(css[::-1])
+        return cd, cs
+
+    return jax.vmap(one)(queries, target_levels)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "l_max", "ef_construction"),
+                   donate_argnames=("graph",))
+def commit_inserts(
+    graph: Graph,
+    emb: jnp.ndarray,
+    has_emb: jnp.ndarray,
+    new_slots: jnp.ndarray,
+    new_levels: jnp.ndarray,
+    cand_d: jnp.ndarray,
+    cand_s: jnp.ndarray,
+    batch_d: jnp.ndarray,
+    M: int,
+    l_max: int,
+    ef_construction: int,
+) -> Graph:
+    """Phase 2 of bulk insert: sequential edge commit (reference
+    hnsw.py:186-221), one batch item at a time inside a fori_loop.
+
+    Search ran against the pre-batch graph, so each item's candidates are
+    augmented with earlier batch members via the exact intra-batch distance
+    matrix ``batch_d`` (f32[B, B]) — earlier members are *exact* nearest
+    candidates, at least as good as the reference's sequential beam search.
+
+    new_slots/new_levels: int32[B]; cand_d/cand_s: [B, l_max, efc].
+    """
+    B = new_slots.shape[0]
+    efc = ef_construction
+
+    def insert_one(i, g: Graph) -> Graph:
+        neighbors, levels, entry, entry_level = g
+        slot = new_slots[i]
+        lvl = new_levels[i]
+        is_first = entry < 0
+        # idempotent insert (hnsw.py:152-155): host filters dup ids, but a
+        # slot already in the graph is also a structural no-op guard.
+        already = levels[slot] >= 0
+        do = ~already
+
+        # earlier batch members as candidates, by exact distance
+        barange = jnp.arange(B, dtype=jnp.int32)
+        b_earlier = barange < i
+        bd_i = jnp.where(b_earlier, batch_d[i], BIG)
+
+        for level in range(l_max):
+            start = level_col_start(level, M)
+            width = level_width(level, M)
+            lvl_active = do & ~is_first & (level <= lvl)
+
+            b_lvl = jnp.where(new_levels >= level, bd_i, BIG)
+            md, ms = masked_top_k_smallest(
+                jnp.concatenate([cand_d[i, level], b_lvl]),
+                jnp.concatenate([cand_s[i, level], new_slots]),
+                efc,
+            )
+            # select M closest (hnsw.py:136-141,188)
+            sel_d, sel_s = masked_top_k_smallest(md, ms, M)
+            sel_ok = (sel_s >= 0) & lvl_active
+
+            # forward edges: write the new node's row at this level
+            # (width >= M always: 2M at level 0, M above)
+            fwd = jnp.full((width,), -1, jnp.int32)
+            fwd = fwd.at[:M].set(jnp.where(sel_ok, sel_s, -1))
+            old_row = lax.dynamic_slice(neighbors, (slot, start), (1, width))[0]
+            row_w = jnp.where(lvl_active, fwd, old_row)
+            neighbors = lax.dynamic_update_slice(
+                neighbors, row_w[None, :], (slot, start)
+            )
+
+            # backlinks + prune (hnsw.py:190-213)
+            for j in range(M):
+                n = sel_s[j]
+                act = sel_ok[j]
+                n_safe = jnp.maximum(n, 0)
+                row = lax.dynamic_slice(neighbors, (n_safe, start), (1, width))[0]
+                free = row < 0
+                has_free = jnp.any(free)
+                first_free = jnp.argmax(free)
+                appended = row.at[first_free].set(slot)
+                # prune: distances from n to row ∪ {slot}, keep width closest
+                cand = jnp.concatenate([row, slot[None]])
+                dn = _dist_to(emb[n_safe], emb, cand, has_emb)
+                _, pruned = masked_top_k_smallest(dn, cand, width)
+                new_row = jnp.where(has_free, appended, pruned)
+                new_row = jnp.where(act, new_row, row)
+                neighbors = lax.dynamic_update_slice(
+                    neighbors, new_row[None, :], (n_safe, start)
+                )
+
+        levels = levels.at[slot].set(jnp.where(do, lvl, levels[slot]))
+        new_entry = is_first | (lvl > entry_level)
+        entry = jnp.where(do & new_entry, slot, entry)
+        entry_level = jnp.where(do & new_entry, lvl, entry_level)
+        return Graph(neighbors, levels, entry, entry_level)
+
+    return lax.fori_loop(0, B, insert_one, graph)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "l_max"),
+                   donate_argnames=("graph",))
+def delete_slot(graph: Graph, slot: jnp.ndarray, M: int, l_max: int) -> Graph:
+    """Remove a node: drop incident edges both ways, clear its rows, and
+    re-elect the entry point as the highest-level survivor (reference
+    delete_node, hnsw.py:227-277)."""
+    neighbors, levels, entry, entry_level = graph
+    present = levels[slot] >= 0
+
+    for level in range(l_max):
+        start = level_col_start(level, M)
+        width = level_width(level, M)
+        row = lax.dynamic_slice(neighbors, (slot, start), (1, width))[0]
+        for j in range(width):
+            n = row[j]
+            act = present & (n >= 0)
+            n_safe = jnp.maximum(n, 0)
+            nrow = lax.dynamic_slice(neighbors, (n_safe, start), (1, width))[0]
+            cleared = jnp.where(nrow == slot, -1, nrow)
+            cleared = jnp.where(act, cleared, nrow)
+            neighbors = lax.dynamic_update_slice(
+                neighbors, cleared[None, :], (n_safe, start)
+            )
+        # clear own row
+        empty = jnp.full((width,), -1, jnp.int32)
+        own = jnp.where(present, empty, row)
+        neighbors = lax.dynamic_update_slice(neighbors, own[None, :], (slot, start))
+
+    levels = levels.at[slot].set(jnp.where(present, -1, levels[slot]))
+
+    # entry re-election (hnsw.py:240-258)
+    need = present & (entry == slot)
+    best = jnp.argmax(levels)  # -1 everywhere if empty
+    any_left = levels[best] >= 0
+    entry = jnp.where(need, jnp.where(any_left, best.astype(jnp.int32), -1), entry)
+    entry_level = jnp.where(
+        need, jnp.where(any_left, levels[best], -1), entry_level
+    )
+    return Graph(neighbors, levels, entry, entry_level)
