@@ -1,0 +1,213 @@
+"""Product quantization: vmapped codebook training + ADC scoring.
+
+Parity target: reference ``ProductQuantizationService``
+(src/vector_db/inference/pq.py:14-108): same constructor validation
+(k/chunks/dim positive, dim % chunks == 0), same ``compress(embeddings) ->
+int64[N, chunks]`` (train + encode in one call), same chunk layout
+(N, chunks, subdim) -> (chunks, N, subdim).
+
+TPU-first differences:
+- per-subspace k-means trains as ONE vmapped XLA program
+  (``ops.kmeans.kmeans_multi``) instead of one OS process per subspace
+  (reference pq.py:64-75);
+- encoding is a batched argmin over (chunks, N, k) distances — no
+  per-vector Python loop (reference pq.py:77-108);
+- adds what the reference lacks but a usable PQ path needs: ``decode``
+  (codebook lookup reconstruction), ``adc_lut`` (per-query asymmetric
+  distance lookup tables), and ``adc_search`` (fused LUT-gather scan +
+  top-k) — the standard ADC formulation (Jégou et al.), absent from the
+  reference, which computes no PQ distances at all.
+
+``PQCodec`` is the reusable train-once/encode-many object;
+``ProductQuantizationService`` keeps the reference's train+encode-in-one
+``compress`` API on top of it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vector_db_tpu.ops.distance import BIG, l2_sq_pairwise
+from vector_db_tpu.ops.kmeans import kmeans_multi
+from vector_db_tpu.ops.topk import masked_top_k_smallest
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _encode(sub: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """sub: f32[chunks, N, subdim]; codebooks: f32[chunks, k, subdim]
+    -> codes int32[N, chunks]."""
+    d = jax.vmap(l2_sq_pairwise)(sub, codebooks)  # [chunks, N, k]
+    return jnp.argmin(d, axis=-1).astype(jnp.int32).T
+
+
+@jax.jit
+def _decode(codes: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """codes: int32[N, chunks]; codebooks: f32[chunks, k, subdim]
+    -> f32[N, chunks * subdim]."""
+    n, chunks = codes.shape
+    sub = jax.vmap(lambda cb, c: cb[c], in_axes=(0, 1))(codebooks, codes)
+    # sub: [chunks, N, subdim] -> [N, chunks*subdim]
+    return jnp.transpose(sub, (1, 0, 2)).reshape(n, -1)
+
+
+@jax.jit
+def _adc_lut(queries: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """queries: f32[B, dim]; codebooks: f32[chunks, k, subdim]
+    -> LUT f32[B, chunks, k] of per-subspace squared distances."""
+    b = queries.shape[0]
+    chunks, k, subdim = codebooks.shape
+    qsub = queries.reshape(b, chunks, subdim).transpose(1, 0, 2)  # [chunks,B,subdim]
+    lut = jax.vmap(l2_sq_pairwise)(qsub, codebooks)  # [chunks, B, k]
+    return lut.transpose(1, 0, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _adc_search(
+    lut: jnp.ndarray,       # f32[B, chunks, k]
+    codes: jnp.ndarray,     # int32[N, chunks]
+    valid: jnp.ndarray,     # bool[N]
+    top_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Asymmetric-distance scan: dist[b, n] = sum_m lut[b, m, codes[n, m]]."""
+
+    def per_query(lut_q):
+        g = jax.vmap(lambda lq_m, c_m: lq_m[c_m], in_axes=(0, 1))(lut_q, codes)
+        # g: [chunks, N]
+        d = jnp.sum(g, axis=0)
+        d = jnp.where(valid, d, BIG)
+        ids = jnp.arange(codes.shape[0], dtype=jnp.int32)
+        return masked_top_k_smallest(d, ids, top_k)
+
+    return jax.vmap(per_query)(lut)
+
+
+class PQCodec:
+    """Train-once / encode-many product quantizer."""
+
+    def __init__(self, k: int, chunks: int, dim: int) -> None:
+        if k <= 0:
+            raise ValueError("k must be greater than 0")
+        if chunks <= 0:
+            raise ValueError("chunks must be greater than 0")
+        if dim <= 0:
+            raise ValueError("dim must be greater than 0")
+        if dim % chunks != 0:
+            raise ValueError("dim must be divisible by chunks")
+        self.k = int(k)
+        self.chunks = int(chunks)
+        self.dim = int(dim)
+        self.subdim = dim // chunks
+        self.codebooks: Optional[jnp.ndarray] = None  # f32[chunks, k, subdim]
+
+    def _validate(self, embeddings: np.ndarray) -> None:
+        if not isinstance(embeddings, np.ndarray):
+            raise TypeError("Embeddings must be a numpy array")
+        if embeddings.ndim != 2:
+            raise ValueError(
+                f"Embeddings must be 2D array, got {embeddings.ndim}D"
+            )
+        if embeddings.shape[1] != self.dim:
+            raise ValueError(
+                f"Embedding dimension must be {self.dim}, "
+                f"got {embeddings.shape[1]}"
+            )
+
+    def _subspaces(self, embeddings: np.ndarray) -> jnp.ndarray:
+        n = embeddings.shape[0]
+        return jnp.asarray(
+            embeddings.reshape(n, self.chunks, self.subdim).transpose(1, 0, 2)
+        )
+
+    def train(self, embeddings: np.ndarray, seed: int = 0,
+              iters: int = 100, restarts: int = 4) -> None:
+        """Train per-subspace codebooks. ``restarts`` > 1 runs vmapped
+        k-means restarts and keeps the best inertia per subspace — the
+        reference's single scipy kmeans2 run (pq.py:64-75) is restarts=1."""
+        self._validate(embeddings)
+        if embeddings.shape[0] < self.k:
+            raise ValueError(
+                f"Need at least {self.k} vectors for {self.k} centroids"
+            )
+        sub = self._subspaces(embeddings.astype(np.float32))
+        self.codebooks, _ = kmeans_multi(
+            sub, self.k, jax.random.key(seed), iters=iters, restarts=restarts
+        )
+
+    def encode(self, embeddings: np.ndarray) -> np.ndarray:
+        self._validate(embeddings)
+        if self.codebooks is None:
+            raise ValueError("Codec must be trained before encoding")
+        sub = self._subspaces(embeddings.astype(np.float32))
+        return np.asarray(_encode(sub, self.codebooks))
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        if self.codebooks is None:
+            raise ValueError("Codec must be trained before decoding")
+        return np.asarray(_decode(jnp.asarray(codes, jnp.int32), self.codebooks))
+
+    def adc_lut(self, queries: np.ndarray) -> jnp.ndarray:
+        if self.codebooks is None:
+            raise ValueError("Codec must be trained before ADC")
+        return _adc_lut(
+            jnp.asarray(np.asarray(queries, np.float32)), self.codebooks
+        )
+
+    def adc_search(
+        self,
+        queries: np.ndarray,
+        codes: jnp.ndarray,
+        valid: Optional[jnp.ndarray] = None,
+        top_k: int = 10,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Asymmetric-distance top-k over an encoded corpus.
+
+        Returns (approx squared L2 f32[B, top_k], row indices int32[B, top_k]).
+        """
+        lut = self.adc_lut(queries)
+        codes = jnp.asarray(codes, jnp.int32)
+        if valid is None:
+            valid = jnp.ones((codes.shape[0],), bool)
+        d, i = _adc_search(lut, codes, valid, int(top_k))
+        return np.asarray(d), np.asarray(i)
+
+
+class ProductQuantizationService:
+    """Reference-shaped facade: ``compress`` trains and encodes in one call
+    (reference pq.py:91-108)."""
+
+    def __init__(self, k: int, chunks: int, dim: int) -> None:
+        self._codec = PQCodec(k, chunks, dim)
+
+    @property
+    def k(self) -> int:
+        return self._codec.k
+
+    @property
+    def chunks(self) -> int:
+        return self._codec.chunks
+
+    @property
+    def dim(self) -> int:
+        return self._codec.dim
+
+    @property
+    def subdim(self) -> int:
+        return self._codec.subdim
+
+    @property
+    def centroids(self) -> Optional[List[np.ndarray]]:
+        """Reference exposes a list of per-chunk centroid arrays
+        (pq.py:36-37, 74-75)."""
+        if self._codec.codebooks is None:
+            return None
+        return [np.asarray(cb) for cb in self._codec.codebooks]
+
+    def compress(self, embeddings: np.ndarray, seed: int = 0) -> np.ndarray:
+        self._codec._validate(embeddings)
+        self._codec.train(embeddings, seed=seed)
+        return self._codec.encode(embeddings).astype(np.int64)

@@ -73,6 +73,7 @@ def kmeans_multi(
     k: int,
     key: jax.Array,
     iters: int = 100,
+    restarts: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """vmapped k-means over a leading "subspace" axis.
 
@@ -82,4 +83,6 @@ def kmeans_multi(
     src/vector_db/inference/pq.py:72-74).
     """
     keys = jax.random.split(key, x.shape[0])
-    return jax.vmap(lambda xs, ks: kmeans(xs, k, ks, iters=iters))(x, keys)
+    return jax.vmap(
+        lambda xs, ks: kmeans(xs, k, ks, iters=iters, restarts=restarts)
+    )(x, keys)
