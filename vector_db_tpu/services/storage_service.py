@@ -1,0 +1,74 @@
+"""Storage lifecycle service.
+
+Parity target: reference ``StorageService``
+(src/vector_db/services/storage_service.py:11-142): wraps MMapNodeStorage,
+derives ``<base>.embeddings.npy`` / ``<base>.metadata.npy`` file names,
+CRUD passthrough, ``filter_by_metadata`` full-scan with exact key/value
+match, and the same constructor validation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Set
+
+import numpy as np
+
+from vector_db_tpu.storage import MMapNodeStorage
+from vector_db_tpu.types import Node
+
+
+class StorageService:
+    def __init__(self, file_path: str, dim: int, capacity: int) -> None:
+        if dim <= 0:
+            raise ValueError("Dimension must be greater than 0")
+        if capacity <= 0:
+            raise ValueError("Capacity must be greater than 0")
+        self.file_path = Path(file_path)
+        self.dim = int(dim)
+        self.capacity = int(capacity)
+        self._storage = MMapNodeStorage(
+            embedding_file=self.file_path.with_suffix(".embeddings.npy"),
+            metadata_file=self.file_path.with_suffix(".metadata.npy"),
+            dim=dim,
+            capacity=capacity,
+        )
+
+    def save(self, node: Node) -> None:
+        self._storage.save(node)
+
+    def get(self, node_id: int) -> Optional[Node]:
+        return self._storage.get(node_id)
+
+    def get_embedding(self, node_id: int) -> np.ndarray:
+        return self._storage.get_embedding(node_id)
+
+    def delete(self, node_id: int) -> None:
+        self._storage.delete(node_id)
+
+    def get_next_id(self) -> int:
+        return self._storage.get_next_id()
+
+    def filter_by_metadata(self, filter_dict: Dict[str, Any]) -> Set[int]:
+        """Exact key/value full scan (reference storage_service.py:106-128).
+        Scans live ids only — same result set as the reference's
+        0..next_id probe, without touching empty rows."""
+        matching: Set[int] = set()
+        for nid in self._storage.get_all_ids():
+            node = self._storage.get(nid)
+            if node is None:
+                continue
+            if all(node.metadata.get(k) == v for k, v in filter_dict.items()):
+                matching.add(nid)
+        return matching
+
+    def size(self) -> int:
+        return self._storage.size()
+
+    def close(self) -> None:
+        self._storage.close()
+
+    @property
+    def storage(self) -> MMapNodeStorage:
+        """Underlying storage (for the indexing service)."""
+        return self._storage
