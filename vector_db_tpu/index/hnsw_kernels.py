@@ -387,13 +387,16 @@ def commit_inserts(
 
     def insert_one(i, g: Graph) -> Graph:
         neighbors, levels, entry, entry_level = g
-        slot = new_slots[i]
+        slot_raw = new_slots[i]
+        slot = jnp.maximum(slot_raw, 0)
         lvl = new_levels[i]
         is_first = entry < 0
         # idempotent insert (hnsw.py:152-155): host filters dup ids, but a
         # slot already in the graph is also a structural no-op guard.
+        # slot_raw < 0 marks batch padding (sharded per-shard batches pad to
+        # a common length) — a full no-op.
         already = levels[slot] >= 0
-        do = ~already
+        do = ~already & (slot_raw >= 0)
 
         # earlier batch members as candidates, by exact distance
         barange = jnp.arange(B, dtype=jnp.int32)

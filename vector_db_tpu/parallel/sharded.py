@@ -1,0 +1,368 @@
+"""Sharded indexes: SPMD per-shard search + all-gather top-k merge.
+
+Replaces the reference's scale-out story (docker-compose full-copy
+``replicas``, README.md:123-126) with true sharding over an ICI mesh:
+
+- the corpus splits row-wise across the ``shard`` mesh axis — each device
+  owns ``cap`` embedding rows (plus, for HNSW, its own fixed-degree
+  neighbor tables over those rows);
+- queries are replicated; every shard answers its local top-k in parallel
+  under ``shard_map``; per-shard results merge with one ``all_gather`` +
+  top-k — the only cross-device traffic is B×k×(distance, id) pairs;
+- streaming inserts route round-robin to shards host-side and commit SPMD:
+  every shard runs the same construction-search + commit program on its own
+  (padded) sub-batch.
+
+Global addressing: a result's global slot is ``shard * cap + local_slot``;
+the host maps global slots back to user node ids.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vector_db_tpu.index import hnsw_kernels as K
+from vector_db_tpu.ops.distance import BIG, l2_sq_pairwise
+from vector_db_tpu.ops.topk import masked_top_k_smallest
+from vector_db_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+
+Axis = SHARD_AXIS
+
+
+# ======================================================================
+# sharded exact search
+# ======================================================================
+
+def _merge_gathered(local_d, local_gslots, k):
+    """all_gather both, reshape [S, B, k] -> [B, S*k], global top-k."""
+    all_d = jax.lax.all_gather(local_d, Axis)      # [S, B, k]
+    all_s = jax.lax.all_gather(local_gslots, Axis)  # [S, B, k]
+    b = local_d.shape[0]
+    all_d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, -1)
+    all_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, -1)
+    return masked_top_k_smallest(all_d, all_s, k)
+
+
+def _globalize(slots: jnp.ndarray, cap: int) -> jnp.ndarray:
+    shard = jax.lax.axis_index(Axis)
+    return jnp.where(slots >= 0, slots + shard * cap, -1)
+
+
+class ShardedFlatIndex:
+    """Row-sharded exact search: per-shard fused matmul + top-k, all-gather
+    merge. The recall ground truth at any scale."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, dim: int = 384,
+                 capacity_per_shard: int = 4096) -> None:
+        self.mesh = mesh or make_mesh()
+        self.n_shards = self.mesh.devices.size
+        self.cap = int(capacity_per_shard)
+        self.dim = int(dim)
+        total = self.n_shards * self.cap
+        sh = NamedSharding(self.mesh, P(Axis))
+        self._emb = jax.device_put(jnp.zeros((total, self.dim), jnp.float32), sh)
+        self._valid = jax.device_put(jnp.zeros((total,), bool), sh)
+        self._id_of_gslot = np.full((total,), -1, np.int64)
+        self._gslot_of_id: Dict[int, int] = {}
+        self._next_in_shard = [0] * self.n_shards
+        self._rr = 0  # round-robin cursor
+
+        @functools.partial(
+            jax.jit, static_argnames=("k",),
+        )
+        def _search(emb, valid, queries, k):
+            def per_shard(emb_s, valid_s, q):
+                d = l2_sq_pairwise(q, emb_s)
+                d = jnp.where(valid_s[None, :], d, BIG)
+                ids = jnp.arange(emb_s.shape[0], dtype=jnp.int32)
+                ld, ls = masked_top_k_smallest(d, ids, min(k, emb_s.shape[0]))
+                return _merge_gathered(ld, _globalize(ls, self.cap), k)
+
+            return jax.shard_map(
+                per_shard, mesh=self.mesh,
+                in_specs=(P(Axis), P(Axis), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(emb, valid, queries)
+
+        self._search_fn = _search
+
+        @jax.jit
+        def _write(emb, valid, gslots, vecs):
+            cap_total = emb.shape[0]
+            safe = jnp.where(gslots >= 0, gslots, cap_total)
+            emb = emb.at[safe].set(vecs, mode="drop")
+            valid = valid.at[safe].set(True, mode="drop")
+            return emb, valid
+
+        self._write_fn = _write
+
+    @property
+    def size(self) -> int:
+        return len(self._gslot_of_id)
+
+    def _route(self, node_id: int) -> int:
+        shard = self._rr % self.n_shards
+        self._rr += 1
+        if self._next_in_shard[shard] >= self.cap:
+            # find any shard with room
+            for s in range(self.n_shards):
+                if self._next_in_shard[s] < self.cap:
+                    shard = s
+                    break
+            else:
+                raise RuntimeError("Sharded index full")
+        slot = self._next_in_shard[shard]
+        self._next_in_shard[shard] += 1
+        g = shard * self.cap + slot
+        self._gslot_of_id[node_id] = g
+        self._id_of_gslot[g] = node_id
+        return g
+
+    def insert(self, ids: Sequence[int], embeddings: np.ndarray) -> None:
+        embeddings = np.asarray(embeddings, np.float32)
+        gslots = np.array(
+            [self._gslot_of_id.get(i, -1) for i in ids], np.int64
+        )
+        for j, nid in enumerate(ids):
+            if gslots[j] < 0:
+                gslots[j] = self._route(int(nid))
+        self._emb, self._valid = self._write_fn(
+            self._emb, self._valid, jnp.asarray(gslots, jnp.int32),
+            jnp.asarray(embeddings),
+        )
+
+    def delete(self, node_id: int) -> None:
+        g = self._gslot_of_id.pop(node_id, None)
+        if g is None:
+            return
+        self._valid = self._valid.at[g].set(False)
+        self._id_of_gslot[g] = -1
+
+    def search_batch(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        d_sq, gslots = self._search_fn(self._emb, self._valid, q, k)
+        d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
+        ids = np.where(
+            gslots >= 0, self._id_of_gslot[np.maximum(gslots, 0)], -1
+        )
+        dists = np.where(gslots >= 0, np.sqrt(np.maximum(d_sq, 0)), np.inf)
+        return dists.astype(np.float32), ids
+
+
+# ======================================================================
+# sharded HNSW
+# ======================================================================
+
+class ShardedHNSW:
+    """Per-shard HNSW graphs under one SPMD program.
+
+    Each shard owns an independent graph over its local rows (the standard
+    sharded-ANN architecture); queries fan out to all shards and merge by
+    distance, so recall matches a single graph of the union at equal ef.
+    """
+
+    def __init__(
+        self,
+        M: int = 16,
+        ef_construction: int = 100,
+        mesh: Optional[Mesh] = None,
+        dim: int = 384,
+        capacity_per_shard: int = 4096,
+        l_max: int = 5,
+        seed: int = 42,
+    ) -> None:
+        self.mesh = mesh or make_mesh()
+        self.n_shards = int(self.mesh.devices.size)
+        self.M = int(M)
+        self.efc = int(ef_construction)
+        self.l_max = int(l_max)
+        self.cap = int(capacity_per_shard)
+        self.dim = int(dim)
+        self.rng = random.Random(seed)
+        self.level_mult = 1.0 / math.log(self.M) if self.M > 1 else 1.0
+
+        total = self.n_shards * self.cap
+        ncols = K.ncols(self.M, self.l_max)
+        shr = NamedSharding(self.mesh, P(Axis))
+        self._neighbors = jax.device_put(
+            jnp.full((total, ncols), -1, jnp.int32), shr
+        )
+        self._levels = jax.device_put(jnp.full((total,), -1, jnp.int32), shr)
+        self._entry = jax.device_put(
+            jnp.full((self.n_shards,), -1, jnp.int32), shr
+        )
+        self._entry_level = jax.device_put(
+            jnp.full((self.n_shards,), -1, jnp.int32), shr
+        )
+        self._emb = jax.device_put(jnp.zeros((total, self.dim), jnp.float32), shr)
+        self._has_emb = jax.device_put(jnp.zeros((total,), bool), shr)
+
+        self._id_of_gslot = np.full((total,), -1, np.int64)
+        self._gslot_of_id: Dict[int, int] = {}
+        self._next_in_shard = [0] * self.n_shards
+        self._rr = 0
+
+        self._insert_fn = self._build_insert_fn()
+        self._search_fn = self._build_search_fn()
+
+    # -- host-side routing ------------------------------------------------
+    @property
+    def size(self) -> int:
+        return len(self._gslot_of_id)
+
+    def sample_level(self) -> int:
+        lvl = int(-math.log(self.rng.random()) * self.level_mult)
+        return min(lvl, self.l_max - 1)
+
+    def _route(self, node_id: int) -> Tuple[int, int]:
+        shard = self._rr % self.n_shards
+        self._rr += 1
+        if self._next_in_shard[shard] >= self.cap:
+            for s in range(self.n_shards):
+                if self._next_in_shard[s] < self.cap:
+                    shard = s
+                    break
+            else:
+                raise RuntimeError("Sharded index full")
+        slot = self._next_in_shard[shard]
+        self._next_in_shard[shard] += 1
+        g = shard * self.cap + slot
+        self._gslot_of_id[node_id] = g
+        self._id_of_gslot[g] = node_id
+        return shard, slot
+
+    # -- SPMD programs ------------------------------------------------------
+    def _build_insert_fn(self):
+        M, efc, l_max, cap = self.M, self.efc, self.l_max, self.cap
+        mesh = self.mesh
+        max_steps = 2 * efc + 16
+
+        def per_shard(neighbors, levels, entry, entry_level, emb, has_emb,
+                      new_emb, new_slots, new_levels):
+            # rank-reduced views: entry [1] -> scalar
+            graph = K.Graph(neighbors, levels, entry[0], entry_level[0])
+            # write embeddings (padded slots -> dropped)
+            safe = jnp.where(new_slots >= 0, new_slots, cap)
+            emb = emb.at[safe].set(new_emb, mode="drop")
+            has_emb = has_emb.at[safe].set(True, mode="drop")
+
+            cd, cs = K.construction_search(
+                graph, emb, has_emb, new_emb, new_levels,
+                M=M, l_max=l_max, ef_construction=efc, max_steps=max_steps,
+            )
+            batch_d = l2_sq_pairwise(new_emb, new_emb)
+            # padded items must not be intra-batch candidates
+            pad = new_slots < 0
+            batch_d = jnp.where(pad[None, :] | pad[:, None], BIG, batch_d)
+            graph = K.commit_inserts(
+                graph, emb, has_emb, new_slots, new_levels, cd, cs, batch_d,
+                M=M, l_max=l_max, ef_construction=efc,
+            )
+            return (
+                graph.neighbors, graph.levels, graph.entry[None],
+                graph.entry_level[None], emb, has_emb,
+            )
+
+        spec = P(Axis)
+
+        @jax.jit
+        def _insert(neighbors, levels, entry, entry_level, emb, has_emb,
+                    new_emb, new_slots, new_levels):
+            return jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(spec,) * 6 + (spec, spec, spec),
+                out_specs=(spec,) * 6,
+                check_vma=False,
+            )(neighbors, levels, entry, entry_level, emb, has_emb,
+              new_emb, new_slots, new_levels)
+
+        return _insert
+
+    def _build_search_fn(self):
+        M, l_max, cap = self.M, self.l_max, self.cap
+        mesh = self.mesh
+
+        @functools.partial(jax.jit, static_argnames=("ef", "k"))
+        def _search(neighbors, levels, entry, entry_level, emb, has_emb,
+                    queries, ef, k):
+            max_steps = 2 * ef + 16
+
+            def per_shard(neighbors, levels, entry, entry_level, emb,
+                          has_emb, q):
+                graph = K.Graph(neighbors, levels, entry[0], entry_level[0])
+                ld, ls = K.search_batch(
+                    graph, emb, has_emb, q, None,
+                    M=M, l_max=l_max, ef=ef, k=k,
+                    max_steps=max_steps, use_filter=False,
+                )
+                return _merge_gathered(ld, _globalize(ls, cap), k)
+
+            spec = P(Axis)
+            return jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(spec,) * 6 + (P(),),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(neighbors, levels, entry, entry_level, emb, has_emb, queries)
+
+        return _search
+
+    # -- public API ---------------------------------------------------------
+    def insert(self, ids: Sequence[int], embeddings: np.ndarray) -> None:
+        """Streaming bulk insert: rows route round-robin to shards; all
+        shards commit their sub-batches in one SPMD program."""
+        embeddings = np.asarray(embeddings, np.float32)
+        per_shard_items: List[List[Tuple[int, int]]] = [
+            [] for _ in range(self.n_shards)
+        ]
+        for j, nid in enumerate(ids):
+            if int(nid) in self._gslot_of_id:
+                continue
+            shard, slot = self._route(int(nid))
+            per_shard_items[shard].append((j, slot))
+        bp = max((len(x) for x in per_shard_items), default=0)
+        if bp == 0:
+            return
+        new_emb = np.zeros((self.n_shards, bp, self.dim), np.float32)
+        new_slots = np.full((self.n_shards, bp), -1, np.int32)
+        new_levels = np.zeros((self.n_shards, bp), np.int32)
+        for s, items in enumerate(per_shard_items):
+            for p, (j, slot) in enumerate(items):
+                new_emb[s, p] = embeddings[j]
+                new_slots[s, p] = slot
+                new_levels[s, p] = self.sample_level()
+
+        (self._neighbors, self._levels, self._entry, self._entry_level,
+         self._emb, self._has_emb) = self._insert_fn(
+            self._neighbors, self._levels, self._entry, self._entry_level,
+            self._emb, self._has_emb,
+            jnp.asarray(new_emb.reshape(self.n_shards * bp, self.dim)),
+            jnp.asarray(new_slots.reshape(-1)),
+            jnp.asarray(new_levels.reshape(-1)),
+        )
+
+    def search_batch(
+        self, queries: np.ndarray, k: int, ef: int = 50
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        d_sq, gslots = self._search_fn(
+            self._neighbors, self._levels, self._entry, self._entry_level,
+            self._emb, self._has_emb, q, ef=max(ef, k), k=k,
+        )
+        d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
+        ids = np.where(
+            gslots >= 0, self._id_of_gslot[np.maximum(gslots, 0)], -1
+        )
+        dists = np.where(gslots >= 0, np.sqrt(np.maximum(d_sq, 0)), np.inf)
+        return dists.astype(np.float32), ids
