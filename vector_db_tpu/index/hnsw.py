@@ -43,6 +43,42 @@ DEFAULT_L_MAX = 6
 MIN_CAPACITY = 256
 
 
+def _reverse_merge(fwd_i: np.ndarray, fwd_d: np.ndarray, width: int) -> np.ndarray:
+    """Combine forward edges with reverse edges, keeping the closest
+    ``width`` per row (bulk-build analog of the reference's
+    append-backlink-then-prune, hnsw.py:190-213).
+
+    fwd_i/fwd_d: [n, deg] local neighbor indices/distances (-1/inf padded).
+    Returns rows int32[n, width].
+    """
+    n, deg = fwd_i.shape
+    src = np.repeat(np.arange(n, dtype=np.int32), deg)
+    dst = fwd_i.ravel()
+    dd = fwd_d.ravel()
+    keep = dst >= 0
+    src, dst, dd = src[keep], dst[keep], dd[keep]
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s, dd_s = dst[order], src[order], dd[order]
+    starts = np.searchsorted(dst_s, np.arange(n), "left")
+    ends = np.searchsorted(dst_s, np.arange(n), "right")
+
+    rows = np.full((n, width), -1, np.int32)
+    for v in range(n):
+        fm = fwd_i[v] >= 0
+        cand_ids = fwd_i[v][fm]
+        cand_d = fwd_d[v][fm]
+        if ends[v] > starts[v]:
+            cand_ids = np.concatenate([cand_ids, src_s[starts[v] : ends[v]]])
+            cand_d = np.concatenate([cand_d, dd_s[starts[v] : ends[v]]])
+        if cand_ids.size == 0:
+            continue
+        uniq, first = np.unique(cand_ids, return_index=True)
+        sel = np.argsort(cand_d[first], kind="stable")[:width]
+        chosen = uniq[sel]
+        rows[v, : chosen.size] = chosen
+    return rows
+
+
 class HNSW:
     def __init__(
         self,
@@ -171,15 +207,130 @@ class HNSW:
         for i in range(0, len(fresh), batch_size):
             self._insert_batch(fresh[i : i + batch_size])
 
+    def bulk_build(
+        self,
+        ids: Sequence[int],
+        embeddings: np.ndarray,
+        query_chunk: int = 2048,
+        cand_factor: int = 4,
+        alpha: float = 1.0,
+    ) -> None:
+        """Bulk construction from exact k-NN tables computed on the MXU.
+
+        Instead of replaying the reference's sequential insert loop
+        (hnsw.py:279-287 — one beam search per node), the whole corpus is
+        scored against itself with streaming matmuls:
+
+        1. per level, every node's exact ``cand_factor * M`` nearest
+           neighbors among level->=l nodes (one pass of tiled matmul+top-k);
+        2. occlusion-prune (HNSW-paper heuristic — deliberately stronger
+           than the reference's naive closest-M, hnsw.py:136-141) down to M
+           forward edges per node, batched on device;
+        3. add reverse edges, keep the closest ``m_limit`` per row (2M at
+           level 0, M above — same caps as the reference, hnsw.py:48-50).
+
+        Edges are exact rather than beam-approximated, so graph quality
+        upper-bounds incremental construction; level sampling and entry
+        semantics are unchanged. Requires an empty index; streaming inserts
+        still use ``insert_nodes``.
+        """
+        from vector_db_tpu.ops.exact import knn_exact
+        from vector_db_tpu.ops.graph_build import occlusion_prune
+
+        if self.size > 0:
+            raise ValueError("bulk_build requires an empty index")
+        embeddings = np.asarray(embeddings, np.float32)
+        n = embeddings.shape[0]
+        if n == 0:
+            return
+        self._ensure_init(embeddings.shape[1])
+        if n > self._capacity:
+            self._grow(n)
+
+        slots = np.array([self._take_slot(int(i)) for i in ids], np.int32)
+        levels_np = np.array([self.sample_level() for _ in range(n)], np.int32)
+
+        self._emb = self._emb.at[slots].set(jnp.asarray(embeddings))
+        self._has_emb = self._has_emb.at[slots].set(True)
+
+        ncols = K.ncols(self.M, self.l_max)
+        neighbors = np.full((self._capacity, ncols), -1, np.int32)
+        levels_full = np.full((self._capacity,), -1, np.int32)
+        levels_full[slots] = levels_np
+
+        for level in range(self.l_max):
+            if level == 0:
+                sub = np.arange(n)
+            else:
+                sub = np.nonzero(levels_np >= level)[0]
+            if sub.size <= 1:
+                continue
+            width = K.level_width(level, self.M)
+            deg = min(self.M, sub.size - 1)
+            k_cand = min(cand_factor * self.M, sub.size - 1)
+            sub_emb = jnp.asarray(embeddings[sub])
+            sub_valid = jnp.ones((sub.size,), bool)
+            local_ids = np.arange(sub.size, dtype=np.int32)
+
+            fwd_i = np.full((sub.size, deg), -1, np.int32)
+            fwd_d = np.full((sub.size, deg), np.inf, np.float32)
+            for s in range(0, sub.size, query_chunk):
+                end = min(s + query_chunk, sub.size)
+                cd, ci = knn_exact(
+                    sub_emb[s:end], jnp.asarray(local_ids[s:end]),
+                    sub_emb, sub_valid, k=k_cand,
+                )
+                cand_emb = sub_emb[jnp.maximum(ci, 0)]
+                sd, si = occlusion_prune(cd, ci, cand_emb, deg, alpha=alpha)
+                fwd_i[s:end] = np.asarray(si)
+                fwd_d[s:end] = np.asarray(sd)
+
+            rows = _reverse_merge(fwd_i, fwd_d, width)
+            mapped = np.where(rows >= 0, slots[sub][np.maximum(rows, 0)], -1)
+            start = K.level_col_start(level, self.M)
+            neighbors[slots[sub], start : start + width] = mapped
+
+        entry_idx = int(np.argmax(levels_np))
+        self.graph = K.Graph(
+            neighbors=jnp.asarray(neighbors),
+            levels=jnp.asarray(levels_full),
+            entry=jnp.int32(slots[entry_idx]),
+            entry_level=jnp.int32(levels_np[entry_idx]),
+        )
+
+    def insert_arrays(
+        self,
+        ids: Sequence[int],
+        embeddings: np.ndarray,
+        batch_size: int = 1024,
+    ) -> None:
+        """Array-level bulk ingest: graph + device table only, skipping the
+        per-Node storage round-trip (benchmark / engine-internal path; node
+        payloads can be attached to storage separately)."""
+        embeddings = np.asarray(embeddings, np.float32)
+        keep = [i for i, nid in enumerate(ids) if nid not in self._slot_of_id]
+        if not keep:
+            return
+        self._ensure_init(embeddings.shape[1])
+        for s in range(0, len(keep), batch_size):
+            sel = keep[s : s + batch_size]
+            self._insert_rows(
+                [int(ids[i]) for i in sel], embeddings[sel]
+            )
+
     def _insert_batch(self, batch: List[Node]) -> None:
-        b = len(batch)
+        self._insert_rows(
+            [n.id for n in batch],
+            np.stack([np.asarray(n.embedding, np.float32) for n in batch]),
+        )
+
+    def _insert_rows(self, ids: List[int], embs_np: np.ndarray) -> None:
+        b = len(ids)
         if self._n_slots_used + b > self._capacity and not self._free_slots:
             self._grow(self._n_slots_used + b)
-        slots = np.array([self._take_slot(n.id) for n in batch], np.int32)
-        levels = np.array([self.sample_level() for _ in batch], np.int32)
-        embs = jnp.asarray(
-            np.stack([np.asarray(n.embedding, np.float32) for n in batch])
-        )
+        slots = np.array([self._take_slot(nid) for nid in ids], np.int32)
+        levels = np.array([self.sample_level() for _ in ids], np.int32)
+        embs = jnp.asarray(embs_np)
 
         self._emb = self._emb.at[slots].set(embs)
         self._has_emb = self._has_emb.at[slots].set(True)

@@ -428,25 +428,31 @@ def commit_inserts(
                 neighbors, row_w[None, :], (slot, start)
             )
 
-            # backlinks + prune (hnsw.py:190-213)
-            for j in range(M):
-                n = sel_s[j]
-                act = sel_ok[j]
-                n_safe = jnp.maximum(n, 0)
-                row = lax.dynamic_slice(neighbors, (n_safe, start), (1, width))[0]
-                free = row < 0
-                has_free = jnp.any(free)
-                first_free = jnp.argmax(free)
-                appended = row.at[first_free].set(slot)
-                # prune: distances from n to row ∪ {slot}, keep width closest
-                cand = jnp.concatenate([row, slot[None]])
-                dn = _dist_to(emb[n_safe], emb, cand, has_emb)
-                _, pruned = masked_top_k_smallest(dn, cand, width)
-                new_row = jnp.where(has_free, appended, pruned)
-                new_row = jnp.where(act, new_row, row)
-                neighbors = lax.dynamic_update_slice(
-                    neighbors, new_row[None, :], (n_safe, start)
-                )
+            # backlinks + prune (hnsw.py:190-213) — all M neighbor rows
+            # update in ONE batched gather/compute/scatter (the selected
+            # slots are unique, so the scatter has no conflicts)
+            n_safe = jnp.maximum(sel_s, 0)  # [M]
+            rows = neighbors[n_safe, start : start + width]  # [M, width]
+            free = rows < 0
+            has_free = jnp.any(free, axis=1)  # [M]
+            first_free = jnp.argmax(free, axis=1)  # [M]
+            appended = rows.at[jnp.arange(M), first_free].set(slot)
+            # prune path: distances from each neighbor to row ∪ {slot}
+            cand = jnp.concatenate(
+                [rows, jnp.broadcast_to(slot, (M,))[:, None]], axis=1
+            )  # [M, width+1]
+            dn = jax.vmap(
+                lambda nn, cc: _dist_to(emb[nn], emb, cc, has_emb)
+            )(n_safe, cand)
+            _, pruned = masked_top_k_smallest(dn, cand, width)
+            new_rows = jnp.where(has_free[:, None], appended, pruned)
+            # inactive entries scatter out-of-bounds (dropped) — writing a
+            # stale copy back to their clamped row 0 would race with a
+            # genuine update of row 0
+            scatter_to = jnp.where(sel_ok, sel_s, neighbors.shape[0])
+            neighbors = neighbors.at[
+                scatter_to, start : start + width
+            ].set(new_rows, mode="drop")
 
         levels = levels.at[slot].set(jnp.where(do, lvl, levels[slot]))
         new_entry = is_first | (lvl > entry_level)

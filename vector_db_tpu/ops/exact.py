@@ -85,3 +85,53 @@ def exact_search_tiled(
         (emb_t, valid_t, x_sq_t, jnp.arange(n_tiles, dtype=jnp.int32)),
     )
     return best_d, best_i
+
+
+@partial(jax.jit, static_argnames=("k", "tile"))
+def knn_exact(
+    queries: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    emb: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    tile: int = 16384,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN of corpus members against the corpus, excluding self.
+
+    queries: f32[B, d] (rows OF the corpus); q_ids: int32[B] their slot ids;
+    emb/valid: the corpus. Returns (dists_sq f32[B, k], slots int32[B, k]).
+    This is the bulk-graph-construction primitive: one streaming pass of
+    MXU matmuls builds exact neighbor tables for a whole node batch.
+    """
+    n, dim = emb.shape
+    b = queries.shape[0]
+    pad = (-n) % tile
+    if pad:
+        emb = jnp.concatenate([emb, jnp.zeros((pad, dim), emb.dtype)], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+    n_tiles = emb.shape[0] // tile
+    emb_t = emb.reshape(n_tiles, tile, dim)
+    valid_t = valid.reshape(n_tiles, tile)
+    x_sq_t = squared_norms(emb_t)
+    base_ids = jnp.arange(tile, dtype=jnp.int32)
+
+    init = (
+        jnp.full((b, k), BIG, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        tile_emb, tile_valid, tile_xsq, tile_idx = xs
+        d = l2_sq_pairwise(queries, tile_emb, x_sq=tile_xsq)
+        ids = base_ids + tile_idx * tile
+        d = jnp.where(tile_valid[None, :], d, BIG)
+        d = jnp.where(ids[None, :] == q_ids[:, None], BIG, d)  # exclude self
+        td, ti = masked_top_k_smallest(d, ids, min(k, tile))
+        return merge_top_k(best_d, best_i, td, ti, k), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init,
+        (emb_t, valid_t, x_sq_t, jnp.arange(n_tiles, dtype=jnp.int32)),
+    )
+    return best_d, best_i
