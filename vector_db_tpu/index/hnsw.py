@@ -52,30 +52,25 @@ def _reverse_merge(fwd_i: np.ndarray, fwd_d: np.ndarray, width: int) -> np.ndarr
     Returns rows int32[n, width].
     """
     n, deg = fwd_i.shape
-    src = np.repeat(np.arange(n, dtype=np.int32), deg)
-    dst = fwd_i.ravel()
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    dst = fwd_i.ravel().astype(np.int64)
     dd = fwd_d.ravel()
     keep = dst >= 0
     src, dst, dd = src[keep], dst[keep], dd[keep]
-    order = np.argsort(dst, kind="stable")
-    dst_s, src_s, dd_s = dst[order], src[order], dd[order]
-    starts = np.searchsorted(dst_s, np.arange(n), "left")
-    ends = np.searchsorted(dst_s, np.arange(n), "right")
-
+    # undirected edge set (v, u, d), deduped on (v, u)
+    v = np.concatenate([src, dst])
+    u = np.concatenate([dst, src])
+    w = np.concatenate([dd, dd])
+    _, first = np.unique(v * n + u, return_index=True)
+    v, u, w = v[first], u[first], w[first]
+    # rank each node's edges by distance; keep the closest `width`
+    order = np.lexsort((w, v))
+    v, u = v[order], u[order]
+    starts = np.searchsorted(v, np.arange(n), "left")
+    ranks = np.arange(v.size) - starts[v]
+    sel = ranks < width
     rows = np.full((n, width), -1, np.int32)
-    for v in range(n):
-        fm = fwd_i[v] >= 0
-        cand_ids = fwd_i[v][fm]
-        cand_d = fwd_d[v][fm]
-        if ends[v] > starts[v]:
-            cand_ids = np.concatenate([cand_ids, src_s[starts[v] : ends[v]]])
-            cand_d = np.concatenate([cand_d, dd_s[starts[v] : ends[v]]])
-        if cand_ids.size == 0:
-            continue
-        uniq, first = np.unique(cand_ids, return_index=True)
-        sel = np.argsort(cand_d[first], kind="stable")[:width]
-        chosen = uniq[sel]
-        rows[v, : chosen.size] = chosen
+    rows[v[sel], ranks[sel]] = u[sel].astype(np.int32)
     return rows
 
 
@@ -234,8 +229,7 @@ class HNSW:
         semantics are unchanged. Requires an empty index; streaming inserts
         still use ``insert_nodes``.
         """
-        from vector_db_tpu.ops.exact import knn_exact
-        from vector_db_tpu.ops.graph_build import occlusion_prune
+        from vector_db_tpu.ops.graph_build import build_forward_edges
 
         if self.size > 0:
             raise ValueError("bulk_build requires an empty index")
@@ -258,6 +252,7 @@ class HNSW:
         levels_full = np.full((self._capacity,), -1, np.int32)
         levels_full[slots] = levels_np
 
+        host_threshold = 2048  # below this, device compiles cost more than numpy
         for level in range(self.l_max):
             if level == 0:
                 sub = np.arange(n)
@@ -267,23 +262,36 @@ class HNSW:
                 continue
             width = K.level_width(level, self.M)
             deg = min(self.M, sub.size - 1)
-            k_cand = min(cand_factor * self.M, sub.size - 1)
-            sub_emb = jnp.asarray(embeddings[sub])
-            sub_valid = jnp.ones((sub.size,), bool)
-            local_ids = np.arange(sub.size, dtype=np.int32)
 
-            fwd_i = np.full((sub.size, deg), -1, np.int32)
-            fwd_d = np.full((sub.size, deg), np.inf, np.float32)
-            for s in range(0, sub.size, query_chunk):
-                end = min(s + query_chunk, sub.size)
-                cd, ci = knn_exact(
-                    sub_emb[s:end], jnp.asarray(local_ids[s:end]),
-                    sub_emb, sub_valid, k=k_cand,
+            if sub.size <= host_threshold:
+                # tiny level: plain numpy, naive closest-deg selection (the
+                # reference's own selection rule, hnsw.py:136-141)
+                se = embeddings[sub]
+                d = ((se[:, None, :] - se[None, :, :]) ** 2).sum(-1)
+                np.fill_diagonal(d, np.inf)
+                order = np.argsort(d, axis=1)[:, :deg]
+                fwd_i = order.astype(np.int32)
+                fwd_d = np.take_along_axis(d, order, axis=1).astype(np.float32)
+            else:
+                k_cand = min(cand_factor * self.M, sub.size - 1)
+                # whole level as ONE device program (zero per-chunk host
+                # round-trips — they dominate wall time on remote devices);
+                # chunk sized so the [chunk, n] distance tile stays ~512MB
+                chunk = min(
+                    query_chunk, max(128, (1 << 27) // max(sub.size, 1))
                 )
-                cand_emb = sub_emb[jnp.maximum(ci, 0)]
-                sd, si = occlusion_prune(cd, ci, cand_emb, deg, alpha=alpha)
-                fwd_i[s:end] = np.asarray(si)
-                fwd_d[s:end] = np.asarray(sd)
+                chunk = 1 << (chunk.bit_length() - 1)  # power of two
+                pad = (-sub.size) % chunk
+                pe = np.zeros((sub.size + pad, embeddings.shape[1]), np.float32)
+                pe[: sub.size] = embeddings[sub]
+                pv = np.zeros((sub.size + pad,), bool)
+                pv[: sub.size] = True
+                fd, fi = build_forward_edges(
+                    jnp.asarray(pe), jnp.asarray(pv), deg=deg,
+                    k_cand=k_cand, chunk=chunk, alpha=alpha,
+                )
+                fwd_d = np.asarray(fd[: sub.size])
+                fwd_i = np.asarray(fi[: sub.size])
 
             rows = _reverse_merge(fwd_i, fwd_d, width)
             mapped = np.where(rows >= 0, slots[sub][np.maximum(rows, 0)], -1)
@@ -408,6 +416,9 @@ class HNSW:
         k: int,
         ef: int = 50,
         filter_ids: Optional[Set[int]] = None,
+        pool: int = 0,
+        max_steps: int = 0,
+        expand: int = 1,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Device fast path: (L2 dists f32[B, k], node ids int64[B, k]);
         missing results padded with (inf, -1)."""
@@ -428,12 +439,13 @@ class HNSW:
             filter_mask = jnp.asarray(mask)
         else:
             filter_mask = None
-        max_steps = self.max_steps or (2 * ef + 16)
+        max_steps = max_steps or self.max_steps or (2 * ef + 16)
         d_sq, slots = K.search_batch(
             self.graph, self._emb, self._has_emb,
             jnp.asarray(np.asarray(queries, np.float32)), filter_mask,
             M=self.M, l_max=self.l_max, ef=ef, k=k,
-            max_steps=max_steps, use_filter=use_filter,
+            max_steps=max_steps, use_filter=use_filter, pool=max(pool, ef),
+            expand=expand,
         )
         d_sq = np.asarray(d_sq)
         slots = np.asarray(slots)

@@ -166,8 +166,20 @@ def beam_layer(
     ef: int,
     M: int,
     max_steps: int,
+    pool: int = 0,
+    expand: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Best-first search of width ``ef`` at a static ``level``.
+
+    ``pool`` sets the candidate-frontier capacity (default = ef). The
+    reference's candidate heap is unbounded (hnsw.py:89-134); a pool wider
+    than ef trades a little merge cost for recall on hard corpora.
+
+    ``expand`` pops the E nearest unexpanded candidates per loop step
+    instead of 1 — E neighbor rows gather and score together, cutting the
+    sequential step count ~E× for the same ef. expand=1 reproduces the
+    reference's strictly-best-first order exactly; E>1 expands a superset
+    of what best-first would (never fewer), so recall at equal ef is >=.
 
     Returns (res_d f32[ef], res_s int32[ef]) — the ef closest found, BIG/-1
     padded, unsorted. ``res_mask`` (bool[capacity] or None) is the
@@ -178,9 +190,11 @@ def beam_layer(
     words = (capacity + 31) // 32
     start = level_col_start(level, M)
     width = level_width(level, M)
+    pool = max(pool, ef)
+    expand = max(1, min(expand, pool))
 
-    cand_d = jnp.full((ef,), BIG, jnp.float32).at[0].set(entry_d)
-    cand_s = jnp.full((ef,), -1, jnp.int32).at[0].set(entry_slot)
+    cand_d = jnp.full((pool,), BIG, jnp.float32).at[0].set(entry_d)
+    cand_s = jnp.full((pool,), -1, jnp.int32).at[0].set(entry_slot)
 
     entry_ok = has_emb[jnp.maximum(entry_slot, 0)] & (entry_slot >= 0)
     if res_mask is not None:
@@ -210,20 +224,36 @@ def beam_layer(
 
     def body(c):
         cand_d, cand_s, res_d, res_s, visited, steps = c
-        j = jnp.argmin(cand_d)
-        cur = cand_s[j]
-        # pop (reference heappop, hnsw.py:103)
-        cand_d = cand_d.at[j].set(BIG)
+        # pop the E nearest unexpanded candidates at once
+        # (reference heappop, hnsw.py:103, E=1)
+        neg, pos = jax.lax.top_k(-cand_d, expand)
+        pop_ok = -neg < BIG_THRESH
+        curs = jnp.where(pop_ok, cand_s[pos], -1)  # [E]
+        cand_d = cand_d.at[pos].set(BIG)
 
-        row = lax.dynamic_slice(graph.neighbors[cur], (start,), (2 * M,))
-        col_ok = jnp.arange(2 * M) < width
-        nbr = jnp.where(col_ok, row, -1)
+        rows = lax.dynamic_slice(
+            graph.neighbors[jnp.maximum(curs, 0)], (0, start),
+            (expand, 2 * M),
+        )  # [E, 2M]
+        col_ok = jnp.arange(2 * M)[None, :] < width
+        nbr = jnp.where(col_ok & (curs[:, None] >= 0), rows, -1).reshape(-1)
         safe = jnp.maximum(nbr, 0)
 
         bits = (visited[safe // 32] >> (safe % 32)) & 1
         fresh = (nbr >= 0) & (bits == 0)
+        if expand > 1:
+            # dedup across the E gathered rows: the same neighbor may appear
+            # in several rows, and double-adding its bit would corrupt the
+            # bitmap
+            order = jnp.argsort(nbr)
+            snbr = nbr[order]
+            first_sorted = jnp.concatenate(
+                [jnp.ones((1,), bool), snbr[1:] != snbr[:-1]]
+            )
+            first = jnp.zeros_like(fresh).at[order].set(first_sorted)
+            fresh = fresh & first
 
-        # mark visited (ids within a row are unique, so add == bitwise-or)
+        # mark visited (ids now unique, so add == bitwise-or)
         wordv = jnp.where(fresh, (1 << (safe % 32)).astype(jnp.int32), 0)
         visited = visited.at[jnp.where(fresh, safe // 32, 0)].add(
             jnp.where(fresh, wordv, 0)
@@ -236,7 +266,7 @@ def beam_layer(
         md, ms = masked_top_k_smallest(
             jnp.concatenate([cand_d, d]),
             jnp.concatenate([cand_s, nbr]),
-            ef,
+            pool,
         )
 
         # merge into result pool (filtered, hnsw.py:127-131)
@@ -259,7 +289,8 @@ def beam_layer(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("M", "l_max", "ef", "k", "max_steps", "use_filter"),
+    static_argnames=("M", "l_max", "ef", "k", "max_steps", "use_filter",
+                     "pool", "expand"),
 )
 def search_batch(
     graph: Graph,
@@ -273,6 +304,8 @@ def search_batch(
     k: int,
     max_steps: int,
     use_filter: bool,
+    pool: int = 0,
+    expand: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched HNSW search (reference HNSW.search, hnsw.py:330-374).
 
@@ -290,7 +323,7 @@ def search_batch(
         rd, rs = beam_layer(
             graph, emb, has_emb, q, cur, cur_d,
             active=entry >= 0, res_mask=rm, level=0,
-            ef=ef, M=M, max_steps=max_steps,
+            ef=ef, M=M, max_steps=max_steps, pool=pool, expand=expand,
         )
         return masked_top_k_smallest(rd, rs, k)
 

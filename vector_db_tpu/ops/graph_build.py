@@ -22,9 +22,91 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from vector_db_tpu.ops.distance import BIG
 from vector_db_tpu.ops.topk import masked_top_k_smallest
+
+
+def _occlusion_prune_core(cand_d, cand_i, cand_emb, deg, alpha=1.0):
+    c, k = cand_d.shape
+    sq = jnp.sum(cand_emb * cand_emb, axis=-1)
+    cross = jnp.einsum(
+        "ckd,cld->ckl", cand_emb, cand_emb,
+        preferred_element_type=jnp.float32,
+    )
+    pair = jnp.maximum(sq[:, :, None] - 2.0 * cross + sq[:, None, :], 0.0)
+
+    # selection scan over candidates in distance order; fori_loop keeps the
+    # HLO small (an unrolled loop here costs minutes of XLA compile time)
+    def step(j, carry):
+        sel_mask, cnt = carry
+        pair_j = lax.dynamic_slice_in_dim(pair, j, 1, axis=1)[:, 0, :]  # [C,K]
+        d_j = lax.dynamic_slice_in_dim(cand_d, j, 1, axis=1)  # [C,1]
+        i_j = lax.dynamic_slice_in_dim(cand_i, j, 1, axis=1)[:, 0]  # [C]
+        occ = jnp.any(sel_mask & (pair_j < alpha * d_j), axis=1)
+        ok = (i_j >= 0) & (d_j[:, 0] < BIG) & (cnt < deg) & ~occ
+        onehot = jnp.arange(k)[None, :] == j
+        sel_mask = jnp.where(onehot & ok[:, None], True, sel_mask)
+        return sel_mask, cnt + ok.astype(jnp.int32)
+
+    sel_mask, cnt = lax.fori_loop(
+        0, k, step, (jnp.zeros((c, k), bool), jnp.zeros((c,), jnp.int32))
+    )
+
+    offset = jnp.float32(1.0e30)
+    key = jnp.where(sel_mask, cand_d - offset, cand_d)
+    key = jnp.where(cand_i >= 0, key, BIG)
+    sel_key, sel_i = masked_top_k_smallest(key, cand_i, deg)
+    sel_d = jnp.where(sel_key < -offset / 2, sel_key + offset, sel_key)
+    return sel_d, sel_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("deg", "k_cand", "chunk", "alpha")
+)
+def build_forward_edges(
+    emb: jnp.ndarray,       # f32[N, dim] (N padded to a multiple of chunk)
+    valid: jnp.ndarray,     # bool[N]
+    deg: int,
+    k_cand: int,
+    chunk: int,
+    alpha: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-corpus forward-edge construction as ONE device program.
+
+    For every (valid) row: exact k_cand nearest neighbors by streaming
+    matmul + top-k, then occlusion-pruned to ``deg`` edges. Runs as a
+    ``lax.scan`` over query chunks with zero host round-trips — queries are
+    slices of the on-device embedding table itself. Returns
+    (fwd_d f32[N, deg], fwd_i int32[N, deg]).
+    """
+    from vector_db_tpu.ops.distance import l2_sq_pairwise, squared_norms
+
+    n, dim = emb.shape
+    assert n % chunk == 0, "caller pads N to a multiple of chunk"
+    n_chunks = n // chunk
+    x_sq = squared_norms(emb)
+    ids = jnp.arange(n, dtype=jnp.int32)
+
+    def body(_, c_idx):
+        q = lax.dynamic_slice(emb, (c_idx * chunk, 0), (chunk, dim))
+        qi = c_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        d = l2_sq_pairwise(q, emb, x_sq=x_sq)
+        d = jnp.where(valid[None, :], d, BIG)
+        d = jnp.where(ids[None, :] == qi[:, None], BIG, d)
+        cd, ci = masked_top_k_smallest(d, ids, k_cand)
+        ce = emb[jnp.maximum(ci, 0)]
+        sd, si = _occlusion_prune_core(cd, ci, ce, deg, alpha)
+        q_ok = valid[jnp.maximum(qi, 0)]
+        sd = jnp.where(q_ok[:, None], sd, BIG)
+        si = jnp.where(q_ok[:, None], si, -1)
+        return None, (sd, si)
+
+    _, (fwd_d, fwd_i) = lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return fwd_d.reshape(n, deg), fwd_i.reshape(n, deg)
 
 
 @functools.partial(jax.jit, static_argnames=("deg",))
@@ -38,31 +120,4 @@ def occlusion_prune(
     """Select up to ``deg`` diverse neighbors per node; refill to ``deg``
     with the closest rejected candidates. Returns (d f32[C, deg],
     ids int32[C, deg]), ascending, (BIG, -1) padded."""
-    c, k = cand_d.shape
-    # pairwise distances among candidates: ||a-b||^2 via batched matmul
-    sq = jnp.sum(cand_emb * cand_emb, axis=-1)  # [C, K]
-    cross = jnp.einsum(
-        "ckd,cld->ckl", cand_emb, cand_emb,
-        preferred_element_type=jnp.float32,
-    )
-    pair = jnp.maximum(sq[:, :, None] - 2.0 * cross + sq[:, None, :], 0.0)
-
-    sel_mask = jnp.zeros((c, k), bool)
-    cnt = jnp.zeros((c,), jnp.int32)
-    for j in range(k):
-        # occluded: some selected s has d(c_j, s) < alpha * d(c_j, q)
-        occ = jnp.any(
-            sel_mask & (pair[:, j, :] < alpha * cand_d[:, j : j + 1]),
-            axis=1,
-        )
-        ok = (cand_i[:, j] >= 0) & (cand_d[:, j] < BIG) & (cnt < deg) & ~occ
-        sel_mask = sel_mask.at[:, j].set(ok)
-        cnt = cnt + ok.astype(jnp.int32)
-
-    # selected first (by distance), then closest rejected as fill
-    offset = jnp.float32(1.0e30)  # >> any real distance, << BIG (no overflow)
-    key = jnp.where(sel_mask, cand_d - offset, cand_d)
-    key = jnp.where(cand_i >= 0, key, BIG)
-    sel_key, sel_i = masked_top_k_smallest(key, cand_i, deg)
-    sel_d = jnp.where(sel_key < -offset / 2, sel_key + offset, sel_key)
-    return sel_d, sel_i
+    return _occlusion_prune_core(cand_d, cand_i, cand_emb, deg, alpha)

@@ -1,0 +1,32 @@
+"""Runtime/session configuration helpers."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> str:
+    """Enable the persistent XLA compilation cache.
+
+    Graph kernels (bulk edge construction, beam search per ef config)
+    compile once per shape; on remote/tunneled TPU backends a cold compile
+    can cost minutes, so every entry point (bench, API server, graft entry)
+    turns this on. Returns the cache directory.
+    """
+    global _CACHE_ENABLED
+    cache_dir = path or os.environ.get(
+        "VDB_TPU_COMPILE_CACHE",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    if not _CACHE_ENABLED:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED = True
+    return cache_dir
