@@ -1,0 +1,97 @@
+"""IndexingService with flat and IVF backends (the reference accepts
+n_probe in its API but never wires IVF in — here index.type selects)."""
+
+import numpy as np
+import pytest
+import yaml
+
+from vector_db_tpu.services.indexing_service import IndexingService
+from vector_db_tpu.services.storage_service import StorageService
+from vector_db_tpu.types import Node
+
+
+def make_config(tmp_path, index_type, **extra):
+    cfg = {
+        "embedding": {"model": "fake-16", "dimension": 16},
+        "index": {"ef_construction": 30, "M": 4, "flush_threshold": 1000,
+                  "type": index_type, **extra},
+        "vector_db": {"file_path": str(tmp_path / "vdb"), "dimension": 16,
+                      "capacity": 256},
+    }
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+def make_nodes(rng, n):
+    return [Node(id=i, embedding=rng.standard_normal(16).astype(np.float32),
+                 metadata={"par": i % 2}) for i in range(n)]
+
+
+def test_flat_index_service(tmp_path, rng):
+    cfg = make_config(tmp_path, "flat")
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 30)
+    svc.insert_nodes(nodes)
+    assert svc.get_index_size() == 30
+    res = svc.search(nodes[7].embedding, k=3)
+    assert res[0][0].id == 7
+    assert res[0][1] < 1e-3
+    # exact: results == brute force
+    q = rng.standard_normal(16).astype(np.float32)
+    got = [n.id for n, _ in svc.search(q, k=5)]
+    d = [np.linalg.norm(q - n.embedding) for n in nodes]
+    want = [nodes[i].id for i in np.argsort(d)[:5]]
+    assert got == want
+
+
+def test_flat_index_persistence(tmp_path, rng):
+    cfg = make_config(tmp_path, "flat")
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 10)
+    svc.insert_nodes(nodes)
+    svc.save_index()
+
+    svc2 = IndexingService(storage=storage.storage, config_path=cfg)
+    assert svc2.is_index_loaded()
+    assert svc2.get_index_size() == 10
+    assert svc2.search(nodes[3].embedding, k=1)[0][0].id == 3
+
+
+def test_ivf_index_service(tmp_path, rng):
+    cfg = make_config(tmp_path, "ivf", ivf_k=4)
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 3)
+    svc.insert_nodes(nodes)
+    # below ivf_k: pending queue, brute-force search still works
+    assert svc.get_index_size() == 3
+    assert svc.search(nodes[1].embedding, k=1)[0][0].id == 1
+
+    more = [Node(id=100 + i, embedding=rng.standard_normal(16).astype(np.float32))
+            for i in range(30)]
+    svc.insert_nodes(more)  # crosses ivf_k -> k-means build
+    assert svc.index.centroids is not None
+    assert svc.get_index_size() == 33
+
+    res = svc.search(more[5].embedding, k=1, n_probe=4)
+    assert res[0][0].id == 105
+
+    # filter post-selection
+    res = svc.search(nodes[0].embedding, k=5, n_probe=4,
+                     filter_ids={n.id for n in nodes})
+    assert {n.id for n, _ in res} <= {0, 1, 2}
+
+
+def test_ivf_delete(tmp_path, rng):
+    cfg = make_config(tmp_path, "ivf", ivf_k=4)
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 20)
+    svc.insert_nodes(nodes)
+    svc.delete_node(5)
+    assert svc.get_index_size() == 19
+    res = svc.search(nodes[5].embedding, k=5, n_probe=4)
+    assert all(n.id != 5 for n, _ in res)

@@ -28,8 +28,12 @@ class FlatIndex:
         self,
         storage: Optional[NodeStorage] = None,
         capacity: int = MIN_CAPACITY,
+        index_file=None,
     ) -> None:
+        from pathlib import Path
+
         self.storage = storage or InMemoryNodeStorage()
+        self.index_file = Path(index_file) if index_file else None
         self._capacity = int(capacity)
         self._dim: Optional[int] = None
         self._emb: Optional[jnp.ndarray] = None
@@ -138,6 +142,26 @@ class FlatIndex:
         ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
+
+    def save_index(self) -> None:
+        """Persist the slot->id map; embeddings rehydrate from storage."""
+        if self.index_file is None or self._id_of_slot is None:
+            return
+        self.index_file.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(self.index_file, id_of_slot=self._id_of_slot)
+
+    def load_index(self) -> None:
+        if self.index_file is None or not self.index_file.exists():
+            return
+        with np.load(self.index_file) as z:
+            id_of_slot = np.asarray(z["id_of_slot"])
+        live = [(int(nid), s) for s, nid in enumerate(id_of_slot) if nid >= 0]
+        nodes = []
+        for nid, _ in live:
+            node = self.storage.get(nid)
+            if node is not None:
+                nodes.append(node)
+        self.insert_nodes(nodes)
 
     def search(self, query: np.ndarray, k: int, **kwargs) -> List[Tuple[Node, float]]:
         dists, ids = self.search_batch(

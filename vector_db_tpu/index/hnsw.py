@@ -252,7 +252,7 @@ class HNSW:
         levels_full = np.full((self._capacity,), -1, np.int32)
         levels_full[slots] = levels_np
 
-        host_threshold = 2048  # below this, device compiles cost more than numpy
+        host_threshold = 8192  # below this, device compiles cost more than numpy
         for level in range(self.l_max):
             if level == 0:
                 sub = np.arange(n)
@@ -267,9 +267,12 @@ class HNSW:
                 # tiny level: plain numpy, naive closest-deg selection (the
                 # reference's own selection rule, hnsw.py:136-141)
                 se = embeddings[sub]
-                d = ((se[:, None, :] - se[None, :, :]) ** 2).sum(-1)
+                sq = (se * se).sum(-1)
+                d = sq[:, None] - 2.0 * (se @ se.T) + sq[None, :]
                 np.fill_diagonal(d, np.inf)
-                order = np.argsort(d, axis=1)[:, :deg]
+                part = np.argpartition(d, min(deg, d.shape[1] - 1), axis=1)[:, :deg]
+                pd = np.take_along_axis(d, part, axis=1)
+                order = np.take_along_axis(part, np.argsort(pd, axis=1), axis=1)
                 fwd_i = order.astype(np.int32)
                 fwd_d = np.take_along_axis(d, order, axis=1).astype(np.float32)
             else:

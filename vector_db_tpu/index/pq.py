@@ -73,7 +73,9 @@ def _adc_search(
     valid: jnp.ndarray,     # bool[N]
     top_k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Asymmetric-distance scan: dist[b, n] = sum_m lut[b, m, codes[n, m]]."""
+    """Asymmetric-distance scan: dist[b, n] = sum_m lut[b, m, codes[n, m]].
+
+    Gather formulation — reference ADC semantics, fine for small corpora."""
 
     def per_query(lut_q):
         g = jax.vmap(lambda lq_m, c_m: lq_m[c_m], in_axes=(0, 1))(lut_q, codes)
@@ -84,6 +86,63 @@ def _adc_search(
         return masked_top_k_smallest(d, ids, top_k)
 
     return jax.vmap(per_query)(lut)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "k", "tile"))
+def _adc_search_matmul(
+    lut: jnp.ndarray,       # f32[B, chunks, k]
+    codes: jnp.ndarray,     # int32[N, chunks] (N padded to tile multiple)
+    valid: jnp.ndarray,     # bool[N]
+    top_k: int,
+    k: int,
+    tile: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ADC scan as MXU matmuls: dist[b, n] = LUT_flat[b] · onehot(codes[n]).
+
+    Per code tile: one-hot the tile's codes into [tile, chunks*k] and do one
+    [B, chunks*k] x [chunks*k, tile] matmul — the LUT "gather" becomes
+    systolic-array work instead of scalar addressing, which is how a PQ scan
+    should run on a TPU. Tiles stream under ``lax.scan`` with a running
+    top-k merge, so peak memory is O(B*tile + tile*chunks*k).
+    """
+    from vector_db_tpu.ops.topk import merge_top_k
+
+    b, chunks, _ = lut.shape
+    n = codes.shape[0]
+    pad = (-n) % tile
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, chunks), codes.dtype)], axis=0
+        )
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+    n_tiles = codes.shape[0] // tile
+    codes_t = codes.reshape(n_tiles, tile, chunks)
+    valid_t = valid.reshape(n_tiles, tile)
+    lut_flat = lut.reshape(b, chunks * k)
+    base_ids = jnp.arange(tile, dtype=jnp.int32)
+
+    init = (
+        jnp.full((b, top_k), BIG, jnp.float32),
+        jnp.full((b, top_k), -1, jnp.int32),
+    )
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        tile_codes, tile_valid, tile_idx = xs
+        # flat one-hot over the concatenated (chunk, code) axis
+        flat = tile_codes + jnp.arange(chunks, dtype=jnp.int32)[None, :] * k
+        onehot = jax.nn.one_hot(flat, chunks * k, dtype=lut.dtype).sum(axis=1)
+        d = jnp.dot(lut_flat, onehot.T, preferred_element_type=jnp.float32)
+        d = jnp.where(tile_valid[None, :], d, BIG)
+        ids = base_ids + tile_idx * tile
+        td, ti = masked_top_k_smallest(d, ids, min(top_k, tile))
+        return merge_top_k(best_d, best_i, td, ti, top_k), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init,
+        (codes_t, valid_t, jnp.arange(n_tiles, dtype=jnp.int32)),
+    )
+    return best_d, best_i
 
 
 class PQCodec:
@@ -163,16 +222,25 @@ class PQCodec:
         codes: jnp.ndarray,
         valid: Optional[jnp.ndarray] = None,
         top_k: int = 10,
+        mode: str = "matmul",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Asymmetric-distance top-k over an encoded corpus.
 
+        mode="matmul" (default) runs the one-hot MXU formulation; "gather"
+        is the direct LUT-gather reference semantics.
         Returns (approx squared L2 f32[B, top_k], row indices int32[B, top_k]).
         """
         lut = self.adc_lut(queries)
         codes = jnp.asarray(codes, jnp.int32)
         if valid is None:
             valid = jnp.ones((codes.shape[0],), bool)
-        d, i = _adc_search(lut, codes, valid, int(top_k))
+        if mode == "matmul":
+            tile = min(8192, max(256, codes.shape[0]))
+            d, i = _adc_search_matmul(
+                lut, codes, valid, int(top_k), self.k, tile=tile
+            )
+        else:
+            d, i = _adc_search(lut, codes, valid, int(top_k))
         return np.asarray(d), np.asarray(i)
 
 

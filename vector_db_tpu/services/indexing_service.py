@@ -39,6 +39,10 @@ class IndexingService:
         index_config = config.get("index", {})
         M = index_config.get("M", 16)
         ef_construction = index_config.get("ef_construction", 200)
+        # Index family selection — the reference's API accepts IVF params
+        # (QueryRequest.n_probe, api/models.py:20) but only ever builds HNSW
+        # (indexing_service.py:56-64); here `index.type` actually selects.
+        self.index_type = str(index_config.get("type", "hnsw")).lower()
 
         if index_file:
             self.index_file = Path(index_file)
@@ -53,13 +57,30 @@ class IndexingService:
             )
 
         rng = random.Random(42)
-        self.index = HNSW(
-            M=M,
-            ef_construction=ef_construction,
-            rng=rng,
-            storage=storage,
-            index_file=self.index_file,
-        )
+        if self.index_type == "hnsw":
+            self.index = HNSW(
+                M=M,
+                ef_construction=ef_construction,
+                rng=rng,
+                storage=storage,
+                index_file=self.index_file,
+            )
+        elif self.index_type == "flat":
+            from vector_db_tpu.index.flat import FlatIndex
+
+            self.index = FlatIndex(storage=storage, index_file=self.index_file)
+            if self.index_file.exists():
+                self.index.load_index()
+        elif self.index_type == "ivf":
+            from vector_db_tpu.index.ivf import IvfIndex
+
+            self.ivf_k = int(index_config.get("ivf_k", 100))
+            self.index = IvfIndex(
+                k=self.ivf_k, storage=storage, index_file=self.index_file
+            )
+            self._ivf_pending: List[Node] = []
+        else:
+            raise ValueError(f"Unknown index type: {self.index_type}")
         self._index_loaded = self.index_file.exists()
         self._index_modified = False
         self.flush_threshold = index_config.get("flush_threshold", 1000)
@@ -68,31 +89,78 @@ class IndexingService:
         return self._index_loaded
 
     def insert_node(self, node: Node) -> None:
-        self.index.insert_node(node)
-        self._index_modified = True
-        if self._should_flush():
-            self.save_index()
+        self.insert_nodes([node])
 
     def insert_nodes(self, nodes: Sequence[Node]) -> None:
         """Batched ingest: one construction-search + commit program per
         batch instead of one per node."""
         if not nodes:
             return
-        self.index.insert_nodes(nodes)
+        if self.index_type == "ivf":
+            self._ivf_insert(nodes)
+        else:
+            self.index.insert_nodes(list(nodes))
         self._index_modified = True
         if self._should_flush():
             self.save_index()
 
+    def _ivf_insert(self, nodes: Sequence[Node]) -> None:
+        """IVF needs centroids before it can route adds: queue until
+        ivf_k nodes exist, then k-means-build, then stream adds."""
+        if self.index.centroids is None:
+            self._ivf_pending.extend(nodes)
+            for node in nodes:
+                self.storage.save(node)
+            if len(self._ivf_pending) >= self.ivf_k:
+                self.index.build_index(self._ivf_pending)
+                self._ivf_pending = []
+        else:
+            for node in nodes:
+                self.index.add(node)
+
     def delete_node(self, node_id: int) -> None:
-        self.index.delete_node(node_id)
+        if self.index_type == "ivf":
+            self.index.delete(node_id)
+            self._ivf_pending = [
+                n for n in getattr(self, "_ivf_pending", []) if n.id != node_id
+            ]
+        else:
+            self.index.delete_node(node_id)
         self._index_modified = True
 
     def search(
         self, query: np.ndarray, k: int, **kwargs: Any
     ) -> List[Tuple[Node, float]]:
+        if self.index_type == "ivf":
+            return self._ivf_search(query, k, **kwargs)
         return self.index.search(query, k=k, **kwargs)
 
+    def _ivf_search(self, query, k, **kwargs):
+        filter_ids = kwargs.get("filter_ids")
+        if self.index.centroids is None:
+            # not built yet: brute-force the pending queue (exact)
+            import numpy as _np
+
+            cands = [
+                (float(_np.linalg.norm(query - n.embedding)), n)
+                for n in getattr(self, "_ivf_pending", [])
+                if filter_ids is None or n.id in filter_ids
+            ]
+            cands.sort(key=lambda t: t[0])
+            return [(n, d) for d, n in cands[:k]]
+        n_probe = int(kwargs.get("n_probe", 10) or 10)
+        n_probe = max(1, min(n_probe, self.index.k))
+        fetch = k if filter_ids is None else max(4 * k, 50)
+        results = self.index.search(query, n_probe=n_probe, top_k=fetch)
+        if filter_ids is not None:
+            results = [(n, d) for n, d in results if n.id in filter_ids]
+        return results[:k]
+
     def search_batch(self, queries: np.ndarray, k: int, **kwargs: Any):
+        if self.index_type == "ivf":
+            n_probe = int(kwargs.get("n_probe", 10) or 10)
+            n_probe = max(1, min(n_probe, self.index.k))
+            return self.index.search_batch(queries, n_probe=n_probe, top_k=k)
         return self.index.search_batch(queries, k, **kwargs)
 
     def save_index(self) -> None:
@@ -105,6 +173,9 @@ class IndexingService:
         self._index_modified = False
 
     def get_index_size(self) -> int:
+        if self.index_type == "ivf":
+            built = self.index.get_cluster_stats()["total_vectors"]
+            return built + len(getattr(self, "_ivf_pending", []))
         return self.index.size
 
     def _should_flush(self) -> bool:
