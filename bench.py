@@ -59,7 +59,7 @@ def recall_at_k(ids: np.ndarray, gt: np.ndarray, k: int) -> float:
     )
 
 
-EF_SWEEP = [100, 200, 400, 600]
+EF_SWEEP = [100, 150, 200, 300, 400, 600]
 
 
 def bench_ours(x: np.ndarray, q: np.ndarray, k: int, target: float):
