@@ -375,6 +375,59 @@ class HNSW:
         if hasattr(self.storage, "delete"):
             self.storage.delete(node_id)
 
+    # ------------------------------------------------------------------
+    def enable_pq(self, chunks: int = 16, ksub: int = 256, seed: int = 0,
+                  restarts: int = 2) -> None:
+        """Attach a product-quantized traversal path: train per-subspace
+        codebooks on the current corpus and encode every stored vector.
+        Subsequent ``search_batch(..., pq=True)`` traverses on ADC
+        distances and reranks the final candidates exactly. (The reference
+        accepts a ``pq_chunks`` search param but never uses it,
+        api/models.py:18 vs hnsw.py:330-341.)"""
+        from vector_db_tpu.index.pq import PQCodec
+
+        if self._dim is None or self.size == 0:
+            raise ValueError("enable_pq requires a populated index")
+        ksub = min(ksub, max(2, self.size))
+        self._pq = PQCodec(k=ksub, chunks=chunks, dim=self._dim)
+        emb_np = np.asarray(self._emb)
+        live = np.asarray(self._has_emb)
+        self._pq.train(emb_np[live], seed=seed, restarts=restarts)
+        codes = np.zeros((self._capacity, chunks), np.int32)
+        codes[live] = self._pq.encode(emb_np[live])
+        self._pq_codes = jnp.asarray(codes)
+
+    def search_batch_pq(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int = 50,
+        expand: int = 1,
+        rerank: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """PQ-traversal search (requires enable_pq). Same contract as
+        search_batch."""
+        if getattr(self, "_pq", None) is None:
+            raise ValueError("call enable_pq() first")
+        if self.size == 0:
+            b = np.asarray(queries).shape[0]
+            return (np.full((b, k), np.inf, np.float32),
+                    np.full((b, k), -1, np.int64))
+        ef = max(ef, k)
+        d_sq, slots = K.search_batch_pq(
+            self.graph, self._pq_codes, self._pq.codebooks,
+            self._emb, self._has_emb,
+            jnp.asarray(np.asarray(queries, np.float32)),
+            M=self.M, l_max=self.l_max, ef=ef, k=k,
+            max_steps=self.max_steps or (2 * ef + 16),
+            pool=ef, expand=expand, rerank=rerank,
+        )
+        d_sq = np.asarray(d_sq)
+        slots = np.asarray(slots)
+        ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
+        dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
+        return dists.astype(np.float32), ids
+
     def sync_storage(self) -> None:
         """Re-check which graph nodes still exist in storage and mask out
         the missing ones (reference semantics: nodes deleted from storage

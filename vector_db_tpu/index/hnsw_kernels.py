@@ -107,9 +107,7 @@ def _dist_to(q: jnp.ndarray, emb: jnp.ndarray, idx: jnp.ndarray,
 
 def greedy_descent(
     graph: Graph,
-    emb: jnp.ndarray,
-    has_emb: jnp.ndarray,
-    q: jnp.ndarray,
+    score,
     start_slot: jnp.ndarray,
     start_d: jnp.ndarray,
     stop_level: jnp.ndarray,
@@ -119,7 +117,11 @@ def greedy_descent(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """1-best hill climb from entry_level down to ``stop_level`` (exclusive
     of levels < stop_level). Mirrors reference _greedy_search_level
-    (hnsw.py:289-328) applied over range(max_level, stop_level-1, -1)."""
+    (hnsw.py:289-328) applied over range(max_level, stop_level-1, -1).
+
+    ``score(idx int32[K]) -> f32[K]`` is the distance oracle for the current
+    query — full-precision gathers or PQ/ADC lookups (BIG where invalid).
+    """
 
     def climb_at(level: int, cur: jnp.ndarray, cur_d: jnp.ndarray):
         active = (level <= graph.entry_level) & (level >= stop_level)
@@ -132,7 +134,7 @@ def greedy_descent(
             cur, cur_d, _, steps = c
             row = graph.neighbors[cur]
             nbr = _neighbor_slice_dyn(row, jnp.int32(level), M)
-            d = _dist_to(q, emb, nbr, has_emb)
+            d = score(nbr)
             j = jnp.argmin(d)
             better = d[j] < cur_d
             return (
@@ -155,9 +157,9 @@ def greedy_descent(
 
 def beam_layer(
     graph: Graph,
-    emb: jnp.ndarray,
-    has_emb: jnp.ndarray,
-    q: jnp.ndarray,
+    score,
+    capacity: int,
+    res_ok,
     entry_slot: jnp.ndarray,
     entry_d: jnp.ndarray,
     active: jnp.ndarray,
@@ -185,8 +187,11 @@ def beam_layer(
     padded, unsorted. ``res_mask`` (bool[capacity] or None) is the
     filter-ids semantics: masked-out nodes navigate but never enter results.
     ``active`` disables the whole layer (used for masked per-level unrolls).
+
+    ``score(idx int32[K]) -> f32[K]`` is the distance oracle (BIG where
+    invalid); ``res_ok(idx int32[K]) -> bool[K]`` says which nodes may enter
+    the RESULT pool (storage-present check, hnsw.py:117-121).
     """
-    capacity = emb.shape[0]
     words = (capacity + 31) // 32
     start = level_col_start(level, M)
     width = level_width(level, M)
@@ -196,7 +201,7 @@ def beam_layer(
     cand_d = jnp.full((pool,), BIG, jnp.float32).at[0].set(entry_d)
     cand_s = jnp.full((pool,), -1, jnp.int32).at[0].set(entry_slot)
 
-    entry_ok = has_emb[jnp.maximum(entry_slot, 0)] & (entry_slot >= 0)
+    entry_ok = res_ok(entry_slot[None])[0] & (entry_slot >= 0)
     if res_mask is not None:
         entry_in_res = entry_ok & res_mask[jnp.maximum(entry_slot, 0)]
     else:
@@ -259,7 +264,7 @@ def beam_layer(
             jnp.where(fresh, wordv, 0)
         )
 
-        d = _dist_to(q, emb, jnp.where(fresh, nbr, -1), has_emb)
+        d = score(jnp.where(fresh, nbr, -1))
 
         # merge into candidate pool (traversal uses every fresh node,
         # hnsw.py:123-124)
@@ -313,21 +318,95 @@ def search_batch(
     sorted ascending, (BIG, -1) padded.
     """
     rm = filter_mask if use_filter else None
+    capacity = emb.shape[0]
+
+    def res_ok(idx):
+        return has_emb[jnp.maximum(idx, 0)]
 
     def one(q):
+        def score(idx):
+            return _dist_to(q, emb, idx, has_emb)
+
         entry = graph.entry
-        entry_d = _dist_to(q, emb, entry[None], has_emb)[0]
+        entry_d = score(entry[None])[0]
         cur, cur_d = greedy_descent(
-            graph, emb, has_emb, q, entry, entry_d, jnp.int32(1), M, l_max
+            graph, score, entry, entry_d, jnp.int32(1), M, l_max
         )
         rd, rs = beam_layer(
-            graph, emb, has_emb, q, cur, cur_d,
+            graph, score, capacity, res_ok, cur, cur_d,
             active=entry >= 0, res_mask=rm, level=0,
             ef=ef, M=M, max_steps=max_steps, pool=pool, expand=expand,
         )
         return masked_top_k_smallest(rd, rs, k)
 
     return jax.vmap(one)(queries)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "l_max", "ef", "k", "max_steps", "pool", "expand",
+                     "rerank"),
+)
+def search_batch_pq(
+    graph: Graph,
+    codes: jnp.ndarray,       # int32[capacity, chunks] PQ codes
+    codebooks: jnp.ndarray,   # f32[chunks, ksub, subdim]
+    emb: jnp.ndarray,         # f32[capacity, dim] (exact rerank only)
+    has_emb: jnp.ndarray,
+    queries: jnp.ndarray,
+    M: int,
+    l_max: int,
+    ef: int,
+    k: int,
+    max_steps: int,
+    pool: int = 0,
+    expand: int = 1,
+    rerank: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HNSW-over-PQ hybrid search (no reference analog — the reference's
+    ``pq_chunks`` request param is silently ignored, api/models.py:18 vs
+    hnsw.py:330-341).
+
+    Beam traversal scores nodes by asymmetric PQ distance: a per-query LUT
+    (chunks × ksub subspace distances) turns each neighbor visit into a
+    codes-row gather (chunks bytes-scale) + LUT adds, instead of a full
+    dim-wide embedding gather — ~dim*4/chunks× less HBM traffic in the hot
+    loop. With ``rerank``, the final ef candidates are re-scored exactly
+    (one [ef, dim] gather) so returned distances/order are full-precision.
+    """
+    from vector_db_tpu.index.pq import _adc_lut
+
+    capacity = emb.shape[0]
+    lut = _adc_lut(queries, codebooks)  # [B, chunks, ksub]
+
+    def res_ok(idx):
+        return has_emb[jnp.maximum(idx, 0)]
+
+    def one(q, lut_q):
+        def score(idx):
+            safe = jnp.maximum(idx, 0)
+            c = codes[safe]  # [K, chunks]
+            g = jax.vmap(lambda lm, cm: lm[cm], in_axes=(0, 1),
+                         out_axes=1)(lut_q, c)  # [K, chunks]
+            d = jnp.sum(g, axis=1)
+            ok = (idx >= 0) & has_emb[safe]
+            return jnp.where(ok, d, BIG)
+
+        entry = graph.entry
+        entry_d = score(entry[None])[0]
+        cur, cur_d = greedy_descent(
+            graph, score, entry, entry_d, jnp.int32(1), M, l_max
+        )
+        rd, rs = beam_layer(
+            graph, score, capacity, res_ok, cur, cur_d,
+            active=entry >= 0, res_mask=None, level=0,
+            ef=ef, M=M, max_steps=max_steps, pool=pool, expand=expand,
+        )
+        if rerank:
+            rd = _dist_to(q, emb, rs, has_emb)
+        return masked_top_k_smallest(rd, rs, k)
+
+    return jax.vmap(one)(queries, lut)
 
 
 @functools.partial(
@@ -354,12 +433,20 @@ def construction_search(
     """
     efc = ef_construction
 
+    capacity = emb.shape[0]
+
+    def res_ok(idx):
+        return has_emb[jnp.maximum(idx, 0)]
+
     def one(q, tgt):
+        def score(idx):
+            return _dist_to(q, emb, idx, has_emb)
+
         entry = graph.entry
-        entry_d = _dist_to(q, emb, entry[None], has_emb)[0]
+        entry_d = score(entry[None])[0]
         # greedy descent for levels above the new node's level
         cur, cur_d = greedy_descent(
-            graph, emb, has_emb, q, entry, entry_d, tgt + 1, M, l_max
+            graph, score, entry, entry_d, tgt + 1, M, l_max
         )
         start_level = jnp.minimum(tgt, graph.entry_level)
 
@@ -368,7 +455,7 @@ def construction_search(
         for level in range(l_max - 1, -1, -1):
             act = (graph.entry >= 0) & (level <= start_level)
             rd, rs = beam_layer(
-                graph, emb, has_emb, q, cur, cur_d,
+                graph, score, capacity, res_ok, cur, cur_d,
                 active=act, res_mask=None, level=level,
                 ef=efc, M=M, max_steps=max_steps,
             )
