@@ -308,6 +308,10 @@ def create_app(
     app["indexing_service"] = indexing_service
 
     async def on_startup(app: web.Application) -> None:
+        # engine kernels compile once per config; persist across restarts
+        from vector_db_tpu.runtime import enable_compilation_cache
+
+        enable_compilation_cache()
         cfg_path = app["config_path"]
         config = load_config(cfg_path)
         vdb = config.get("vector_db", {})
@@ -347,6 +351,30 @@ def create_app(
                 config_path=str(cfg_path) if cfg_path else "",
                 index_file=str(index_file),
             )
+
+        # Warm the search kernel so the first user request is not a cold
+        # XLA compile (minutes on remote TPU backends). Runs in a worker
+        # thread so the server accepts requests immediately. Opt out with
+        # VDB_TPU_WARMUP=0.
+        if os.getenv("VDB_TPU_WARMUP", "1") == "1":
+            import asyncio
+
+            svc = app["indexing_service"]
+            dim = int(config.get("embedding", {}).get("dimension", 384))
+
+            def _warm() -> None:
+                try:
+                    if svc.get_index_size() > 0:
+                        t0 = time.perf_counter()
+                        svc.search(np.zeros((dim,), np.float32), k=1)
+                        print(
+                            f"Search kernel warm "
+                            f"({time.perf_counter() - t0:.1f}s)"
+                        )
+                except Exception as e:  # warmup is best-effort
+                    print(f"Warning: search warmup failed: {e}")
+
+            asyncio.get_running_loop().run_in_executor(None, _warm)
 
     async def on_cleanup(app: web.Application) -> None:
         # shutdown parity (reference api/app.py:96-101)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vector_db_tpu.index import hnsw_kernels as K
-from vector_db_tpu.ops.distance import l2_sq_pairwise
+from vector_db_tpu.ops.distance import BIG, l2_sq_pairwise
 from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
 from vector_db_tpu.types import Node
 
@@ -339,12 +339,21 @@ class HNSW:
         b = len(ids)
         if self._n_slots_used + b > self._capacity and not self._free_slots:
             self._grow(self._n_slots_used + b)
-        slots = np.array([self._take_slot(nid) for nid in ids], np.int32)
-        levels = np.array([self.sample_level() for _ in ids], np.int32)
-        embs = jnp.asarray(embs_np)
+        # pad the batch to a power-of-two bucket so partial batches reuse
+        # compiled kernels; padded items carry slot -1 (a full no-op in the
+        # commit kernel)
+        b_pad = max(8, 1 << (b - 1).bit_length())
+        slots = np.full((b_pad,), -1, np.int32)
+        slots[:b] = [self._take_slot(nid) for nid in ids]
+        levels = np.zeros((b_pad,), np.int32)
+        levels[:b] = [self.sample_level() for _ in ids]
+        embs_p = np.zeros((b_pad, embs_np.shape[1]), np.float32)
+        embs_p[:b] = embs_np
+        embs = jnp.asarray(embs_p)
 
-        self._emb = self._emb.at[slots].set(embs)
-        self._has_emb = self._has_emb.at[slots].set(True)
+        write_slots = jnp.asarray(np.where(slots >= 0, slots, self._capacity))
+        self._emb = self._emb.at[write_slots].set(embs, mode="drop")
+        self._has_emb = self._has_emb.at[write_slots].set(True, mode="drop")
 
         max_steps = self.max_steps or (2 * self.ef_construction + 16)
         cd, cs = K.construction_search(
@@ -353,6 +362,8 @@ class HNSW:
             ef_construction=self.ef_construction, max_steps=max_steps,
         )
         batch_d = l2_sq_pairwise(embs, embs)
+        pad_mask = jnp.asarray(slots < 0)
+        batch_d = jnp.where(pad_mask[None, :] | pad_mask[:, None], BIG, batch_d)
         self.graph = K.commit_inserts(
             self.graph, self._emb, self._has_emb,
             jnp.asarray(slots), jnp.asarray(levels), cd, cs, batch_d,
@@ -475,16 +486,37 @@ class HNSW:
         pool: int = 0,
         max_steps: int = 0,
         expand: int = 1,
+        bucket: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Device fast path: (L2 dists f32[B, k], node ids int64[B, k]);
-        missing results padded with (inf, -1)."""
+        missing results padded with (inf, -1).
+
+        ``bucket=True`` (default) rounds the compile-relevant shapes — query
+        batch B, ef, k — up to power-of-two buckets and slices the result,
+        so a service sees a handful of kernel compiles instead of one per
+        distinct request shape (cold XLA compiles can cost minutes on
+        remote TPU backends). Semantics are unaffected: a larger ef only
+        improves recall, and padded queries/columns are discarded.
+        """
+        queries = np.asarray(queries, np.float32)
+        b_orig, k_orig = queries.shape[0], k
         if self.size == 0 or self.graph is None:
-            b = np.asarray(queries).shape[0]
             return (
-                np.full((b, k), np.inf, np.float32),
-                np.full((b, k), -1, np.int64),
+                np.full((b_orig, k), np.inf, np.float32),
+                np.full((b_orig, k), -1, np.int64),
             )
         ef = max(ef, k)
+        if bucket:
+            def up2(v: int, lo: int = 8) -> int:
+                return max(lo, 1 << (int(v) - 1).bit_length())
+
+            ef = up2(ef, lo=16)
+            k = min(up2(k, lo=8), ef)
+            b_pad = up2(b_orig, lo=8) - b_orig
+            if b_pad:
+                queries = np.concatenate(
+                    [queries, np.zeros((b_pad, queries.shape[1]), np.float32)]
+                )
         use_filter = filter_ids is not None
         if use_filter:
             mask = np.zeros((self._capacity,), bool)
@@ -503,8 +535,8 @@ class HNSW:
             max_steps=max_steps, use_filter=use_filter, pool=max(pool, ef),
             expand=expand,
         )
-        d_sq = np.asarray(d_sq)
-        slots = np.asarray(slots)
+        d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
+        slots = np.asarray(slots)[:b_orig, :k_orig]
         ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
