@@ -1,0 +1,42 @@
+"""Cluster-partitioned kNN construction vs exact kNN."""
+
+import numpy as np
+
+from vector_db_tpu.index.hnsw import _clustered_forward
+
+
+def test_clustered_forward_edge_quality(rng):
+    # low intrinsic dim so neighborhoods are meaningful
+    n, dim = 3000, 32
+    u = rng.standard_normal((n, 8)).astype(np.float32)
+    v = rng.standard_normal((8, dim)).astype(np.float32)
+    x = (u @ v + 0.05 * rng.standard_normal((n, dim))).astype(np.float32)
+
+    fwd_d, fwd_i = _clustered_forward(x, deg=8, seed=0)
+    assert fwd_i.shape == (n, 8)
+
+    # exact ground truth
+    sq = (x * x).sum(1)
+    d = sq[:, None] - 2 * (x @ x.T) + sq[None, :]
+    np.fill_diagonal(d, np.inf)
+    gt = np.argsort(d, axis=1)[:, :8]
+
+    recall = np.mean(
+        [len(set(fwd_i[i][fwd_i[i] >= 0]) & set(gt[i])) / 8 for i in range(n)]
+    )
+    # partitioned kNN with spill=2 should recover the vast majority of
+    # exact neighbors
+    assert recall >= 0.8, recall
+
+    # distances reported must match true distances for found pairs
+    i, j = 5, fwd_i[5][0]
+    true = ((x[i] - x[j]) ** 2).sum()
+    assert abs(fwd_d[5][0] - true) < 1e-2 * max(1.0, true)
+
+
+def test_clustered_forward_no_self_edges(rng):
+    n, dim = 2000, 16
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    _, fwd_i = _clustered_forward(x, deg=4, seed=1)
+    for i in range(0, n, 97):
+        assert i not in fwd_i[i]

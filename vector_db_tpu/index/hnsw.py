@@ -74,6 +74,64 @@ def _reverse_merge(fwd_i: np.ndarray, fwd_d: np.ndarray, width: int) -> np.ndarr
     return rows
 
 
+def _clustered_forward(
+    embeddings: np.ndarray,
+    deg: int,
+    seed: int = 0,
+    spill: int = 2,
+    lmax_cap: int = 8192,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Approximate forward edges for large corpora via cluster-partitioned
+    exact kNN: k-means into ~sqrt(n) cells, assign every point to its
+    ``spill`` nearest cells, exact kNN within each cell (one device scan,
+    see ops.graph_build.clustered_knn_merge), best-of-union per point.
+    O(n^1.5) matmul work instead of O(n^2); spill=2 keeps boundary recall.
+    """
+    import jax as _jax
+
+    from vector_db_tpu.ops.graph_build import (
+        assign_topk_clusters,
+        clustered_knn_merge,
+    )
+    from vector_db_tpu.ops.kmeans import kmeans
+
+    n, dim = embeddings.shape
+    c = max(64, 1 << int(round(math.log2(math.sqrt(n)))))
+    rng = np.random.default_rng(seed)
+
+    sample_n = min(n, 131072)
+    sample = embeddings[rng.choice(n, sample_n, replace=False)]
+    cents, _ = kmeans(jnp.asarray(sample), c, _jax.random.key(seed), iters=15)
+
+    chunk = 8192
+    pad = (-n) % chunk
+    emb_pad = np.zeros((n + pad, dim), np.float32)
+    emb_pad[:n] = embeddings
+    emb_dev = jnp.asarray(emb_pad)
+    assign = np.asarray(
+        assign_topk_clusters(emb_dev, cents, k=spill, chunk=chunk)
+    )[:n]
+
+    # padded member table; over-full cells truncate their spill entries
+    # (primary assignments are filled first so every point keeps at least
+    # its own cell)
+    members = np.full((c, 0), -1, np.int32)
+    rows_per_c: list = [[] for _ in range(c)]
+    for s in range(spill):
+        for p, cl in enumerate(assign[:, s]):
+            if len(rows_per_c[cl]) < lmax_cap:
+                rows_per_c[cl].append(p)
+    lmax = max(256, max(len(r) for r in rows_per_c))
+    lmax = min(lmax, lmax_cap)
+    lmax = ((lmax + 255) // 256) * 256
+    members = np.full((c, lmax), -1, np.int32)
+    for cl, rows in enumerate(rows_per_c):
+        members[cl, : min(len(rows), lmax)] = rows[:lmax]
+
+    fwd_d, fwd_i = clustered_knn_merge(emb_dev, jnp.asarray(members), deg)
+    return np.asarray(fwd_d[:n]), np.asarray(fwd_i[:n])
+
+
 class HNSW:
     def __init__(
         self,
@@ -253,6 +311,8 @@ class HNSW:
         levels_full[slots] = levels_np
 
         host_threshold = 8192  # below this, device compiles cost more than numpy
+        exact_threshold = 131072  # above this, exact all-pairs kNN is too
+        # expensive (O(n^2) matmuls) — switch to cluster-partitioned kNN
         for level in range(self.l_max):
             if level == 0:
                 sub = np.arange(n)
@@ -263,7 +323,11 @@ class HNSW:
             width = K.level_width(level, self.M)
             deg = min(self.M, sub.size - 1)
 
-            if sub.size <= host_threshold:
+            if sub.size > exact_threshold:
+                fwd_d, fwd_i = _clustered_forward(
+                    embeddings[sub], deg, seed=level
+                )
+            elif sub.size <= host_threshold:
                 # tiny level: plain numpy, naive closest-deg selection (the
                 # reference's own selection rule, hnsw.py:136-141)
                 se = embeddings[sub]

@@ -109,6 +109,106 @@ def build_forward_edges(
     return fwd_d.reshape(n, deg), fwd_i.reshape(n, deg)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def assign_topk_clusters(
+    emb: jnp.ndarray,        # f32[N, dim], N multiple of chunk
+    centroids: jnp.ndarray,  # f32[C, dim]
+    k: int,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Nearest-k centroid assignment, streamed so the [N, C] distance
+    matrix never materializes. Returns int32[N, k]."""
+    from vector_db_tpu.ops.distance import l2_sq_pairwise
+
+    n, dim = emb.shape
+    assert n % chunk == 0
+    c_sq = jnp.sum(centroids * centroids, axis=1)
+
+    def body(_, c_idx):
+        q = lax.dynamic_slice(emb, (c_idx * chunk, 0), (chunk, dim))
+        d = l2_sq_pairwise(q, centroids, x_sq=c_sq)
+        _, idx = lax.top_k(-d, k)
+        return None, idx.astype(jnp.int32)
+
+    _, out = lax.scan(body, None, jnp.arange(n // chunk, dtype=jnp.int32))
+    return out.reshape(n, k)
+
+
+@functools.partial(jax.jit, static_argnames=("deg",))
+def clustered_knn_merge(
+    emb: jnp.ndarray,      # f32[N_pad, dim]
+    members: jnp.ndarray,  # int32[C, Lmax] rows into emb, -1 padded
+    deg: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-cluster exact k-NN, merged across clusters into per-point
+    forward edges — ONE device program (lax.scan over clusters).
+
+    Each scan step gathers one cluster's member embeddings, computes the
+    [Lmax, Lmax] distance block on the MXU, takes each member's deg nearest
+    within the cluster, and merges into the running [N, deg] tables with a
+    gather + top-k + scatter (members are unique within a cluster, so the
+    scatter is conflict-free). Points spilled into several clusters get the
+    best deg of the union. Returns (fwd_d f32[N_pad, deg],
+    fwd_i int32[N_pad, deg]).
+    """
+    n_pad, dim = emb.shape
+    c, lmax = members.shape
+
+    fwd_d0 = jnp.full((n_pad, deg), BIG, jnp.float32)
+    fwd_i0 = jnp.full((n_pad, deg), -1, jnp.int32)
+
+    def body(carry, m_row):
+        fwd_d, fwd_i = carry
+        ok = m_row >= 0
+        safe = jnp.where(ok, m_row, n_pad - 1)
+        x = emb[safe]  # [Lmax, dim]
+        sq = jnp.sum(x * x, axis=1)
+        d = sq[:, None] - 2.0 * jnp.dot(
+            x, x.T, preferred_element_type=jnp.float32
+        ) + sq[None, :]
+        d = jnp.maximum(d, 0.0)
+        eye = jax.lax.broadcasted_iota(jnp.int32, (lmax, lmax), 0) == \
+            jax.lax.broadcasted_iota(jnp.int32, (lmax, lmax), 1)
+        # mask self, padding columns, and duplicate member ids
+        same = safe[:, None] == safe[None, :]
+        d = jnp.where(eye | same | ~ok[None, :], BIG, d)
+        nd, nj = masked_top_k_smallest(d, safe, min(deg, lmax))
+        if nd.shape[1] < deg:
+            padw = deg - nd.shape[1]
+            nd = jnp.concatenate(
+                [nd, jnp.full((lmax, padw), BIG, jnp.float32)], axis=1
+            )
+            nj = jnp.concatenate(
+                [nj, jnp.full((lmax, padw), -1, jnp.int32)], axis=1
+            )
+        # merge with the members' current rows: sort the FULL union first,
+        # dedup identical (dist, id) pairs (a spilled pair is found once in
+        # each shared cluster, with bitwise-equal distance so duplicates
+        # land adjacent), and only then truncate to deg — truncating first
+        # would let duplicates crowd out distinct neighbors
+        cur_d = fwd_d[safe]
+        cur_i = fwd_i[safe]
+        md, mi = masked_top_k_smallest(
+            jnp.concatenate([cur_d, nd], axis=1),
+            jnp.concatenate([cur_i, nj], axis=1),
+            2 * deg,
+        )
+        dup = jnp.concatenate(
+            [jnp.zeros((lmax, 1), bool), mi[:, 1:] == mi[:, :-1]], axis=1
+        ) & (mi >= 0)
+        md = jnp.where(dup, BIG, md)
+        mi = jnp.where(dup, -1, mi)
+        md, mi = masked_top_k_smallest(md, mi, deg)
+
+        scatter_to = jnp.where(ok, safe, n_pad)
+        fwd_d = fwd_d.at[scatter_to].set(md, mode="drop")
+        fwd_i = fwd_i.at[scatter_to].set(mi, mode="drop")
+        return (fwd_d, fwd_i), None
+
+    (fwd_d, fwd_i), _ = lax.scan(body, (fwd_d0, fwd_i0), members)
+    return fwd_d, fwd_i
+
+
 @functools.partial(jax.jit, static_argnames=("deg",))
 def occlusion_prune(
     cand_d: jnp.ndarray,    # f32[C, K] ascending (BIG = padding)
