@@ -58,6 +58,53 @@ def _ivf_search_batch(
     return jax.vmap(one)(queries, probe)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_probe", "top_k", "rerank")
+)
+def _ivf_search_batch_pq(
+    centroids: jnp.ndarray,   # f32[k, d]
+    lists: jnp.ndarray,       # int32[k, max_list]
+    codes: jnp.ndarray,       # int32[capacity, chunks]
+    codebooks: jnp.ndarray,   # f32[chunks, ksub, subdim]
+    emb: jnp.ndarray,         # f32[capacity, d] (rerank only)
+    has_emb: jnp.ndarray,
+    queries: jnp.ndarray,
+    n_probe: int,
+    top_k: int,
+    rerank: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """IVF-PQ probe: candidate scoring is asymmetric PQ distance via
+    per-query LUTs (the classic IVFADC layout, here with the LUT gather as
+    vmapped indexing and an optional exact rerank of the final top-k)."""
+    from vector_db_tpu.index.pq import _adc_lut
+
+    cd = l2_sq_pairwise(queries, centroids)
+    _, probe = jax.lax.top_k(-cd, n_probe)
+    lut = _adc_lut(queries, codebooks)  # [B, chunks, ksub]
+
+    def one(q, probe_row, lut_q):
+        members = lists[probe_row].reshape(-1)
+        safe = jnp.maximum(members, 0)
+        c = codes[safe]  # [P, chunks]
+        g = jax.vmap(lambda lm, cm: lm[cm], in_axes=(0, 1), out_axes=1)(
+            lut_q, c
+        )
+        d = jnp.sum(g, axis=1)
+        ok = (members >= 0) & has_emb[safe]
+        d = jnp.where(ok, d, BIG)
+        if rerank:
+            # fetch a wider ADC candidate set, rerank exactly, then cut —
+            # reranking only the final top_k cannot recover candidates the
+            # quantizer misranked past position top_k
+            fetch = min(4 * top_k, members.shape[0])
+            fd, fi = masked_top_k_smallest(d, members, fetch)
+            fd = gather_l2_sq(q, emb, fi, has_emb[jnp.maximum(fi, 0)])
+            return masked_top_k_smallest(fd, fi, top_k)
+        return masked_top_k_smallest(d, members, top_k)
+
+    return jax.vmap(one)(queries, probe, lut)
+
+
 class IvfIndex:
     def __init__(
         self,
@@ -249,17 +296,46 @@ class IvfIndex:
                 out.append((node, float(d)))
         return out
 
+    def enable_pq(self, chunks: int = 16, ksub: int = 256, seed: int = 0,
+                  restarts: int = 2) -> None:
+        """Attach IVF-PQ scoring: train codebooks on the stored vectors and
+        encode them; subsequent ``search_batch(..., pq=True)`` scores probed
+        candidates by asymmetric PQ distance with exact rerank."""
+        from vector_db_tpu.index.pq import PQCodec
+
+        if self.centroids is None:
+            raise ValueError("Index must be built before enabling PQ")
+        live = np.asarray(self._has_emb)
+        n_live = int(live.sum())
+        ksub = min(ksub, max(2, n_live))
+        self._pq = PQCodec(k=ksub, chunks=chunks, dim=self._dim)
+        emb_np = np.asarray(self._emb)
+        self._pq.train(emb_np[live], seed=seed, restarts=restarts)
+        codes = np.zeros((self._capacity, chunks), np.int32)
+        codes[live] = self._pq.encode(emb_np[live])
+        self._pq_codes = jnp.asarray(codes)
+
     def search_batch(
-        self, queries: np.ndarray, n_probe: int, top_k: int
+        self, queries: np.ndarray, n_probe: int, top_k: int,
+        pq: bool = False, rerank: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Device fast path: (L2 f32[B, top_k], ids int64[B, top_k])."""
         if self.centroids is None:
             raise ValueError("Index must be built before searching")
         q = jnp.asarray(np.asarray(queries, np.float32))
-        d_sq, slots = _ivf_search_batch(
-            self._centroids_dev, self._device_lists(), self._emb,
-            self._has_emb, q, n_probe=int(n_probe), top_k=int(top_k),
-        )
+        if pq:
+            if getattr(self, "_pq", None) is None:
+                raise ValueError("call enable_pq() first")
+            d_sq, slots = _ivf_search_batch_pq(
+                self._centroids_dev, self._device_lists(), self._pq_codes,
+                self._pq.codebooks, self._emb, self._has_emb, q,
+                n_probe=int(n_probe), top_k=int(top_k), rerank=rerank,
+            )
+        else:
+            d_sq, slots = _ivf_search_batch(
+                self._centroids_dev, self._device_lists(), self._emb,
+                self._has_emb, q, n_probe=int(n_probe), top_k=int(top_k),
+            )
         d_sq = np.asarray(d_sq)
         slots = np.asarray(slots)
         ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
