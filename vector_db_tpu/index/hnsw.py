@@ -78,7 +78,7 @@ def _clustered_forward(
     embeddings: np.ndarray,
     deg: int,
     seed: int = 0,
-    spill: int = 2,
+    spill: int = 3,
     lmax_cap: int = 8192,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate forward edges for large corpora via cluster-partitioned
@@ -311,7 +311,7 @@ class HNSW:
         levels_full[slots] = levels_np
 
         host_threshold = 8192  # below this, device compiles cost more than numpy
-        exact_threshold = 131072  # above this, exact all-pairs kNN is too
+        exact_threshold = 262144  # above this, exact all-pairs kNN is too
         # expensive (O(n^2) matmuls) — switch to cluster-partitioned kNN
         for level in range(self.l_max):
             if level == 0:
