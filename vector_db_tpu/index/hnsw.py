@@ -459,18 +459,33 @@ class HNSW:
         distances and reranks the final candidates exactly. (The reference
         accepts a ``pq_chunks`` search param but never uses it,
         api/models.py:18 vs hnsw.py:330-341.)"""
-        from vector_db_tpu.index.pq import PQCodec
+        from vector_db_tpu.index.pq import PQCodec, _encode_scan
 
         if self._dim is None or self.size == 0:
             raise ValueError("enable_pq requires a populated index")
         ksub = min(ksub, max(2, self.size))
         self._pq = PQCodec(k=ksub, chunks=chunks, dim=self._dim)
-        emb_np = np.asarray(self._emb)
-        live = np.asarray(self._has_emb)
-        self._pq.train(emb_np[live], seed=seed, restarts=restarts)
-        codes = np.zeros((self._capacity, chunks), np.int32)
-        codes[live] = self._pq.encode(emb_np[live])
-        self._pq_codes = jnp.asarray(codes)
+        # train on a bounded sample of live rows (k-means cost is linear in
+        # rows; 128k is plenty for 256 centroids per subspace)
+        live_slots = np.asarray(sorted(self._slot_of_id.values()))
+        rng = np.random.default_rng(seed)
+        if live_slots.size > 131072:
+            live_slots = rng.choice(live_slots, 131072, replace=False)
+        sample = np.asarray(self._emb[jnp.asarray(live_slots)])
+        self._pq.train(sample, seed=seed, restarts=restarts)
+        # encode the whole device table in one streaming program (invalid
+        # rows get garbage codes; has_emb masks them at query time)
+        enc_chunk = 8192
+        pad = (-self._capacity) % enc_chunk
+        emb_enc = (
+            jnp.concatenate(
+                [self._emb, jnp.zeros((pad, self._dim), jnp.float32)]
+            )
+            if pad else self._emb
+        )
+        self._pq_codes = _encode_scan(
+            emb_enc, self._pq.codebooks, chunk=enc_chunk
+        )[: self._capacity]
 
     def search_batch_pq(
         self,

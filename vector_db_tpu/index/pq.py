@@ -45,6 +45,30 @@ def _encode(sub: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(d, axis=-1).astype(jnp.int32).T
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _encode_scan(
+    emb: jnp.ndarray,        # f32[N, dim], N multiple of chunk
+    codebooks: jnp.ndarray,  # f32[m, k, subdim]
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Large-corpus encoder: streams row chunks under lax.scan so the
+    [m, N, k] distance tensor never materializes. Returns int32[N, m]."""
+    n, dim = emb.shape
+    m, k, subdim = codebooks.shape
+    assert n % chunk == 0
+
+    def body(_, c_idx):
+        rows = jax.lax.dynamic_slice(emb, (c_idx * chunk, 0), (chunk, dim))
+        sub = rows.reshape(chunk, m, subdim).transpose(1, 0, 2)
+        d = jax.vmap(l2_sq_pairwise)(sub, codebooks)  # [m, chunk, k]
+        return None, jnp.argmin(d, axis=-1).astype(jnp.int32).T
+
+    _, codes = jax.lax.scan(
+        body, None, jnp.arange(n // chunk, dtype=jnp.int32)
+    )
+    return codes.reshape(n, m)
+
+
 @jax.jit
 def _decode(codes: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     """codes: int32[N, chunks]; codebooks: f32[chunks, k, subdim]
