@@ -112,21 +112,22 @@ def _clustered_forward(
         assign_topk_clusters(emb_dev, cents, k=spill, chunk=chunk)
     )[:n]
 
-    # padded member table; over-full cells truncate their spill entries
-    # (primary assignments are filled first so every point keeps at least
-    # its own cell)
-    members = np.full((c, 0), -1, np.int32)
-    rows_per_c: list = [[] for _ in range(c)]
-    for s in range(spill):
-        for p, cl in enumerate(assign[:, s]):
-            if len(rows_per_c[cl]) < lmax_cap:
-                rows_per_c[cl].append(p)
-    lmax = max(256, max(len(r) for r in rows_per_c))
-    lmax = min(lmax, lmax_cap)
+    # padded member table; over-full cells truncate their later-spill
+    # entries (primary assignments rank first within each cell, so every
+    # point keeps at least its own cell). Fully vectorized: stable-sort the
+    # (cell, point) pairs in spill-major order and rank within cell.
+    cl = assign.T.reshape(-1).astype(np.int64)   # s-major: all s=0 first
+    pt = np.tile(np.arange(n, dtype=np.int32), spill)
+    order = np.argsort(cl, kind="stable")
+    cl_s, pt_s = cl[order], pt[order]
+    starts = np.searchsorted(cl_s, np.arange(c))
+    ranks = np.arange(cl_s.size) - starts[cl_s]
+    lmax = int(ranks.max()) + 1 if ranks.size else 1
+    lmax = min(max(256, lmax), lmax_cap)
     lmax = ((lmax + 255) // 256) * 256
+    keep = ranks < lmax
     members = np.full((c, lmax), -1, np.int32)
-    for cl, rows in enumerate(rows_per_c):
-        members[cl, : min(len(rows), lmax)] = rows[:lmax]
+    members[cl_s[keep], ranks[keep]] = pt_s[keep]
 
     fwd_d, fwd_i = clustered_knn_merge(emb_dev, jnp.asarray(members), deg)
     return np.asarray(fwd_d[:n]), np.asarray(fwd_i[:n])
