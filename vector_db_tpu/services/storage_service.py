@@ -33,9 +33,21 @@ class StorageService:
             dim=dim,
             capacity=capacity,
         )
+        # Inverted metadata index (native C++ when a toolchain exists,
+        # Python dicts otherwise) — same exact-match semantics as the
+        # reference's full scan, O(matches) per filter query. Hydrated from
+        # storage on open so reopen-resume keeps filters correct.
+        from vector_db_tpu.native.metadata import MetadataIndex
+
+        self._meta_index = MetadataIndex()
+        for nid in self._storage.get_all_ids():
+            node = self._storage.get(nid)
+            if node is not None:
+                self._meta_index.set(nid, node.metadata)
 
     def save(self, node: Node) -> None:
         self._storage.save(node)
+        self._meta_index.set(node.id, node.metadata)
 
     def get(self, node_id: int) -> Optional[Node]:
         return self._storage.get(node_id)
@@ -45,14 +57,20 @@ class StorageService:
 
     def delete(self, node_id: int) -> None:
         self._storage.delete(node_id)
+        self._meta_index.remove(node_id)
 
     def get_next_id(self) -> int:
         return self._storage.get_next_id()
 
     def filter_by_metadata(self, filter_dict: Dict[str, Any]) -> Set[int]:
-        """Exact key/value full scan (reference storage_service.py:106-128).
-        Scans live ids only — same result set as the reference's
-        0..next_id probe, without touching empty rows."""
+        """Exact key/value match (reference semantics,
+        storage_service.py:106-128) served from the inverted metadata
+        index — O(matches) instead of the reference's O(N) scan."""
+        return self._meta_index.query(filter_dict)
+
+    def filter_by_metadata_scan(self, filter_dict: Dict[str, Any]) -> Set[int]:
+        """Reference-identical full scan; kept as the semantic oracle for
+        the indexed path (tests assert equality)."""
         matching: Set[int] = set()
         for nid in self._storage.get_all_ids():
             node = self._storage.get(nid)
