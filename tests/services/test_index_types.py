@@ -95,3 +95,28 @@ def test_ivf_delete(tmp_path, rng):
     assert svc.get_index_size() == 19
     res = svc.search(nodes[5].embedding, k=5, n_probe=4)
     assert all(n.id != 5 for n, _ in res)
+
+
+def test_sharded_hnsw_service(tmp_path, rng):
+    cfg = make_config(tmp_path, "sharded-hnsw")
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 40)
+    svc.insert_nodes(nodes)
+    assert svc.get_index_size() == 40
+    res = svc.search(nodes[9].embedding, k=3, ef=30)
+    assert res[0][0].id == 9
+    assert res[0][1] < 1e-3
+    # filter post-selection
+    allowed = {n.id for n in nodes if n.metadata["par"] == 0}
+    res = svc.search(nodes[2].embedding, k=5, ef=30, filter_ids=allowed)
+    assert {n.id for n, _ in res} <= allowed
+    # delete tombstones
+    svc.delete_node(9)
+    res = svc.search(nodes[9].embedding, k=3, ef=30)
+    assert all(n.id != 9 for n, _ in res)
+    # persistence round trip
+    svc.force_save_index()
+    svc2 = IndexingService(storage=storage.storage, config_path=cfg)
+    assert svc2.get_index_size() == 39
+    assert svc2.search(nodes[3].embedding, k=1, ef=30)[0][0].id == 3

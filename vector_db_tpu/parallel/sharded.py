@@ -366,3 +366,59 @@ class ShardedHNSW:
         )
         dists = np.where(gslots >= 0, np.sqrt(np.maximum(d_sq, 0)), np.inf)
         return dists.astype(np.float32), ids
+
+    def delete(self, node_id: int) -> None:
+        """Tombstone delete: the row is masked out of navigation and
+        results (the reference's skip-dangling semantics, hnsw.py:117-121);
+        graph edges decay lazily. Entry re-election is per-shard local and
+        handled by the has_emb mask at query time."""
+        g = self._gslot_of_id.pop(node_id, None)
+        if g is None:
+            return
+        self._has_emb = self._has_emb.at[g].set(False)
+        self._id_of_gslot[g] = -1
+
+    # -- persistence ---------------------------------------------------------
+    def save_index(self, path) -> None:
+        """Persist all shard tables + id map; mesh layout is re-applied on
+        load (the file is layout-independent)."""
+        import numpy as _np
+
+        _np.savez_compressed(
+            path,
+            neighbors=_np.asarray(self._neighbors),
+            levels=_np.asarray(self._levels),
+            entry=_np.asarray(self._entry),
+            entry_level=_np.asarray(self._entry_level),
+            emb=_np.asarray(self._emb),
+            has_emb=_np.asarray(self._has_emb),
+            id_of_gslot=self._id_of_gslot,
+            next_in_shard=_np.asarray(self._next_in_shard),
+            rr=self._rr,
+            M=self.M, efc=self.efc, l_max=self.l_max, cap=self.cap,
+            n_shards=self.n_shards,
+        )
+
+    def load_index(self, path) -> None:
+        shr = NamedSharding(self.mesh, P(Axis))
+        with np.load(path) as z:
+            if int(z["n_shards"]) != self.n_shards or int(z["cap"]) != self.cap:
+                raise ValueError(
+                    "Mesh/capacity mismatch: index saved with "
+                    f"{int(z['n_shards'])} shards x {int(z['cap'])}, "
+                    f"this mesh has {self.n_shards} x {self.cap}"
+                )
+            self._neighbors = jax.device_put(jnp.asarray(z["neighbors"]), shr)
+            self._levels = jax.device_put(jnp.asarray(z["levels"]), shr)
+            self._entry = jax.device_put(jnp.asarray(z["entry"]), shr)
+            self._entry_level = jax.device_put(
+                jnp.asarray(z["entry_level"]), shr
+            )
+            self._emb = jax.device_put(jnp.asarray(z["emb"]), shr)
+            self._has_emb = jax.device_put(jnp.asarray(z["has_emb"]), shr)
+            self._id_of_gslot = np.asarray(z["id_of_gslot"])
+            self._next_in_shard = [int(v) for v in z["next_in_shard"]]
+            self._rr = int(z["rr"])
+        self._gslot_of_id = {
+            int(nid): g for g, nid in enumerate(self._id_of_gslot) if nid >= 0
+        }

@@ -79,6 +79,22 @@ class IndexingService:
                 k=self.ivf_k, storage=storage, index_file=self.index_file
             )
             self._ivf_pending: List[Node] = []
+        elif self.index_type == "sharded-hnsw":
+            from vector_db_tpu.parallel.sharded import ShardedHNSW
+
+            dim = int(config.get("embedding", {}).get("dimension", 384))
+            cap_total = int(config.get("vector_db", {}).get(
+                "capacity", 1_000_000
+            ))
+            import jax as _jax
+
+            n_dev = len(_jax.devices())
+            self.index = ShardedHNSW(
+                M=M, ef_construction=ef_construction, dim=dim,
+                capacity_per_shard=max(256, cap_total // n_dev),
+            )
+            if self.index_file.exists():
+                self.index.load_index(self.index_file)
         else:
             raise ValueError(f"Unknown index type: {self.index_type}")
         self._index_loaded = self.index_file.exists()
@@ -98,6 +114,14 @@ class IndexingService:
             return
         if self.index_type == "ivf":
             self._ivf_insert(nodes)
+        elif self.index_type == "sharded-hnsw":
+            for node in nodes:
+                self.storage.save(node)
+            self.index.insert(
+                [n.id for n in nodes],
+                np.stack([np.asarray(n.embedding, np.float32)
+                          for n in nodes]),
+            )
         else:
             self.index.insert_nodes(list(nodes))
         self._index_modified = True
@@ -124,6 +148,10 @@ class IndexingService:
             self._ivf_pending = [
                 n for n in getattr(self, "_ivf_pending", []) if n.id != node_id
             ]
+        elif self.index_type == "sharded-hnsw":
+            self.index.delete(node_id)
+            if hasattr(self.storage, "delete"):
+                self.storage.delete(node_id)
         else:
             self.index.delete_node(node_id)
         self._index_modified = True
@@ -133,7 +161,27 @@ class IndexingService:
     ) -> List[Tuple[Node, float]]:
         if self.index_type == "ivf":
             return self._ivf_search(query, k, **kwargs)
+        if self.index_type == "sharded-hnsw":
+            return self._sharded_search(query, k, **kwargs)
         return self.index.search(query, k=k, **kwargs)
+
+    def _sharded_search(self, query, k, **kwargs):
+        filter_ids = kwargs.get("filter_ids")
+        ef = int(kwargs.get("ef", 50) or 50)
+        fetch = k if filter_ids is None else max(4 * k, 50)
+        dists, ids = self.index.search_batch(
+            np.asarray(query, np.float32)[None, :], k=fetch, ef=max(ef, fetch)
+        )
+        out = []
+        for nid, d in zip(ids[0], dists[0]):
+            if nid < 0:
+                continue
+            if filter_ids is not None and int(nid) not in filter_ids:
+                continue
+            node = self.storage.get(int(nid))
+            if node is not None:
+                out.append((node, float(d)))
+        return out[:k]
 
     def _ivf_search(self, query, k, **kwargs):
         filter_ids = kwargs.get("filter_ids")
@@ -165,12 +213,18 @@ class IndexingService:
 
     def save_index(self) -> None:
         if self._index_modified:
-            self.index.save_index()
+            self._do_save()
             self._index_modified = False
 
     def force_save_index(self) -> None:
-        self.index.save_index()
+        self._do_save()
         self._index_modified = False
+
+    def _do_save(self) -> None:
+        if self.index_type == "sharded-hnsw":
+            self.index.save_index(self.index_file)
+        else:
+            self.index.save_index()
 
     def get_index_size(self) -> int:
         if self.index_type == "ivf":
