@@ -15,6 +15,7 @@ device program per batch) and ``search_batch`` passthrough.
 from __future__ import annotations
 
 import random
+import threading
 from pathlib import Path
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -100,6 +101,10 @@ class IndexingService:
         self._index_loaded = self.index_file.exists()
         self._index_modified = False
         self.flush_threshold = index_config.get("flush_threshold", 1000)
+        # Host-side ingest lock: device state updates are functional, but
+        # the id<->slot maps and storage mutate in place (the reference has
+        # no locking at all, SURVEY.md §5 — concurrent writers would race).
+        self._lock = threading.RLock()
 
     def is_index_loaded(self) -> bool:
         return self._index_loaded
@@ -112,6 +117,10 @@ class IndexingService:
         batch instead of one per node."""
         if not nodes:
             return
+        with self._lock:
+            self._insert_nodes_locked(nodes)
+
+    def _insert_nodes_locked(self, nodes: Sequence[Node]) -> None:
         if self.index_type == "ivf":
             self._ivf_insert(nodes)
         elif self.index_type == "sharded-hnsw":
@@ -143,6 +152,10 @@ class IndexingService:
                 self.index.add(node)
 
     def delete_node(self, node_id: int) -> None:
+        with self._lock:
+            self._delete_node_locked(node_id)
+
+    def _delete_node_locked(self, node_id: int) -> None:
         if self.index_type == "ivf":
             self.index.delete(node_id)
             self._ivf_pending = [
@@ -212,9 +225,10 @@ class IndexingService:
         return self.index.search_batch(queries, k, **kwargs)
 
     def save_index(self) -> None:
-        if self._index_modified:
-            self._do_save()
-            self._index_modified = False
+        with self._lock:
+            if self._index_modified:
+                self._do_save()
+                self._index_modified = False
 
     def force_save_index(self) -> None:
         self._do_save()
