@@ -80,6 +80,7 @@ def _clustered_forward(
     seed: int = 0,
     spill: int = 3,
     lmax_cap: int = 8192,
+    refine_rounds: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate forward edges for large corpora via cluster-partitioned
     exact kNN: k-means into ~sqrt(n) cells, assign every point to its
@@ -130,6 +131,28 @@ def _clustered_forward(
     members[cl_s[keep], ranks[keep]] = pt_s[keep]
 
     fwd_d, fwd_i = clustered_knn_merge(emb_dev, jnp.asarray(members), deg)
+
+    # NN-descent refinement: recover cell-boundary neighbors the partition
+    # missed by rescoring each node against its neighbors' neighbors
+    from vector_db_tpu.ops.graph_build import nn_descent_round
+
+    for _ in range(refine_rounds):
+        # pad rows must stay inert: their edges are -1 already
+        fd_pad = jnp.concatenate([
+            fwd_d, jnp.full((emb_pad.shape[0] - fwd_d.shape[0], deg),
+                            np.float32(3e38))
+        ]) if fwd_d.shape[0] < emb_pad.shape[0] else fwd_d
+        fi_pad = jnp.concatenate([
+            fwd_i, jnp.full((emb_pad.shape[0] - fwd_i.shape[0], deg), -1,
+                            jnp.int32)
+        ]) if fwd_i.shape[0] < emb_pad.shape[0] else fwd_i
+        fd_pad, fi_pad = nn_descent_round(
+            emb_dev, fd_pad, fi_pad, deg, chunk=2048,
+            sample=max(4, deg // 2),
+        )
+        # pad rows may have picked up edges via their zero vectors; real
+        # rows never reference pads (cand ids come from real rows' edges)
+        fwd_d, fwd_i = fd_pad[:n], fi_pad[:n]
     return np.asarray(fwd_d[:n]), np.asarray(fwd_i[:n])
 
 

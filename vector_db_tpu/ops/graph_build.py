@@ -209,6 +209,80 @@ def clustered_knn_merge(
     return fwd_d, fwd_i
 
 
+@functools.partial(jax.jit, static_argnames=("deg", "chunk", "sample"))
+def nn_descent_round(
+    emb: jnp.ndarray,     # f32[N, dim], N multiple of chunk
+    fwd_d: jnp.ndarray,   # f32[N, deg]
+    fwd_i: jnp.ndarray,   # int32[N, deg]
+    deg: int,
+    chunk: int = 2048,
+    sample: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One NN-descent refinement round: each node rescopes its neighbor
+    list against its neighbors' neighbors ("a neighbor of my neighbor is
+    probably my neighbor"), keeping the best ``deg`` of the union. Runs as
+    a lax.scan over node chunks; candidate scoring is one [chunk*K, dim]
+    gather + batched contraction per step. Recovers most of the recall a
+    cluster-partitioned build loses at cell boundaries.
+    """
+    n, dim = emb.shape
+    assert n % chunk == 0
+    # candidates per node: each neighbor contributes its `sample` closest
+    # neighbors (rows are distance-sorted, so truncation keeps the best);
+    # sample bounds HBM gather traffic — full deg^2 is prohibitive at 1M+
+    s = sample if sample > 0 else deg
+    s = min(s, deg)
+    k_cand = deg * s
+
+    def body(carry, c_idx):
+        cur_d, cur_i = carry
+        base = c_idx * chunk
+        rows_i = lax.dynamic_slice(cur_i, (base, 0), (chunk, deg))
+        rows_d = lax.dynamic_slice(cur_d, (base, 0), (chunk, deg))
+        q = lax.dynamic_slice(emb, (base, 0), (chunk, dim))
+        # candidates: neighbors' closest-s neighbor entries
+        safe_n = jnp.maximum(rows_i, 0)                 # [C, deg]
+        cand = cur_i[safe_n][:, :, :s].reshape(chunk, k_cand)
+        cand = jnp.where(
+            (rows_i >= 0).repeat(s, axis=1), cand, -1
+        )
+        # mask self
+        self_ids = base + jnp.arange(chunk, dtype=jnp.int32)
+        cand = jnp.where(cand == self_ids[:, None], -1, cand)
+        safe_c = jnp.maximum(cand, 0)
+        ce = emb[safe_c]                                 # [C, K, dim]
+        d = (
+            jnp.sum(ce * ce, axis=-1)
+            - 2.0 * jnp.einsum(
+                "ckd,cd->ck", ce, q, preferred_element_type=jnp.float32
+            )
+            + jnp.sum(q * q, axis=-1)[:, None]
+        )
+        d = jnp.maximum(d, 0.0)
+        d = jnp.where(cand >= 0, d, BIG)
+        # union with current edges, sorted-dedup, keep best deg
+        md, mi = masked_top_k_smallest(
+            jnp.concatenate([rows_d, d], axis=1),
+            jnp.concatenate([rows_i, cand], axis=1),
+            deg + k_cand,
+        )
+        dup = jnp.concatenate(
+            [jnp.zeros((chunk, 1), bool), mi[:, 1:] == mi[:, :-1]], axis=1
+        ) & (mi >= 0)
+        md = jnp.where(dup, BIG, md)
+        mi = jnp.where(dup, -1, mi)
+        md, mi = masked_top_k_smallest(md, mi, deg)
+        return carry, (md, mi)
+
+    # NOTE: candidates come from the PRE-round tables (carry is read-only
+    # within the scan); outputs assemble after the scan so every node sees
+    # a consistent snapshot.
+    _, (out_d, out_i) = lax.scan(
+        body, (fwd_d, fwd_i), jnp.arange(n // chunk, dtype=jnp.int32)
+    )
+    return out_d.reshape(n, deg), out_i.reshape(n, deg)
+
+
 @functools.partial(jax.jit, static_argnames=("deg",))
 def occlusion_prune(
     cand_d: jnp.ndarray,    # f32[C, K] ascending (BIG = padding)
