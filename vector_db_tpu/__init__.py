@@ -21,4 +21,24 @@ __version__ = "0.1.0"
 
 from vector_db_tpu.types import Node
 
-__all__ = ["Node", "__version__"]
+__all__ = [
+    "Node",
+    "__version__",
+    # lazy: FlatIndex, HNSW, IvfIndex, PQCodec, ProductQuantizationService,
+    # MemoryMappingService — import from vector_db_tpu.index /
+    # vector_db_tpu.engine (importing them here would pull jax into every
+    # lightweight consumer, e.g. the embedding service container).
+]
+
+
+def __getattr__(name):  # lazy top-level conveniences
+    if name in ("FlatIndex", "HNSW", "IvfIndex", "PQCodec",
+                "ProductQuantizationService"):
+        import vector_db_tpu.index as _index
+
+        return getattr(_index, name)
+    if name == "MemoryMappingService":
+        from vector_db_tpu.engine import MemoryMappingService
+
+        return MemoryMappingService
+    raise AttributeError(name)

@@ -29,9 +29,18 @@ class FlatIndex:
         storage: Optional[NodeStorage] = None,
         capacity: int = MIN_CAPACITY,
         index_file=None,
+        metric: str = "l2",
     ) -> None:
         from pathlib import Path
 
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"Unknown metric: {metric}")
+        # cosine: rows are L2-normalized at insert and queries at search, so
+        # the same fused matmul kernel serves both metrics; on normalized
+        # vectors cos_dist = l2_sq / 2. (The reference is L2-only,
+        # util/distance.py:3-4; its default MiniLM embedder normalizes, so
+        # L2 ranking there is already cosine ranking — here it's explicit.)
+        self.metric = metric
         self.storage = storage or InMemoryNodeStorage()
         self.index_file = Path(index_file) if index_file else None
         self._capacity = int(capacity)
@@ -91,6 +100,9 @@ class FlatIndex:
             slots.append(slot)
         slots = np.asarray(slots, np.int32)
         embs = np.stack([np.asarray(n.embedding, np.float32) for n in fresh])
+        if self.metric == "cosine":
+            norms = np.linalg.norm(embs, axis=1, keepdims=True)
+            embs = embs / np.maximum(norms, 1e-12)
         self._emb = self._emb.at[slots].set(jnp.asarray(embs))
         self._valid = self._valid.at[slots].set(True)
 
@@ -118,6 +130,8 @@ class FlatIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """(L2 dists f32[B, k], node ids int64[B, k]), (inf, -1) padded."""
         q = np.asarray(queries, np.float32)
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         if self.size == 0:
             return (
                 np.full((q.shape[0], k), np.inf, np.float32),
@@ -140,7 +154,11 @@ class FlatIndex:
         d_sq = np.asarray(d_sq)
         slots = np.asarray(slots)
         ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
-        dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
+        if self.metric == "cosine":
+            # on unit vectors: cos_dist = 1 - cos = ||a-b||^2 / 2
+            dists = np.where(slots >= 0, np.maximum(d_sq, 0.0) / 2.0, np.inf)
+        else:
+            dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
 
     def save_index(self) -> None:
