@@ -9,7 +9,7 @@ Built on aiohttp (FastAPI not available in this environment).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 from aiohttp import web
 

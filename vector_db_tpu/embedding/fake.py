@@ -10,7 +10,7 @@ no model download — it is the offline default and the test backend.
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -9,7 +9,7 @@ index engine; swap-in of a JAX-native encoder is a later optimization.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

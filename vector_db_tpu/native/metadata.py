@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import ctypes
 import json
-from typing import Any, Dict, Optional, Set
+from typing import Any, Dict, Set
 
 from vector_db_tpu.native import load_metadata_lib
 

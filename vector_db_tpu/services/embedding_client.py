@@ -9,7 +9,7 @@ cross-device communication is XLA collectives over the ICI mesh, not HTTP.)
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import httpx
 import numpy as np
