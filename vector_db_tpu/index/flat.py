@@ -9,13 +9,15 @@ batch against the corpus.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from pathlib import Path
+from typing import List, Optional, Sequence, Set, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from vector_db_tpu.ops.exact import exact_search, exact_search_tiled
 from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
+from vector_db_tpu.storage.device_store import DeviceVectorStore
 from vector_db_tpu.types import Node
 
 MIN_CAPACITY = 256
@@ -31,8 +33,6 @@ class FlatIndex:
         index_file=None,
         metric: str = "l2",
     ) -> None:
-        from pathlib import Path
-
         if metric not in ("l2", "cosine"):
             raise ValueError(f"Unknown metric: {metric}")
         # cosine: rows are L2-normalized at insert and queries at search, so
@@ -43,68 +43,28 @@ class FlatIndex:
         self.metric = metric
         self.storage = storage or InMemoryNodeStorage()
         self.index_file = Path(index_file) if index_file else None
-        self._capacity = int(capacity)
-        self._dim: Optional[int] = None
-        self._emb: Optional[jnp.ndarray] = None
-        self._valid: Optional[jnp.ndarray] = None
-        self._id_of_slot: Optional[np.ndarray] = None
-        self._slot_of_id: Dict[int, int] = {}
-        self._free_slots: List[int] = []
-        self._n_used = 0
+        self._store = DeviceVectorStore(capacity=capacity)
 
     @property
     def size(self) -> int:
-        return len(self._slot_of_id)
-
-    def _ensure_init(self, dim: int) -> None:
-        if self._dim is None:
-            self._dim = int(dim)
-            self._emb = jnp.zeros((self._capacity, dim), jnp.float32)
-            self._valid = jnp.zeros((self._capacity,), bool)
-            self._id_of_slot = np.full((self._capacity,), -1, np.int64)
-        elif dim != self._dim:
-            raise ValueError(f"Embedding dim {dim} != index dim {self._dim}")
-
-    def _grow(self, need: int) -> None:
-        new_cap = self._capacity
-        while new_cap < need:
-            new_cap *= 2
-        pad = new_cap - self._capacity
-        self._emb = jnp.concatenate(
-            [self._emb, jnp.zeros((pad, self._dim), jnp.float32)]
-        )
-        self._valid = jnp.concatenate([self._valid, jnp.zeros((pad,), bool)])
-        self._id_of_slot = np.concatenate(
-            [self._id_of_slot, np.full((pad,), -1, np.int64)]
-        )
-        self._capacity = new_cap
+        return self._store.size
 
     def insert_nodes(self, nodes: Sequence[Node]) -> None:
         if not nodes:
             return
         for node in nodes:
             self.storage.save(node)
-        fresh = [n for n in nodes if n.id not in self._slot_of_id]
+        fresh = [n for n in nodes if n.id not in self._store]
         if not fresh:
             return
-        self._ensure_init(len(np.asarray(fresh[0].embedding)))
-        if self._n_used + len(fresh) > self._capacity and not self._free_slots:
-            self._grow(self._n_used + len(fresh))
-        slots = []
-        for n in fresh:
-            slot = self._free_slots.pop() if self._free_slots else self._n_used
-            if slot == self._n_used:
-                self._n_used += 1
-            self._slot_of_id[n.id] = slot
-            self._id_of_slot[slot] = n.id
-            slots.append(slot)
-        slots = np.asarray(slots, np.int32)
         embs = np.stack([np.asarray(n.embedding, np.float32) for n in fresh])
         if self.metric == "cosine":
-            norms = np.linalg.norm(embs, axis=1, keepdims=True)
-            embs = embs / np.maximum(norms, 1e-12)
-        self._emb = self._emb.at[slots].set(jnp.asarray(embs))
-        self._valid = self._valid.at[slots].set(True)
+            embs = embs / np.maximum(
+                np.linalg.norm(embs, axis=1, keepdims=True), 1e-12
+            )
+        self._store.ensure_dim(embs.shape[1])
+        slots = self._store.take_slots([n.id for n in fresh])
+        self._store.write(slots, embs)
 
     def insert_node(self, node: Node) -> None:
         self.insert_nodes([node])
@@ -113,12 +73,8 @@ class FlatIndex:
         self.insert_nodes(nodes)
 
     def delete_node(self, node_id: int) -> None:
-        slot = self._slot_of_id.pop(node_id, None)
-        if slot is None:
+        if self._store.release(node_id) is None:
             return
-        self._valid = self._valid.at[slot].set(False)
-        self._id_of_slot[slot] = -1
-        self._free_slots.append(slot)
         if hasattr(self.storage, "delete"):
             self.storage.delete(node_id)
 
@@ -128,7 +84,8 @@ class FlatIndex:
         k: int,
         filter_ids: Optional[Set[int]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(L2 dists f32[B, k], node ids int64[B, k]), (inf, -1) padded."""
+        """(dists f32[B, k], node ids int64[B, k]), (inf, -1) padded;
+        distances are L2 (metric='l2') or cosine distance (metric='cosine')."""
         q = np.asarray(queries, np.float32)
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -137,46 +94,46 @@ class FlatIndex:
                 np.full((q.shape[0], k), np.inf, np.float32),
                 np.full((q.shape[0], k), -1, np.int64),
             )
-        valid = self._valid
+        valid = self._store.valid
         if filter_ids is not None:
-            mask = np.zeros((self._capacity,), bool)
-            for nid in filter_ids:
-                slot = self._slot_of_id.get(int(nid))
-                if slot is not None:
-                    mask[slot] = True
-            valid = valid & jnp.asarray(mask)
-        if self._capacity <= SINGLE_TILE_LIMIT:
-            d_sq, slots = exact_search(jnp.asarray(q), self._emb, valid, k)
+            valid = valid & jnp.asarray(self._store.filter_mask(filter_ids))
+        if self._store.capacity <= SINGLE_TILE_LIMIT:
+            d_sq, slots = exact_search(
+                jnp.asarray(q), self._store.emb, valid, k
+            )
         else:
             d_sq, slots = exact_search_tiled(
-                jnp.asarray(q), self._emb, valid, k
+                jnp.asarray(q), self._store.emb, valid, k
             )
         d_sq = np.asarray(d_sq)
         slots = np.asarray(slots)
-        ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
+        ids = self._store.ids_of(slots)
         if self.metric == "cosine":
             # on unit vectors: cos_dist = 1 - cos = ||a-b||^2 / 2
             dists = np.where(slots >= 0, np.maximum(d_sq, 0.0) / 2.0, np.inf)
         else:
-            dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
+            dists = np.where(
+                slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf
+            )
         return dists.astype(np.float32), ids
 
     def save_index(self) -> None:
         """Persist the slot->id map; embeddings rehydrate from storage."""
-        if self.index_file is None or self._id_of_slot is None:
+        if self.index_file is None or self._store.emb is None:
             return
         self.index_file.parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(self.index_file, id_of_slot=self._id_of_slot)
+        np.savez_compressed(
+            self.index_file, id_of_slot=self._store.export_id_map()
+        )
 
     def load_index(self) -> None:
         if self.index_file is None or not self.index_file.exists():
             return
         with np.load(self.index_file) as z:
             id_of_slot = np.asarray(z["id_of_slot"])
-        live = [(int(nid), s) for s, nid in enumerate(id_of_slot) if nid >= 0]
         nodes = []
-        for nid, _ in live:
-            node = self.storage.get(nid)
+        for nid in id_of_slot[id_of_slot >= 0]:
+            node = self.storage.get(int(nid))
             if node is not None:
                 nodes.append(node)
         self.insert_nodes(nodes)

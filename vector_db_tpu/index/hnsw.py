@@ -37,6 +37,7 @@ import numpy as np
 from vector_db_tpu.index import hnsw_kernels as K
 from vector_db_tpu.ops.distance import BIG, l2_sq_pairwise
 from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
+from vector_db_tpu.storage.device_store import DeviceVectorStore
 from vector_db_tpu.types import Node
 
 DEFAULT_L_MAX = 6
@@ -180,23 +181,47 @@ class HNSW:
         # beam expansion budget; 0 = auto (2*ef + 16 at query time)
         self.max_steps = int(max_steps)
 
-        self._capacity = int(capacity)
-        self._dim: Optional[int] = None
         self.graph: Optional[K.Graph] = None
-        self._emb: Optional[jnp.ndarray] = None
-        self._has_emb: Optional[jnp.ndarray] = None
-        self._id_of_slot: Optional[np.ndarray] = None
-        self._slot_of_id: Dict[int, int] = {}
-        self._free_slots: List[int] = []
-        self._n_slots_used = 0
+        self._store = DeviceVectorStore(
+            capacity=capacity, on_grow=self._grow_graph
+        )
 
         if self.index_file and self.index_file.exists():
             self.load_index()
 
+    # -- store aliases (device tables live in DeviceVectorStore) ----------
+    @property
+    def _emb(self):
+        return self._store.emb
+
+    @property
+    def _has_emb(self):
+        return self._store.valid
+
+    @_has_emb.setter
+    def _has_emb(self, v):
+        self._store.valid = v
+
+    @property
+    def _capacity(self) -> int:
+        return self._store.capacity
+
+    @property
+    def _dim(self):
+        return self._store.dim
+
+    @property
+    def _id_of_slot(self):
+        return self._store.export_id_map()
+
+    @property
+    def _slot_of_id(self):
+        return self._store._slot_of_id
+
     # ------------------------------------------------------------------
     @property
     def size(self) -> int:
-        return len(self._slot_of_id)
+        return self._store.size
 
     def __len__(self) -> int:
         return self.size
@@ -209,53 +234,28 @@ class HNSW:
 
     # ------------------------------------------------------------------
     def _ensure_init(self, dim: int) -> None:
-        if self._dim is None:
-            self._dim = int(dim)
-            self._alloc(self._capacity)
-        elif dim != self._dim:
-            raise ValueError(f"Embedding dim {dim} != index dim {self._dim}")
+        had_dim = self._store.dim is not None
+        self._store.ensure_dim(dim)
+        if not had_dim and self.graph is None:
+            self.graph = K.empty_graph(self._capacity, self.M, self.l_max)
 
-    def _alloc(self, capacity: int) -> None:
-        self._capacity = capacity
-        self.graph = K.empty_graph(capacity, self.M, self.l_max)
-        self._emb = jnp.zeros((capacity, self._dim), jnp.float32)
-        self._has_emb = jnp.zeros((capacity,), bool)
-        self._id_of_slot = np.full((capacity,), -1, np.int64)
-
-    def _grow(self, need: int) -> None:
-        new_cap = self._capacity
-        while new_cap < need:
-            new_cap *= 2
-        pad = new_cap - self._capacity
+    def _grow_graph(self, old_cap: int, new_cap: int) -> None:
+        """DeviceVectorStore growth hook: pad the graph tables in step."""
+        if self.graph is None:
+            return
+        pad = new_cap - old_cap
         g = self.graph
         self.graph = K.Graph(
             neighbors=jnp.concatenate(
-                [g.neighbors, jnp.full((pad, g.neighbors.shape[1]), -1, jnp.int32)]
+                [g.neighbors,
+                 jnp.full((pad, g.neighbors.shape[1]), -1, jnp.int32)]
             ),
-            levels=jnp.concatenate([g.levels, jnp.full((pad,), -1, jnp.int32)]),
+            levels=jnp.concatenate(
+                [g.levels, jnp.full((pad,), -1, jnp.int32)]
+            ),
             entry=g.entry,
             entry_level=g.entry_level,
         )
-        self._emb = jnp.concatenate(
-            [self._emb, jnp.zeros((pad, self._dim), jnp.float32)]
-        )
-        self._has_emb = jnp.concatenate([self._has_emb, jnp.zeros((pad,), bool)])
-        self._id_of_slot = np.concatenate(
-            [self._id_of_slot, np.full((pad,), -1, np.int64)]
-        )
-        self._capacity = new_cap
-
-    def _take_slot(self, node_id: int) -> int:
-        if self._free_slots:
-            slot = self._free_slots.pop()
-        else:
-            if self._n_slots_used >= self._capacity:
-                self._grow(self._n_slots_used + 1)
-            slot = self._n_slots_used
-            self._n_slots_used += 1
-        self._slot_of_id[node_id] = slot
-        self._id_of_slot[slot] = node_id
-        return slot
 
     # ------------------------------------------------------------------
     def insert_node(self, node: Node) -> None:
@@ -320,14 +320,11 @@ class HNSW:
         if n == 0:
             return
         self._ensure_init(embeddings.shape[1])
-        if n > self._capacity:
-            self._grow(n)
+        self._store.grow_to(n)
 
-        slots = np.array([self._take_slot(int(i)) for i in ids], np.int32)
+        slots = self._store.take_slots(list(ids))
         levels_np = np.array([self.sample_level() for _ in range(n)], np.int32)
-
-        self._emb = self._emb.at[slots].set(jnp.asarray(embeddings))
-        self._has_emb = self._has_emb.at[slots].set(True)
+        self._store.write(slots, embeddings)
 
         ncols = K.ncols(self.M, self.l_max)
         neighbors = np.full((self._capacity, ncols), -1, np.int32)
@@ -425,23 +422,18 @@ class HNSW:
 
     def _insert_rows(self, ids: List[int], embs_np: np.ndarray) -> None:
         b = len(ids)
-        if self._n_slots_used + b > self._capacity and not self._free_slots:
-            self._grow(self._n_slots_used + b)
         # pad the batch to a power-of-two bucket so partial batches reuse
         # compiled kernels; padded items carry slot -1 (a full no-op in the
         # commit kernel)
         b_pad = max(8, 1 << (b - 1).bit_length())
         slots = np.full((b_pad,), -1, np.int32)
-        slots[:b] = [self._take_slot(nid) for nid in ids]
+        slots[:b] = self._store.take_slots(ids)
         levels = np.zeros((b_pad,), np.int32)
         levels[:b] = [self.sample_level() for _ in ids]
         embs_p = np.zeros((b_pad, embs_np.shape[1]), np.float32)
         embs_p[:b] = embs_np
         embs = jnp.asarray(embs_p)
-
-        write_slots = jnp.asarray(np.where(slots >= 0, slots, self._capacity))
-        self._emb = self._emb.at[write_slots].set(embs, mode="drop")
-        self._has_emb = self._has_emb.at[write_slots].set(True, mode="drop")
+        self._store.write(slots, embs_p)
 
         max_steps = self.max_steps or (2 * self.ef_construction + 16)
         cd, cs = K.construction_search(
@@ -462,15 +454,12 @@ class HNSW:
     def delete_node(self, node_id: int) -> None:
         """Delete (reference delete_node, hnsw.py:227-277): unlink edges,
         re-elect entry, drop from storage too."""
-        slot = self._slot_of_id.pop(node_id, None)
+        slot = self._store.release(node_id)
         if slot is None:
             return
         self.graph = K.delete_slot(
             self.graph, jnp.int32(slot), M=self.M, l_max=self.l_max
         )
-        self._has_emb = self._has_emb.at[slot].set(False)
-        self._id_of_slot[slot] = -1
-        self._free_slots.append(slot)
         if hasattr(self.storage, "delete"):
             self.storage.delete(node_id)
 
@@ -621,15 +610,10 @@ class HNSW:
                     [queries, np.zeros((b_pad, queries.shape[1]), np.float32)]
                 )
         use_filter = filter_ids is not None
-        if use_filter:
-            mask = np.zeros((self._capacity,), bool)
-            for nid in filter_ids:
-                slot = self._slot_of_id.get(int(nid))
-                if slot is not None:
-                    mask[slot] = True
-            filter_mask = jnp.asarray(mask)
-        else:
-            filter_mask = None
+        filter_mask = (
+            jnp.asarray(self._store.filter_mask(filter_ids))
+            if use_filter else None
+        )
         max_steps = max_steps or self.max_steps or (2 * ef + 16)
         d_sq, slots = K.search_batch(
             self.graph, self._emb, self._has_emb,
@@ -703,49 +687,34 @@ class HNSW:
             levels = np.asarray(z["levels"])
             entry = np.asarray(z["entry"])
             entry_level = np.asarray(z["entry_level"])
-            self._id_of_slot = np.asarray(z["id_of_slot"])
+            id_of_slot = np.asarray(z["id_of_slot"])
 
-        self._capacity = neighbors.shape[0]
         self.graph = K.Graph(
             neighbors=jnp.asarray(neighbors),
             levels=jnp.asarray(levels),
             entry=jnp.asarray(entry),
             entry_level=jnp.asarray(entry_level),
         )
-        self._slot_of_id = {
-            int(nid): int(s)
-            for s, nid in enumerate(self._id_of_slot)
-            if nid >= 0
-        }
-        self._free_slots = []
-        self._n_slots_used = (
-            1 + max(self._slot_of_id.values()) if self._slot_of_id else 0
+        self._store = DeviceVectorStore(
+            capacity=neighbors.shape[0], on_grow=self._grow_graph
         )
-        used = set(self._slot_of_id.values())
-        self._free_slots = [
-            s for s in range(self._n_slots_used) if s not in used
-        ]
+        self._store.import_id_map(id_of_slot)
 
         # hydrate the device embedding table from storage
         emb = None
         has = np.zeros((self._capacity,), bool)
-        dropped = []
         for nid, slot in self._slot_of_id.items():
             try:
                 v = np.asarray(self.storage.get_embedding(nid), np.float32)
             except KeyError:
                 # node deleted from storage while index file persisted —
                 # reference tolerates this by skipping at query time
-                dropped.append((nid, slot))
                 continue
             if emb is None:
-                self._dim = v.shape[0]
-                emb = np.zeros((self._capacity, self._dim), np.float32)
+                self._store.ensure_dim(v.shape[0])
+                emb = np.zeros((self._capacity, v.shape[0]), np.float32)
             emb[slot] = v
             has[slot] = True
         if emb is not None:
-            self._emb = jnp.asarray(emb)
-            self._has_emb = jnp.asarray(has)
-        elif self._dim is not None:
-            self._emb = jnp.zeros((self._capacity, self._dim), jnp.float32)
-            self._has_emb = jnp.asarray(has)
+            self._store.emb = jnp.asarray(emb)
+            self._store.valid = jnp.asarray(has)

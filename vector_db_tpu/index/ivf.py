@@ -33,6 +33,7 @@ from vector_db_tpu.ops.distance import BIG, gather_l2_sq, l2_sq_pairwise
 from vector_db_tpu.ops.kmeans import kmeans
 from vector_db_tpu.ops.topk import masked_top_k_smallest
 from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
+from vector_db_tpu.storage.device_store import DeviceVectorStore
 from vector_db_tpu.types import Node
 
 
@@ -126,49 +127,40 @@ class IvfIndex:
         self._lists_dev: Optional[jnp.ndarray] = None
         self._lists_dirty = True
 
-        self._emb: Optional[jnp.ndarray] = None
-        self._has_emb: Optional[jnp.ndarray] = None
-        self._id_of_slot: Optional[np.ndarray] = None
-        self._slot_of_id: Dict[int, int] = {}
-        self._free_slots: List[int] = []
-        self._n_used = 0
-        self._capacity = 0
-        self._dim: Optional[int] = None
+        self._store = DeviceVectorStore(capacity=256)
 
         if self.index_file and self.index_file.exists():
             self.load_index()
 
+    # device tables live in DeviceVectorStore
+    @property
+    def _emb(self):
+        return self._store.emb
+
+    @property
+    def _has_emb(self):
+        return self._store.valid
+
+    @property
+    def _capacity(self) -> int:
+        return self._store.capacity
+
+    @property
+    def _dim(self):
+        return self._store.dim
+
+    @property
+    def _slot_of_id(self):
+        return self._store._slot_of_id
+
+    @property
+    def _id_of_slot(self):
+        return self._store.export_id_map()
+
     # ------------------------------------------------------------------
     def _ensure_capacity(self, need: int, dim: int) -> None:
-        if self._dim is None:
-            self._dim = int(dim)
-            self._capacity = max(256, 1 << (need - 1).bit_length())
-            self._emb = jnp.zeros((self._capacity, dim), jnp.float32)
-            self._has_emb = jnp.zeros((self._capacity,), bool)
-            self._id_of_slot = np.full((self._capacity,), -1, np.int64)
-        elif need > self._capacity:
-            new_cap = self._capacity
-            while new_cap < need:
-                new_cap *= 2
-            pad = new_cap - self._capacity
-            self._emb = jnp.concatenate(
-                [self._emb, jnp.zeros((pad, self._dim), jnp.float32)]
-            )
-            self._has_emb = jnp.concatenate(
-                [self._has_emb, jnp.zeros((pad,), bool)]
-            )
-            self._id_of_slot = np.concatenate(
-                [self._id_of_slot, np.full((pad,), -1, np.int64)]
-            )
-            self._capacity = new_cap
-
-    def _take_slot(self, node_id: int) -> int:
-        slot = self._free_slots.pop() if self._free_slots else self._n_used
-        if slot == self._n_used:
-            self._n_used += 1
-        self._slot_of_id[node_id] = slot
-        self._id_of_slot[slot] = node_id
-        return slot
+        self._store.ensure_dim(dim)
+        self._store.grow_to(need)
 
     def _device_lists(self) -> jnp.ndarray:
         if self._lists_dirty or self._lists_dev is None:
@@ -203,12 +195,11 @@ class IvfIndex:
 
         self._ensure_capacity(len(nodes), embeddings.shape[1])
         slots = np.array(
-            [self._slot_of_id[nid] if nid in self._slot_of_id
-             else self._take_slot(nid) for nid in ids],
+            [self._store.slot_of(nid) if nid in self._store
+             else self._store.take_slot(nid) for nid in ids],
             np.int32,
         )
-        self._emb = self._emb.at[slots].set(jnp.asarray(embeddings))
-        self._has_emb = self._has_emb.at[slots].set(True)
+        self._store.write(slots, embeddings)
 
         cents, labels = kmeans(
             jnp.asarray(embeddings), self.k, jax.random.key(seed), iters=100
@@ -237,13 +228,11 @@ class IvfIndex:
                 f"centroid dimension {self.centroids.shape[1]}"
             )
         self.storage.save(node)
-        if node.id not in self._slot_of_id:
-            self._ensure_capacity(self._n_used + 1, embedding.shape[0])
-            slot = self._take_slot(node.id)
-        else:
-            slot = self._slot_of_id[node.id]
-        self._emb = self._emb.at[slot].set(jnp.asarray(embedding))
-        self._has_emb = self._has_emb.at[slot].set(True)
+        self._store.ensure_dim(embedding.shape[0])
+        slot = self._store.slot_of(node.id)
+        if slot is None:
+            slot = self._store.take_slot(node.id)
+        self._store.write(np.asarray([slot], np.int32), embedding[None, :])
 
         distances = np.linalg.norm(self.centroids - embedding, axis=1)
         nearest = int(np.argmin(distances))
@@ -256,11 +245,7 @@ class IvfIndex:
         for cluster_list in self.inverted_lists:
             if node_id in cluster_list:
                 cluster_list.remove(node_id)
-        slot = self._slot_of_id.pop(node_id, None)
-        if slot is not None:
-            self._has_emb = self._has_emb.at[slot].set(False)
-            self._id_of_slot[slot] = -1
-            self._free_slots.append(slot)
+        self._store.release(node_id)
         self._lists_dirty = True
         if hasattr(self.storage, "delete"):
             self.storage.delete(node_id)
@@ -338,7 +323,7 @@ class IvfIndex:
             )
         d_sq = np.asarray(d_sq)
         slots = np.asarray(slots)
-        ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
+        ids = self._store.ids_of(slots)
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
 
@@ -400,14 +385,11 @@ class IvfIndex:
                     v = np.asarray(self.storage.get_embedding(nid), np.float32)
                 except KeyError:
                     continue
-                slots.append(
-                    self._slot_of_id.get(nid) if nid in self._slot_of_id
-                    else self._take_slot(nid)
-                )
+                slot = self._store.slot_of(nid)
+                slots.append(slot if slot is not None
+                             else self._store.take_slot(nid))
                 embs.append(v)
             if embs:
-                slots_a = np.asarray(slots, np.int32)
-                self._emb = self._emb.at[slots_a].set(
-                    jnp.asarray(np.stack(embs))
+                self._store.write(
+                    np.asarray(slots, np.int32), np.stack(embs)
                 )
-                self._has_emb = self._has_emb.at[slots_a].set(True)
