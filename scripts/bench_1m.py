@@ -11,6 +11,9 @@ from pathlib import Path
 
 import numpy as np
 
+# allow running as `python scripts/<name>.py` without PYTHONPATH
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
