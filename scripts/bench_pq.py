@@ -92,24 +92,30 @@ def main():
     log(f"ADC matmul scan: recall@{K}={recall:.3f} qps={qps_mm:.0f}")
 
     # ADC fetch-4x + exact rerank (the standard IVFADC serving recipe)
-    import functools
+    import jax.numpy as jnp
+
     from vector_db_tpu.ops.topk import masked_top_k_smallest
     from vector_db_tpu.ops.distance import gather_l2_sq
 
     @jax.jit
-    def rerank(lut_arg, q_arg):
-        d4, i4 = _adc_search_matmul(lut_arg, codes, valid, 4 * K, 256,
-                                    tile=8192)
+    def rerank(lut_arg, q_arg, codes_arg, corpus_arg, valid_arg):
+        # all large arrays are ARGUMENTS: closure-captured device arrays
+        # get baked into the HLO as constants (remote compile rejects the
+        # resulting multi-hundred-MB program)
+        d4, i4 = _adc_search_matmul(lut_arg, codes_arg, valid_arg, 4 * K,
+                                    256, tile=8192)
+
         def one(qv, ids):
-            dv = gather_l2_sq(qv, corpus_dev, ids,
+            dv = gather_l2_sq(qv, corpus_arg, ids,
                               jnp.ones_like(ids, dtype=bool))
             return masked_top_k_smallest(dv, ids, K)
+
         return jax.vmap(one)(q_arg, i4)
 
-    d_r, i_r = rerank(lut, qd)
+    d_r, i_r = rerank(lut, qd, codes, corpus_dev[:N], valid)
     jax.block_until_ready(d_r)
     t0 = time.perf_counter()
-    d_r, i_r = rerank(lut, qd)
+    d_r, i_r = rerank(lut, qd, codes, corpus_dev[:N], valid)
     jax.block_until_ready(d_r)
     qps_rr = B / (time.perf_counter() - t0)
     ids_r = np.asarray(i_r)
