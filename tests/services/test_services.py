@@ -174,3 +174,28 @@ def test_embedding_service_dim_validation(tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     svc = EmbeddingService(str(p))
     assert svc.embed_text("x").shape == (8,)
+
+
+def test_indexing_service_bulk_initial_load(storage_service, config_path, rng):
+    svc = IndexingService(
+        storage=storage_service.storage, config_path=config_path
+    )
+    # large batch into an empty hnsw index takes the bulk_build path
+    import numpy as np
+    from vector_db_tpu.types import Node
+
+    n = 4096
+    # storage capacity in fixture is 64 — use a separate bigger storage
+    from vector_db_tpu.services.storage_service import StorageService
+
+    big = StorageService(str(svc.index_file.parent / "big"), dim=16,
+                         capacity=8192)
+    svc2 = IndexingService(storage=big.storage, config_path=config_path,
+                           index_file=str(svc.index_file.parent / "big.idx.npz"))
+    nodes = [Node(id=i, embedding=rng.standard_normal(16).astype(np.float32))
+             for i in range(n)]
+    svc2.insert_nodes(nodes)
+    assert svc2.get_index_size() == n
+    assert big.get(7) is not None  # payloads stored
+    res = svc2.search(nodes[7].embedding, k=1, ef=30)
+    assert res[0][0].id == 7

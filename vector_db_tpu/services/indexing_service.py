@@ -123,6 +123,20 @@ class IndexingService:
     def _insert_nodes_locked(self, nodes: Sequence[Node]) -> None:
         if self.index_type == "ivf":
             self._ivf_insert(nodes)
+        elif (
+            self.index_type == "hnsw"
+            and self.index.size == 0
+            and len(nodes) >= 4096
+        ):
+            # initial load: exact/clustered MXU bulk construction is 10-30x
+            # faster than streaming inserts and yields better graphs
+            for node in nodes:
+                self.storage.save(node)
+            self.index.bulk_build(
+                [n.id for n in nodes],
+                np.stack([np.asarray(n.embedding, np.float32)
+                          for n in nodes]),
+            )
         elif self.index_type == "sharded-hnsw":
             for node in nodes:
                 self.storage.save(node)
