@@ -85,3 +85,15 @@ def test_sharded_hnsw_self_query(rng):
     dists, ids = idx.search_batch(x[:4], k=1, ef=30)
     np.testing.assert_array_equal(ids[:, 0], [0, 1, 2, 3])
     assert np.all(dists[:, 0] < 1e-3)
+
+
+def test_sharded_hnsw_filter(rng):
+    idx = ShardedHNSW(M=4, ef_construction=30, mesh=make_mesh(), dim=8,
+                      capacity_per_shard=32)
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    idx.insert(list(range(100)), x)
+    allowed = set(range(0, 100, 2))
+    dists, ids = idx.search_batch(x[:3], k=5, ef=30, filter_ids=allowed)
+    live = ids[ids >= 0]
+    assert len(live) > 0
+    assert set(live.tolist()) <= allowed

@@ -293,28 +293,29 @@ class ShardedHNSW:
         M, l_max, cap = self.M, self.l_max, self.cap
         mesh = self.mesh
 
-        @functools.partial(jax.jit, static_argnames=("ef", "k"))
+        @functools.partial(jax.jit, static_argnames=("ef", "k", "use_filter"))
         def _search(neighbors, levels, entry, entry_level, emb, has_emb,
-                    queries, ef, k):
+                    queries, fmask, ef, k, use_filter):
             max_steps = 2 * ef + 16
 
             def per_shard(neighbors, levels, entry, entry_level, emb,
-                          has_emb, q):
+                          has_emb, q, fm):
                 graph = K.Graph(neighbors, levels, entry[0], entry_level[0])
                 ld, ls = K.search_batch(
-                    graph, emb, has_emb, q, None,
+                    graph, emb, has_emb, q, fm,
                     M=M, l_max=l_max, ef=ef, k=k,
-                    max_steps=max_steps, use_filter=False,
+                    max_steps=max_steps, use_filter=use_filter,
                 )
                 return _merge_gathered(ld, _globalize(ls, cap), k)
 
             spec = P(Axis)
             return jax.shard_map(
                 per_shard, mesh=mesh,
-                in_specs=(spec,) * 6 + (P(),),
+                in_specs=(spec,) * 6 + (P(), spec),
                 out_specs=(P(), P()),
                 check_vma=False,
-            )(neighbors, levels, entry, entry_level, emb, has_emb, queries)
+            )(neighbors, levels, entry, entry_level, emb, has_emb, queries,
+              fmask)
 
         return _search
 
@@ -353,12 +354,25 @@ class ShardedHNSW:
         )
 
     def search_batch(
-        self, queries: np.ndarray, k: int, ef: int = 50
+        self, queries: np.ndarray, k: int, ef: int = 50, filter_ids=None
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """filter_ids semantics match the single-chip index: non-matching
+        nodes navigate but never enter results (per-shard device masks)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
+        use_filter = filter_ids is not None
+        mask = np.zeros((self.n_shards * self.cap,), bool)
+        if use_filter:
+            for nid in filter_ids:
+                g = self._gslot_of_id.get(int(nid))
+                if g is not None:
+                    mask[g] = True
+        fmask = jax.device_put(
+            jnp.asarray(mask), NamedSharding(self.mesh, P(Axis))
+        )
         d_sq, gslots = self._search_fn(
             self._neighbors, self._levels, self._entry, self._entry_level,
-            self._emb, self._has_emb, q, ef=max(ef, k), k=k,
+            self._emb, self._has_emb, q, fmask, ef=max(ef, k), k=k,
+            use_filter=use_filter,
         )
         d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
         ids = np.where(

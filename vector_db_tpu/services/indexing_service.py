@@ -195,15 +195,13 @@ class IndexingService:
     def _sharded_search(self, query, k, **kwargs):
         filter_ids = kwargs.get("filter_ids")
         ef = int(kwargs.get("ef", 50) or 50)
-        fetch = k if filter_ids is None else max(4 * k, 50)
         dists, ids = self.index.search_batch(
-            np.asarray(query, np.float32)[None, :], k=fetch, ef=max(ef, fetch)
+            np.asarray(query, np.float32)[None, :], k=k, ef=ef,
+            filter_ids=filter_ids,
         )
         out = []
         for nid, d in zip(ids[0], dists[0]):
             if nid < 0:
-                continue
-            if filter_ids is not None and int(nid) not in filter_ids:
                 continue
             node = self.storage.get(int(nid))
             if node is not None:
