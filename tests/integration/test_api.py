@@ -239,3 +239,20 @@ def test_embedding_service_app(config_path):
         await client.close()
 
     run(go())
+
+
+def test_stats_endpoint(config_path, tmp_path):
+    async def go():
+        client = await _client_for(config_path, tmp_path)
+        await client.post("/embed", json={"content": "a doc"})
+        r = await client.get("/stats")
+        assert r.status == 200
+        body = await r.json()
+        assert body["index"]["type"] == "hnsw"
+        assert body["index"]["size"] == 1
+        assert body["storage"]["size"] == 1
+        assert body["storage"]["dim"] == 32
+        assert "device" in body
+        await client.close()
+
+    run(go())

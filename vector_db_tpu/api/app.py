@@ -125,6 +125,36 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
     return web.json_response(request.app["metrics"].snapshot())
 
 
+async def stats_endpoint(request: web.Request) -> web.Response:
+    """Index/storage/device stats (the reference's only built-in metric is
+    IvfIndex.get_cluster_stats, ivf.py:207-215 — here it is exposed, plus
+    device info)."""
+    _, storage_service, indexing_service = _services(request)
+    from vector_db_tpu.embedding.device import get_device_info
+
+    out: Dict[str, Any] = {"device": get_device_info()}
+    if indexing_service is not None:
+        out["index"] = {
+            "type": indexing_service.index_type,
+            "size": indexing_service.get_index_size(),
+            "flush_threshold": indexing_service.flush_threshold,
+            "loaded_from_disk": indexing_service.is_index_loaded(),
+        }
+        if indexing_service.index_type == "ivf" and getattr(
+            indexing_service.index, "centroids", None
+        ) is not None:
+            out["index"]["clusters"] = (
+                indexing_service.index.get_cluster_stats()
+            )
+    if storage_service is not None:
+        out["storage"] = {
+            "size": storage_service.size(),
+            "capacity": storage_service.capacity,
+            "dim": storage_service.dim,
+        }
+    return web.json_response(out)
+
+
 async def embed_document(request: web.Request) -> web.Response:
     embedding_client, storage_service, indexing_service = _services(request)
     if embedding_client is None or storage_service is None or indexing_service is None:
@@ -391,6 +421,7 @@ def create_app(
 
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics_endpoint)
+    app.router.add_get("/stats", stats_endpoint)
     app.router.add_post("/embed", embed_document)
     app.router.add_post("/embed/batch-docs", embed_documents_batch)
     app.router.add_post("/search", search_index)
