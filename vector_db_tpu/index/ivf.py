@@ -37,15 +37,19 @@ from vector_db_tpu.storage.device_store import DeviceVectorStore
 from vector_db_tpu.types import Node
 
 
-@functools.partial(jax.jit, static_argnames=("n_probe", "top_k"))
+@functools.partial(
+    jax.jit, static_argnames=("n_probe", "top_k", "use_filter")
+)
 def _ivf_search_batch(
     centroids: jnp.ndarray,      # f32[k, d]
     lists: jnp.ndarray,          # int32[k, max_list], -1 padded (slots)
     emb: jnp.ndarray,            # f32[capacity, d]
     has_emb: jnp.ndarray,        # bool[capacity]
     queries: jnp.ndarray,        # f32[B, d]
+    fmask: jnp.ndarray,          # bool[capacity] (ignored unless use_filter)
     n_probe: int,
     top_k: int,
+    use_filter: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     cd = l2_sq_pairwise(queries, centroids)  # [B, k]
     _, probe = jax.lax.top_k(-cd, n_probe)   # [B, n_probe]
@@ -53,7 +57,10 @@ def _ivf_search_batch(
     def one(q, probe_row):
         members = lists[probe_row].reshape(-1)  # [n_probe * max_list]
         safe = jnp.maximum(members, 0)
-        d = gather_l2_sq(q, emb, members, has_emb[safe])
+        ok = has_emb[safe]
+        if use_filter:
+            ok = ok & fmask[safe]
+        d = gather_l2_sq(q, emb, members, ok)
         return masked_top_k_smallest(d, members, top_k)
 
     return jax.vmap(one)(queries, probe)
@@ -302,12 +309,18 @@ class IvfIndex:
 
     def search_batch(
         self, queries: np.ndarray, n_probe: int, top_k: int,
-        pq: bool = False, rerank: bool = True,
+        pq: bool = False, rerank: bool = True, filter_ids=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Device fast path: (L2 f32[B, top_k], ids int64[B, top_k])."""
+        """Device fast path: (L2 f32[B, top_k], ids int64[B, top_k]).
+        ``filter_ids`` masks candidates in-kernel (exact path only)."""
         if self.centroids is None:
             raise ValueError("Index must be built before searching")
         q = jnp.asarray(np.asarray(queries, np.float32))
+        use_filter = filter_ids is not None
+        fmask = jnp.asarray(
+            self._store.filter_mask(filter_ids) if use_filter
+            else np.zeros((self._capacity,), bool)
+        )
         if pq:
             if getattr(self, "_pq", None) is None:
                 raise ValueError("call enable_pq() first")
@@ -319,7 +332,9 @@ class IvfIndex:
         else:
             d_sq, slots = _ivf_search_batch(
                 self._centroids_dev, self._device_lists(), self._emb,
-                self._has_emb, q, n_probe=int(n_probe), top_k=int(top_k),
+                self._has_emb, q, fmask,
+                n_probe=int(n_probe), top_k=int(top_k),
+                use_filter=use_filter,
             )
         d_sq = np.asarray(d_sq)
         slots = np.asarray(slots)

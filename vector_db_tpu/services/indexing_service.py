@@ -223,10 +223,17 @@ class IndexingService:
             return [(n, d) for d, n in cands[:k]]
         n_probe = int(kwargs.get("n_probe", 10) or 10)
         n_probe = max(1, min(n_probe, self.index.k))
-        fetch = k if filter_ids is None else max(4 * k, 50)
-        results = self.index.search(query, n_probe=n_probe, top_k=fetch)
-        if filter_ids is not None:
-            results = [(n, d) for n, d in results if n.id in filter_ids]
+        dists, ids = self.index.search_batch(
+            np.asarray(query, np.float32)[None, :], n_probe=n_probe,
+            top_k=k, filter_ids=filter_ids,
+        )
+        results = []
+        for nid, d in zip(ids[0], dists[0]):
+            if nid < 0:
+                continue
+            node = self.storage.get(int(nid))
+            if node is not None:
+                results.append((node, float(d)))
         return results[:k]
 
     def search_batch(self, queries: np.ndarray, k: int, **kwargs: Any):
