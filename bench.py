@@ -211,6 +211,9 @@ def main() -> None:
     from vector_db_tpu.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+    import jax
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
     n = int(os.environ.get("BENCH_N", 100_000))
     headline_n = int(os.environ.get("BENCH_HEADLINE_N", 1_000_000))
