@@ -432,22 +432,16 @@ class HNSW:
         levels[:b] = [self.sample_level() for _ in ids]
         embs_p = np.zeros((b_pad, embs_np.shape[1]), np.float32)
         embs_p[:b] = embs_np
-        embs = jnp.asarray(embs_p)
         self._store.write(slots, embs_p)
 
         max_steps = self.max_steps or (2 * self.ef_construction + 16)
-        cd, cs = K.construction_search(
-            self.graph, self._emb, self._has_emb, embs, jnp.asarray(levels),
+        # search + commit as ONE device program: on remote/tunneled
+        # backends each dispatch costs real latency, so fewer calls wins
+        self.graph = K.insert_step(
+            self.graph, self._emb, self._has_emb,
+            jnp.asarray(embs_p), jnp.asarray(slots), jnp.asarray(levels),
             M=self.M, l_max=self.l_max,
             ef_construction=self.ef_construction, max_steps=max_steps,
-        )
-        batch_d = l2_sq_pairwise(embs, embs)
-        pad_mask = jnp.asarray(slots < 0)
-        batch_d = jnp.where(pad_mask[None, :] | pad_mask[:, None], BIG, batch_d)
-        self.graph = K.commit_inserts(
-            self.graph, self._emb, self._has_emb,
-            jnp.asarray(slots), jnp.asarray(levels), cd, cs, batch_d,
-            M=self.M, l_max=self.l_max, ef_construction=self.ef_construction,
         )
 
     # ------------------------------------------------------------------

@@ -583,6 +583,42 @@ def commit_inserts(
     return lax.fori_loop(0, B, insert_one, graph)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "l_max", "ef_construction", "max_steps"),
+    donate_argnames=("graph",),
+)
+def insert_step(
+    graph: Graph,
+    emb: jnp.ndarray,
+    has_emb: jnp.ndarray,
+    new_emb: jnp.ndarray,      # f32[B, d] (padded rows are zeros)
+    new_slots: jnp.ndarray,    # int32[B], -1 = padding
+    new_levels: jnp.ndarray,   # int32[B]
+    M: int,
+    l_max: int,
+    ef_construction: int,
+    max_steps: int,
+) -> Graph:
+    """Fused streaming insert: construction search + intra-batch distances
+    + sequential edge commit in ONE compiled program (one dispatch per
+    batch — per-call latency dominates on remote backends)."""
+    cd, cs = construction_search(
+        graph, emb, has_emb, new_emb, new_levels,
+        M=M, l_max=l_max, ef_construction=ef_construction,
+        max_steps=max_steps,
+    )
+    from vector_db_tpu.ops.distance import l2_sq_pairwise
+
+    batch_d = l2_sq_pairwise(new_emb, new_emb)
+    pad = new_slots < 0
+    batch_d = jnp.where(pad[None, :] | pad[:, None], BIG, batch_d)
+    return commit_inserts(
+        graph, emb, has_emb, new_slots, new_levels, cd, cs, batch_d,
+        M=M, l_max=l_max, ef_construction=ef_construction,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("M", "l_max"),
                    donate_argnames=("graph",))
 def delete_slot(graph: Graph, slot: jnp.ndarray, M: int, l_max: int) -> Graph:
