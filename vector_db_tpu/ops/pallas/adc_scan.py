@@ -1,0 +1,129 @@
+"""Fused ADC (asymmetric distance) scan kernel for PQ codes.
+
+North-star item: "product quantization gets a Pallas path for fused ADC
+lookup-table scoring". Code tiles stream HBM->VMEM through the pallas
+pipeline; inside the kernel the LUT "gather" is expressed as a one-hot
+matmul on the MXU (TPU has no fast per-element gather; a [T, m*k] one-hot
+against the flattened [B, m*k] LUT turns table lookups into systolic-array
+work), and the per-query top-k state lives in revisited output blocks —
+same iterative min-extraction as ops.pallas.l2_topk, no sort, and no
+[B, N] distance matrix.
+
+Status: validated in interpret mode (tests) and correct vs the XLA ADC
+paths. On this environment's remote-compile TPU relay, Mosaic kernel
+compiles currently crash the compile-helper subprocess (all pallas kernels
+affected, including ones that compiled earlier in the session) — the XLA
+one-hot-matmul ADC path (index/pq.py:_adc_search_matmul) is the production
+route until the toolchain recovers; this kernel removes the [B, tile]
+HLO intermediates once it does.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3.0e38
+
+
+def _kernel(lut_ref, codes_ref, valid_ref, topd_ref, topi_ref, *, k, tile,
+            ksub):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        topd_ref[:] = jnp.full_like(topd_ref[:], BIG)
+        topi_ref[:] = jnp.full_like(topi_ref[:], -1)
+
+    codes = codes_ref[:]              # int32[m, T] (transposed: lane dim
+    m = codes.shape[0]                # must be the long axis for Mosaic)
+    # one-hot over the flattened (chunk, code) axis: [T, m*k_sub]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, m * ksub), 1)
+    onehot = jnp.zeros((tile, m * ksub), jnp.float32)
+    for j in range(m):
+        flat_j = codes[j, :] + j * ksub          # [T]
+        onehot = onehot + (
+            cols == flat_j[:, None]
+        ).astype(jnp.float32)
+    # d[b, t] = LUT_flat[b] . onehot[t]
+    d = jnp.dot(lut_ref[:], onehot.T, preferred_element_type=jnp.float32)
+    d = jnp.where(valid_ref[:][None, :] != 0, d, BIG)
+
+    b = d.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, topd_ref.shape, 1)
+    topd = topd_ref[:]
+    topi = topi_ref[:]
+    for _ in range(k):
+        mn = jnp.min(d, axis=1)
+        am = jnp.argmin(d, axis=1).astype(jnp.int32)
+        d = jnp.where(col == am[:, None], BIG, d)
+        worst = jnp.max(topd, axis=1)
+        aw = jnp.argmax(topd, axis=1).astype(jnp.int32)
+        better = (mn < worst)[:, None]
+        hit = (kcol == aw[:, None]) & better
+        gidx = t * tile + am
+        topd = jnp.where(hit, mn[:, None], topd)
+        topi = jnp.where(hit, gidx[:, None], topi)
+    topd_ref[:] = topd
+    topi_ref[:] = topi
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def adc_topk(
+    lut: jnp.ndarray,     # f32[B, m, ksub] per-query subspace distances
+    codes: jnp.ndarray,   # int32[N, m]
+    valid: jnp.ndarray,   # bool[N]
+    k: int,
+    tile: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k smallest ADC distances. Returns (f32[B, k], int32[B, k]),
+    ascending, (BIG, -1) padded."""
+    b, m, ksub = lut.shape
+    n = codes.shape[0]
+    pad = (-n) % tile
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, m), codes.dtype)]
+        )
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    n_tiles = codes.shape[0] // tile
+    codes_t = codes.T  # [m, N]: lane-major for the kernel
+    lut_flat = lut.reshape(b, m * ksub)
+    valid_i = valid.astype(jnp.int32)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, m * ksub), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda t: (t,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    topd, topi = pl.pallas_call(
+        functools.partial(_kernel, k=k, tile=tile, ksub=ksub),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lut_flat, codes_t, valid_i)
+
+    order = jnp.argsort(topd, axis=1)
+    topd = jnp.take_along_axis(topd, order, axis=1)
+    topi = jnp.take_along_axis(topi, order, axis=1)
+    topi = jnp.where(topd >= BIG, -1, topi)
+    return topd, topi
