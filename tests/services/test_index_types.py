@@ -120,3 +120,39 @@ def test_sharded_hnsw_service(tmp_path, rng):
     svc2 = IndexingService(storage=storage.storage, config_path=cfg)
     assert svc2.get_index_size() == 39
     assert svc2.search(nodes[3].embedding, k=1, ef=30)[0][0].id == 3
+
+
+def test_hnsw_pq_via_config(tmp_path, rng):
+    cfg = make_config(tmp_path, "hnsw",
+                      pq={"chunks": 4, "ksub": 16, "min_size": 32})
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 100)
+    svc.insert_nodes(nodes)
+    # first search activates PQ (size 100 >= min_size 32)
+    res = svc.search(nodes[11].embedding, k=1, ef=40)
+    assert svc._pq_active
+    assert res[0][0].id == 11
+    assert res[0][1] < 1e-2  # exact rerank distance
+    # inserts mark codes stale; next search refreshes and finds the new node
+    new = Node(id=500, embedding=rng.standard_normal(16).astype(np.float32))
+    svc.insert_node(new)
+    assert svc._pq_stale
+    res = svc.search(new.embedding, k=1, ef=40)
+    assert res[0][0].id == 500
+    assert not svc._pq_stale
+
+
+def test_pq_chunks_request_param(tmp_path, rng):
+    # no config pq, but the search request asks for it (reference accepts
+    # pq_chunks and ignores it; here it activates when feasible)
+    cfg = make_config(tmp_path, "hnsw")
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    svc._pq_min_size = 32
+    svc._pq_ksub = 16
+    nodes = make_nodes(rng, 80)
+    svc.insert_nodes(nodes)
+    res = svc.search(nodes[5].embedding, k=1, ef=40, pq_chunks=4)
+    assert svc._pq_active
+    assert res[0][0].id == 5

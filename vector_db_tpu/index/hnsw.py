@@ -494,6 +494,26 @@ class HNSW:
             emb_enc, self._pq.codebooks, chunk=enc_chunk
         )[: self._capacity]
 
+    def refresh_pq_codes(self) -> None:
+        """Re-encode the device table with the existing codebooks (call
+        after inserts/deletes when PQ traversal is active; encoding streams
+        the whole table in one program — retraining is NOT repeated)."""
+        if getattr(self, "_pq", None) is None:
+            return
+        from vector_db_tpu.index.pq import _encode_scan
+
+        enc_chunk = 8192
+        pad = (-self._capacity) % enc_chunk
+        emb_enc = (
+            jnp.concatenate(
+                [self._emb, jnp.zeros((pad, self._dim), jnp.float32)]
+            )
+            if pad else self._emb
+        )
+        self._pq_codes = _encode_scan(
+            emb_enc, self._pq.codebooks, chunk=enc_chunk
+        )[: self._capacity]
+
     def search_batch_pq(
         self,
         queries: np.ndarray,

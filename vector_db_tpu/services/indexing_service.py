@@ -57,6 +57,17 @@ class IndexingService:
                 "index_file is required for non-mmap storage backends"
             )
 
+        # Optional PQ acceleration (config: index.pq: {chunks, ksub,
+        # min_size}): once the index holds min_size nodes, codebooks train
+        # and HNSW traversal switches to ADC scoring with exact rerank.
+        # (The reference accepts a pq_chunks search param but never uses it,
+        # api/models.py:18 vs hnsw.py:330-341 — here it works.)
+        pq_cfg = index_config.get("pq") or {}
+        self._pq_chunks = int(pq_cfg.get("chunks", 0) or 0)
+        self._pq_ksub = int(pq_cfg.get("ksub", 256))
+        self._pq_min_size = int(pq_cfg.get("min_size", 4096))
+        self._pq_active = False
+
         rng = random.Random(42)
         if self.index_type == "hnsw":
             self.index = HNSW(
@@ -148,6 +159,7 @@ class IndexingService:
         else:
             self.index.insert_nodes(list(nodes))
         self._index_modified = True
+        self._pq_stale = True
         if self._should_flush():
             self.save_index()
 
@@ -182,6 +194,36 @@ class IndexingService:
         else:
             self.index.delete_node(node_id)
         self._index_modified = True
+        self._pq_stale = True
+
+    def _maybe_enable_pq(self, requested_chunks: Optional[int]) -> bool:
+        """Activate PQ traversal when configured (or explicitly requested
+        via the search's pq_chunks param) and the corpus is big enough to
+        train codebooks. Returns whether PQ search should be used."""
+        if self.index_type != "hnsw":
+            return False
+        chunks = self._pq_chunks or int(requested_chunks or 0)
+        if chunks <= 0:
+            return False
+        if not self._pq_active:
+            if self.index.size < max(self._pq_min_size, self._pq_ksub):
+                return False
+            dim = self.index._dim or 0
+            if dim == 0 or dim % chunks != 0:
+                return False
+            with self._lock:
+                if not self._pq_active:
+                    self.index.enable_pq(chunks=chunks, ksub=self._pq_ksub)
+                    self._pq_active = True
+                    self._pq_stale = False
+        elif getattr(self, "_pq_stale", False):
+            # inserts/deletes since the last encode: refresh codes (one
+            # streaming device program; codebooks are not retrained)
+            with self._lock:
+                if self._pq_stale:
+                    self.index.refresh_pq_codes()
+                    self._pq_stale = False
+        return self._pq_active
 
     def search(
         self, query: np.ndarray, k: int, **kwargs: Any
@@ -190,6 +232,23 @@ class IndexingService:
             return self._ivf_search(query, k, **kwargs)
         if self.index_type == "sharded-hnsw":
             return self._sharded_search(query, k, **kwargs)
+        if (
+            kwargs.get("filter_ids") is None
+            and self._maybe_enable_pq(kwargs.get("pq_chunks"))
+        ):
+            ef = int(kwargs.get("ef", 50) or 50)
+            dists, ids = self.index.search_batch_pq(
+                np.asarray(query, np.float32)[None, :], k, ef=max(ef, k),
+                expand=4,
+            )
+            out = []
+            for nid, d in zip(ids[0], dists[0]):
+                if nid < 0:
+                    continue
+                node = self.index.storage.get(int(nid))
+                if node is not None:
+                    out.append((node, float(d)))
+            return out
         return self.index.search(query, k=k, **kwargs)
 
     def _sharded_search(self, query, k, **kwargs):
