@@ -292,6 +292,103 @@ def beam_layer(
     return res_d, res_s
 
 
+def beam_layer_unified(
+    graph: Graph,
+    score,
+    capacity: int,
+    entry_slot: jnp.ndarray,
+    entry_d: jnp.ndarray,
+    active: jnp.ndarray,
+    level: int,
+    ef: int,
+    M: int,
+    max_steps: int,
+    expand: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-pool best-first search for UNFILTERED queries (the common
+    case): one ef-wide pool holds the best visited nodes with per-entry
+    expanded flags — the hnswlib formulation. Equivalent to the two-pool
+    version when no result mask exists (results = top-ef visited), but does
+    ONE top-k merge per step instead of two, which is the measured
+    bottleneck of the loop. Returns (res_d f32[ef], res_s int32[ef]),
+    BIG/-1 padded, unsorted.
+    """
+    words = (capacity + 31) // 32
+    start = level_col_start(level, M)
+    width = level_width(level, M)
+    expand = max(1, min(expand, ef))
+
+    pool_d = jnp.full((ef,), BIG, jnp.float32).at[0].set(entry_d)
+    pool_s = jnp.full((ef,), -1, jnp.int32).at[0].set(entry_slot)
+    pool_e = jnp.zeros((ef,), bool)
+
+    visited = jnp.zeros((words,), jnp.int32)
+    e_word = jnp.maximum(entry_slot, 0) // 32
+    e_bit = jnp.maximum(entry_slot, 0) % 32
+    visited = visited.at[e_word].set(
+        jnp.where(entry_slot >= 0, (1 << e_bit).astype(jnp.int32), 0)
+    )
+
+    def cond(c):
+        pool_d, pool_s, pool_e, visited, steps = c
+        unexp = jnp.where(pool_e, BIG, pool_d)
+        best = jnp.min(unexp)
+        worst = jnp.max(pool_d)
+        go = (best < BIG_THRESH) & ~(best > worst)
+        return active & go & (steps < max_steps)
+
+    def body(c):
+        pool_d, pool_s, pool_e, visited, steps = c
+        unexp = jnp.where(pool_e, BIG, pool_d)
+        neg, pos = jax.lax.top_k(-unexp, expand)
+        pop_ok = -neg < BIG_THRESH
+        curs = jnp.where(pop_ok, pool_s[pos], -1)
+        pool_e = pool_e.at[pos].set(True)
+
+        rows = lax.dynamic_slice(
+            graph.neighbors[jnp.maximum(curs, 0)], (0, start),
+            (expand, 2 * M),
+        )
+        col_ok = jnp.arange(2 * M)[None, :] < width
+        nbr = jnp.where(col_ok & (curs[:, None] >= 0), rows, -1).reshape(-1)
+        safe = jnp.maximum(nbr, 0)
+
+        bits = (visited[safe // 32] >> (safe % 32)) & 1
+        fresh = (nbr >= 0) & (bits == 0)
+        if expand > 1:
+            order = jnp.argsort(nbr)
+            snbr = nbr[order]
+            first_sorted = jnp.concatenate(
+                [jnp.ones((1,), bool), snbr[1:] != snbr[:-1]]
+            )
+            first = jnp.zeros_like(fresh).at[order].set(first_sorted)
+            fresh = fresh & first
+
+        wordv = jnp.where(fresh, (1 << (safe % 32)).astype(jnp.int32), 0)
+        visited = visited.at[jnp.where(fresh, safe // 32, 0)].add(
+            jnp.where(fresh, wordv, 0)
+        )
+
+        d = score(jnp.where(fresh, nbr, -1))
+
+        cat_d = jnp.concatenate([pool_d, d])
+        cat_s = jnp.concatenate([pool_s, nbr])
+        cat_e = jnp.concatenate(
+            [pool_e, jnp.zeros((d.shape[0],), bool)]
+        )
+        negk, idx = jax.lax.top_k(-cat_d, ef)
+        pool_d = -negk
+        pool_s = jnp.where(pool_d < BIG_THRESH, cat_s[idx], -1)
+        pool_e = cat_e[idx]
+        return pool_d, pool_s, pool_e, visited, steps + 1
+
+    pool_d, pool_s, pool_e, visited, _ = lax.while_loop(
+        cond, body, (pool_d, pool_s, pool_e, visited, jnp.int32(0))
+    )
+    res_s = jnp.where(pool_d < BIG_THRESH, pool_s, -1)
+    return pool_d, res_s
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("M", "l_max", "ef", "k", "max_steps", "use_filter",
@@ -332,11 +429,18 @@ def search_batch(
         cur, cur_d = greedy_descent(
             graph, score, entry, entry_d, jnp.int32(1), M, l_max
         )
-        rd, rs = beam_layer(
-            graph, score, capacity, res_ok, cur, cur_d,
-            active=entry >= 0, res_mask=rm, level=0,
-            ef=ef, M=M, max_steps=max_steps, pool=pool, expand=expand,
-        )
+        if rm is None:
+            rd, rs = beam_layer_unified(
+                graph, score, capacity, cur, cur_d,
+                active=entry >= 0, level=0,
+                ef=ef, M=M, max_steps=max_steps, expand=expand,
+            )
+        else:
+            rd, rs = beam_layer(
+                graph, score, capacity, res_ok, cur, cur_d,
+                active=entry >= 0, res_mask=rm, level=0,
+                ef=ef, M=M, max_steps=max_steps, pool=pool, expand=expand,
+            )
         return masked_top_k_smallest(rd, rs, k)
 
     return jax.vmap(one)(queries)
@@ -397,10 +501,10 @@ def search_batch_pq(
         cur, cur_d = greedy_descent(
             graph, score, entry, entry_d, jnp.int32(1), M, l_max
         )
-        rd, rs = beam_layer(
-            graph, score, capacity, res_ok, cur, cur_d,
-            active=entry >= 0, res_mask=None, level=0,
-            ef=ef, M=M, max_steps=max_steps, pool=pool, expand=expand,
+        rd, rs = beam_layer_unified(
+            graph, score, capacity, cur, cur_d,
+            active=entry >= 0, level=0,
+            ef=ef, M=M, max_steps=max_steps, expand=expand,
         )
         if rerank:
             rd = _dist_to(q, emb, rs, has_emb)
@@ -454,9 +558,9 @@ def construction_search(
         css = []
         for level in range(l_max - 1, -1, -1):
             act = (graph.entry >= 0) & (level <= start_level)
-            rd, rs = beam_layer(
-                graph, score, capacity, res_ok, cur, cur_d,
-                active=act, res_mask=None, level=level,
+            rd, rs = beam_layer_unified(
+                graph, score, capacity, cur, cur_d,
+                active=act, level=level,
                 ef=efc, M=M, max_steps=max_steps,
             )
             rd = jnp.where(act, rd, BIG)
