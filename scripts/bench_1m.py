@@ -62,10 +62,14 @@ def main():
         exact_search_tiled(qd, index._emb, index._has_emb, K, tile=31250)[1]
     )
     log(f"exact gt: {time.perf_counter()-t0:.1f}s")
+    reps = 3
     t0 = time.perf_counter()
-    d, _ = exact_search_tiled(qd, index._emb, index._has_emb, K, tile=31250)
-    jax.block_until_ready(d)
-    exact_qps = B / (time.perf_counter() - t0)
+    for r in range(reps):
+        # vary inputs per rep: remote backends can memoize identical runs
+        d, _ = exact_search_tiled(qd * (1.0 + (r + 1) * 1e-6), index._emb,
+                                  index._has_emb, K, tile=31250)
+        jax.block_until_ready(d)
+    exact_qps = reps * B / (time.perf_counter() - t0)
     log(f"exact qps: {exact_qps:.0f}")
 
     results = {"N": N, "dim": DIM, "build_s": build_s,
@@ -73,9 +77,9 @@ def main():
                "hnsw": [], "hnsw_pq": []}
 
     for ef in [200, 400]:
-        index.search_batch(q, k=K, ef=ef, expand=4)
-        t0 = time.perf_counter()
         _, ids = index.search_batch(q, k=K, ef=ef, expand=4)
+        t0 = time.perf_counter()
+        index.search_batch(q * (1.0 + 1e-6), k=K, ef=ef, expand=4)
         el = time.perf_counter() - t0
         rec = float(np.mean(
             [len(set(ids[i]) & set(gt[i])) / K for i in range(B)]
@@ -87,9 +91,9 @@ def main():
     index.enable_pq(chunks=16, ksub=256)
     log(f"enable_pq: {time.perf_counter()-t0:.0f}s")
     for ef in [200, 400]:
-        index.search_batch_pq(q, k=K, ef=ef, expand=4)
-        t0 = time.perf_counter()
         _, ids = index.search_batch_pq(q, k=K, ef=ef, expand=4)
+        t0 = time.perf_counter()
+        index.search_batch_pq(q * (1.0 + 1e-6), k=K, ef=ef, expand=4)
         el = time.perf_counter() - t0
         rec = float(np.mean(
             [len(set(ids[i]) & set(gt[i])) / K for i in range(B)]

@@ -83,8 +83,10 @@ def main():
         return np.asarray(i)
 
     ids = run_matmul()
+    lut2 = _adc_lut(qd * (1.0 + 1e-6), codec.codebooks)
     t0 = time.perf_counter()
-    run_matmul()
+    d2, i2 = _adc_search_matmul(lut2, codes, valid, K, 256, tile=8192)
+    jax.block_until_ready(d2)
     qps_mm = B / (time.perf_counter() - t0)
     recall = float(np.mean(
         [len(set(ids[i]) & set(gt[i])) / K for i in range(B)]
@@ -115,8 +117,8 @@ def main():
     d_r, i_r = rerank(lut, qd, codes, corpus_dev[:N], valid)
     jax.block_until_ready(d_r)
     t0 = time.perf_counter()
-    d_r, i_r = rerank(lut, qd, codes, corpus_dev[:N], valid)
-    jax.block_until_ready(d_r)
+    d_x, i_x = rerank(lut2, qd * (1.0 + 1e-6), codes, corpus_dev[:N], valid)
+    jax.block_until_ready(d_x)
     qps_rr = B / (time.perf_counter() - t0)
     ids_r = np.asarray(i_r)
     recall_rr = float(np.mean(
