@@ -220,3 +220,57 @@ def test_storage_deleted_node_skipped(rng):
     index.sync_storage()
     results = index.search(nodes[12].embedding, k=5, ef=30)
     assert all(n.id != 12 for n, _ in results)
+
+
+def test_duplicate_ids_within_batch(rng):
+    """A duplicate id inside ONE batch must not allocate two slots
+    (diverges from the reference's idempotent insert otherwise: searches
+    return the id twice and delete leaves a ghost row)."""
+    index = HNSW(M=4, ef_construction=20, rng=random.Random(42))
+    v = rng.standard_normal(8).astype(np.float32)
+    dup = [Node(id=7, embedding=v, metadata={}),
+           Node(id=7, embedding=v + 0.01, metadata={}),
+           Node(id=8, embedding=rng.standard_normal(8).astype(np.float32))]
+    index.insert_nodes(dup)
+    assert index.size == 2
+    live_slots = int(np.asarray(index._has_emb).sum())
+    assert live_slots == 2
+    ids = [n.id for n, _ in index.search(v, k=4, ef=20)]
+    assert ids.count(7) == 1
+    index.delete_node(7)
+    assert index.size == 1
+    ids = [n.id for n, _ in index.search(v, k=4, ef=20)]
+    assert 7 not in ids
+
+
+def test_duplicate_ids_insert_arrays(rng):
+    index = HNSW(M=4, ef_construction=20, rng=random.Random(42))
+    embs = rng.standard_normal((4, 8)).astype(np.float32)
+    index.insert_arrays([3, 3, 4, 4], embs)
+    assert index.size == 2
+    assert int(np.asarray(index._has_emb).sum()) == 2
+
+
+def test_duplicate_ids_bulk_build(rng):
+    index = HNSW(M=4, ef_construction=20, rng=random.Random(42))
+    embs = rng.standard_normal((5, 8)).astype(np.float32)
+    index.bulk_build([0, 1, 1, 2, 2], embs)
+    assert index.size == 3
+    assert int(np.asarray(index._has_emb).sum()) == 3
+
+
+def test_delete_clears_incoming_edges(rng):
+    """After delete, NO row anywhere may still reference the freed slot:
+    slots are recycled, so a stale incoming (asymmetric) edge would alias
+    an unrelated new node (the reference's id-keyed graph never aliases)."""
+    nodes = make_nodes(rng, 60, 8)
+    index = HNSW(M=4, ef_construction=30, rng=random.Random(42))
+    for n in nodes:
+        index.insert_node(n)
+    for victim in (13, 37, 5):
+        slot = index._slot_of_id[victim]
+        index.delete_node(victim)
+        table = np.asarray(index.graph.neighbors)
+        assert not (table == slot).any(), (
+            f"stale edges to deleted slot {slot} remain"
+        )

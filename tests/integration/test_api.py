@@ -256,3 +256,38 @@ def test_stats_endpoint(config_path, tmp_path):
         await client.close()
 
     run(go())
+
+
+def test_n_probe_forwarded_to_service(config_path, tmp_path):
+    """QueryRequest.n_probe must reach the index (the reference accepts it
+    in its schema but its HNSW-only service drops it; our IVF honors it)."""
+    seen = {}
+
+    async def go():
+        embedding = EmbeddingService(config_path)
+        storage = StorageService(str(tmp_path / "vdb"), dim=32, capacity=256)
+        indexing = IndexingService(
+            storage=storage.storage, config_path=config_path,
+            index_file=str(tmp_path / "vdb.index.npz"),
+        )
+        orig = indexing.search
+
+        def spy(query, k, **kwargs):
+            seen.update(kwargs)
+            return orig(query, k, **kwargs)
+
+        indexing.search = spy
+        from vector_db_tpu.api.app import create_app as mk
+        app = mk(config_path=config_path, embedding_client=embedding,
+                 storage_service=storage, indexing_service=indexing)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        await client.post("/embed", json={"content": "a doc"})
+        r = await client.post(
+            "/search", json={"query": "a doc", "top_k": 1, "n_probe": 3}
+        )
+        assert r.status == 200
+        await client.close()
+
+    run(go())
+    assert seen.get("n_probe") == 3

@@ -156,3 +156,47 @@ def test_pq_chunks_request_param(tmp_path, rng):
     res = svc.search(nodes[5].embedding, k=1, ef=40, pq_chunks=4)
     assert svc._pq_active
     assert res[0][0].id == 5
+
+
+def test_ivf_batch_filter_ids(tmp_path, rng):
+    """search_batch must honor filter_ids for IVF (filters often implement
+    tenancy/ACL; dropping them silently leaks excluded documents)."""
+    cfg = make_config(tmp_path, "ivf", ivf_k=4)
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 40)
+    svc.insert_nodes(nodes)
+    allowed = {n.id for n in nodes if n.metadata["par"] == 0}
+    q = np.stack([nodes[1].embedding, nodes[2].embedding])
+    _, ids = svc.search_batch(q, k=5, n_probe=4, filter_ids=allowed)
+    got = {int(i) for row in ids for i in row if i >= 0}
+    assert got, "filtered batch search returned nothing"
+    assert got <= allowed
+
+
+def test_ivf_n_probe_changes_probing(tmp_path, rng):
+    """n_probe must actually change probing: a query whose true nearest
+    neighbor sits in its SECOND-nearest cluster misses it at n_probe=1 and
+    finds it at n_probe=2."""
+    cfg = make_config(tmp_path, "ivf", ivf_k=2)
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    c1 = np.zeros(16, np.float32); c1[0] = 10.0
+    c2 = np.zeros(16, np.float32); c2[1] = 10.0
+    nodes = []
+    for i in range(10):  # tight cluster around c1
+        v = c1 + 0.1 * rng.standard_normal(16).astype(np.float32)
+        nodes.append(Node(id=i, embedding=v))
+    for i in range(10, 20):  # tight cluster around c2
+        v = c2 + 0.1 * rng.standard_normal(16).astype(np.float32)
+        nodes.append(Node(id=i, embedding=v))
+    # id 99: assigned to cluster 2 (closer to c2) but very close to the query
+    p2 = np.zeros(16, np.float32); p2[0], p2[1] = 5.0, 6.0
+    nodes.append(Node(id=99, embedding=p2))
+    svc.insert_nodes(nodes)
+    # query: nearest centroid is c1, but the true NN is p2 in cluster 2
+    q = np.zeros(16, np.float32); q[0], q[1] = 6.0, 4.9
+    near = svc.search(q, k=1, n_probe=1)
+    far = svc.search(q, k=1, n_probe=2)
+    assert far[0][0].id == 99
+    assert near[0][0].id != 99

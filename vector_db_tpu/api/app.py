@@ -78,6 +78,17 @@ def _error(status: int, detail: str) -> web.Response:
     return web.json_response({"detail": detail}, status=status)
 
 
+async def _offload(request: web.Request, fn):
+    """Run blocking work (sync embedding HTTP calls, device search — a cold
+    XLA compile can take minutes) in the default executor so the event loop
+    keeps serving /health etc. The reference's sync FastAPI handlers get
+    this from Starlette's threadpool for free; aiohttp handlers must opt in.
+    """
+    import asyncio
+
+    return await asyncio.get_running_loop().run_in_executor(None, fn)
+
+
 def _services(request: web.Request):
     app = request.app
     return app.get("embedding_client"), app.get("storage_service"), app.get(
@@ -164,7 +175,9 @@ async def embed_document(request: web.Request) -> web.Response:
     except (ValidationError, ValueError) as e:
         return _error(422, str(e))
     try:
-        embedding = embedding_client.embed_text(req.content)
+        embedding = await _offload(
+            request, lambda: embedding_client.embed_text(req.content)
+        )
         node_id = storage_service.get_next_id()
         node = Node(
             id=node_id,
@@ -173,7 +186,7 @@ async def embed_document(request: web.Request) -> web.Response:
             metadata=req.metadata or {},
         )
         storage_service.save(node)
-        indexing_service.insert_node(node)
+        await _offload(request, lambda: indexing_service.insert_node(node))
         return web.json_response(
             {
                 "status_code": 200,
@@ -197,7 +210,9 @@ async def embed_documents_batch(request: web.Request) -> web.Response:
     except (ValidationError, ValueError) as e:
         return _error(422, str(e))
     try:
-        embeddings = embedding_client.embed_texts(req.contents)
+        embeddings = await _offload(
+            request, lambda: embedding_client.embed_texts(req.contents)
+        )
         metadatas = req.metadatas or [None] * len(req.contents)
         nodes = []
         for content, emb, meta in zip(req.contents, embeddings, metadatas):
@@ -208,7 +223,7 @@ async def embed_documents_batch(request: web.Request) -> web.Response:
             )
             storage_service.save(node)
             nodes.append(node)
-        indexing_service.insert_nodes(nodes)
+        await _offload(request, lambda: indexing_service.insert_nodes(nodes))
         return web.json_response(
             {
                 "status_code": 200,
@@ -230,7 +245,9 @@ async def search_index(request: web.Request) -> web.Response:
     except (ValidationError, ValueError) as e:
         return _error(422, str(e))
     try:
-        query_embedding = embedding_client.embed_text(req.query)
+        query_embedding = await _offload(
+            request, lambda: embedding_client.embed_text(req.query)
+        )
 
         filter_ids = None
         if req.metadata_filter:
@@ -241,14 +258,21 @@ async def search_index(request: web.Request) -> web.Response:
                     {"status_code": 200, "results": [], "error": None}
                 )
 
-        search_kwargs: Dict[str, Any] = {"ef": req.ef, "filter_ids": filter_ids}
+        search_kwargs: Dict[str, Any] = {
+            "ef": req.ef,
+            "filter_ids": filter_ids,
+            "n_probe": req.n_probe,  # honored by IVF, ignored elsewhere
+        }
         if req.pq_chunks:
             search_kwargs["pq_chunks"] = req.pq_chunks
         if req.params:
             search_kwargs.update(req.params)
 
-        results = indexing_service.search(
-            query=query_embedding, k=req.top_k, **search_kwargs
+        results = await _offload(
+            request,
+            lambda: indexing_service.search(
+                query=query_embedding, k=req.top_k, **search_kwargs
+            ),
         )
         formatted = [
             {
@@ -277,7 +301,9 @@ async def search_index_batch(request: web.Request) -> web.Response:
     except (ValidationError, ValueError) as e:
         return _error(422, str(e))
     try:
-        queries = embedding_client.embed_texts(req.queries)
+        queries = await _offload(
+            request, lambda: embedding_client.embed_texts(req.queries)
+        )
         filter_ids = None
         if req.metadata_filter:
             filter_ids = storage_service.filter_by_metadata(req.metadata_filter)
@@ -289,9 +315,12 @@ async def search_index_batch(request: web.Request) -> web.Response:
                         "error": None,
                     }
                 )
-        dists, ids = indexing_service.search_batch(
-            np.asarray(queries, np.float32), req.top_k, ef=req.ef,
-            filter_ids=filter_ids,
+        dists, ids = await _offload(
+            request,
+            lambda: indexing_service.search_batch(
+                np.asarray(queries, np.float32), req.top_k, ef=req.ef,
+                filter_ids=filter_ids, n_probe=req.n_probe,
+            ),
         )
         results = []
         for row_ids, row_d in zip(ids, dists):

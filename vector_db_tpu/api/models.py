@@ -60,6 +60,7 @@ class BatchQueryRequest(BaseModel):
     top_k: int = 5
     metadata_filter: Optional[Dict[str, Any]] = None
     ef: int = 50
+    n_probe: int = 10  # For IVF
     params: Optional[Dict[str, Any]] = None
 
 

@@ -275,9 +275,16 @@ class HNSW:
         # storage first (reference hnsw.py:150)
         for node in nodes:
             self.storage.save(node)
-        fresh = [n for n in nodes if n.id not in self._slot_of_id]
-        # reference samples a level per insert_node call even for dup ids?
-        # No — it returns before sampling (hnsw.py:152-155). Match that.
+        # Idempotent insert (hnsw.py:152-155) — against the existing graph
+        # AND within the batch: a duplicate id inside one batch would
+        # otherwise allocate two slots for one id (ghost row after delete).
+        seen: Set[int] = set()
+        fresh = []
+        for n in nodes:
+            if n.id in self._slot_of_id or n.id in seen:
+                continue
+            seen.add(n.id)
+            fresh.append(n)
         if not fresh:
             return
         self._ensure_init(len(np.asarray(fresh[0].embedding)))
@@ -316,6 +323,16 @@ class HNSW:
         if self.size > 0:
             raise ValueError("bulk_build requires an empty index")
         embeddings = np.asarray(embeddings, np.float32)
+        ids = list(ids)
+        if len(set(ids)) != len(ids):  # keep first occurrence per id
+            seen: Set[int] = set()
+            keep = []
+            for i, nid in enumerate(ids):
+                if nid not in seen:
+                    seen.add(nid)
+                    keep.append(i)
+            ids = [ids[i] for i in keep]
+            embeddings = embeddings[keep]
         n = embeddings.shape[0]
         if n == 0:
             return
@@ -404,7 +421,13 @@ class HNSW:
         per-Node storage round-trip (benchmark / engine-internal path; node
         payloads can be attached to storage separately)."""
         embeddings = np.asarray(embeddings, np.float32)
-        keep = [i for i, nid in enumerate(ids) if nid not in self._slot_of_id]
+        seen: Set[int] = set()
+        keep = []
+        for i, nid in enumerate(ids):
+            if nid in self._slot_of_id or nid in seen:
+                continue
+            seen.add(nid)
+            keep.append(i)
         if not keep:
             return
         self._ensure_init(embeddings.shape[1])

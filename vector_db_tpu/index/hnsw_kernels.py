@@ -728,28 +728,23 @@ def insert_step(
 def delete_slot(graph: Graph, slot: jnp.ndarray, M: int, l_max: int) -> Graph:
     """Remove a node: drop incident edges both ways, clear its rows, and
     re-elect the entry point as the highest-level survivor (reference
-    delete_node, hnsw.py:227-277)."""
+    delete_node, hnsw.py:227-277).
+
+    Unlinking scans the WHOLE neighbor table, not just the deleted node's
+    own rows: backlink pruning makes edges asymmetric, and a surviving
+    incoming edge would alias whatever new node later recycles the slot
+    (the reference's id-keyed dict graph can never alias). One vectorized
+    compare-and-mask pass over [capacity, ncols] replaces the per-edge
+    unlink loop — also far fewer HLO ops."""
     neighbors, levels, entry, entry_level = graph
     present = levels[slot] >= 0
 
-    for level in range(l_max):
-        start = level_col_start(level, M)
-        width = level_width(level, M)
-        row = lax.dynamic_slice(neighbors, (slot, start), (1, width))[0]
-        for j in range(width):
-            n = row[j]
-            act = present & (n >= 0)
-            n_safe = jnp.maximum(n, 0)
-            nrow = lax.dynamic_slice(neighbors, (n_safe, start), (1, width))[0]
-            cleared = jnp.where(nrow == slot, -1, nrow)
-            cleared = jnp.where(act, cleared, nrow)
-            neighbors = lax.dynamic_update_slice(
-                neighbors, cleared[None, :], (n_safe, start)
-            )
-        # clear own row
-        empty = jnp.full((width,), -1, jnp.int32)
-        own = jnp.where(present, empty, row)
-        neighbors = lax.dynamic_update_slice(neighbors, own[None, :], (slot, start))
+    # clear every reference to the slot anywhere in the table, then the
+    # slot's own rows (row write covers all levels at once)
+    neighbors = jnp.where(present & (neighbors == slot), -1, neighbors)
+    own = jnp.where(present, jnp.full_like(neighbors[slot], -1),
+                    neighbors[slot])
+    neighbors = neighbors.at[slot].set(own)
 
     levels = levels.at[slot].set(jnp.where(present, -1, levels[slot]))
 

@@ -45,7 +45,20 @@ def load_metadata_lib() -> Optional[ctypes.CDLL]:
     so = _build(_SRC)
     if so is None:
         return None
-    lib = ctypes.CDLL(str(so))
+    # A stale/foreign-platform .so must degrade to the Python fallback,
+    # not crash StorageService init.
+    try:
+        lib = ctypes.CDLL(str(so))
+        _bind_symbols(lib)
+    except OSError:
+        return None
+    except AttributeError:
+        return None
+    _LIB = lib
+    return _LIB
+
+
+def _bind_symbols(lib: ctypes.CDLL) -> None:
     lib.mdx_new.restype = ctypes.c_void_p
     lib.mdx_free.argtypes = [ctypes.c_void_p]
     lib.mdx_set.argtypes = [
@@ -63,5 +76,3 @@ def load_metadata_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
     ]
     lib.mdx_query.restype = ctypes.c_int64
-    _LIB = lib
-    return _LIB

@@ -129,12 +129,12 @@ class ShardedFlatIndex:
 
     def insert(self, ids: Sequence[int], embeddings: np.ndarray) -> None:
         embeddings = np.asarray(embeddings, np.float32)
-        gslots = np.array(
-            [self._gslot_of_id.get(i, -1) for i in ids], np.int64
-        )
+        # look up per element as routing proceeds so a duplicate id within
+        # one batch reuses the slot allocated for its first occurrence
+        gslots = np.empty((len(ids),), np.int64)
         for j, nid in enumerate(ids):
-            if gslots[j] < 0:
-                gslots[j] = self._route(int(nid))
+            g = self._gslot_of_id.get(int(nid), -1)
+            gslots[j] = g if g >= 0 else self._route(int(nid))
         self._emb, self._valid = self._write_fn(
             self._emb, self._valid, jnp.asarray(gslots, jnp.int32),
             jnp.asarray(embeddings),

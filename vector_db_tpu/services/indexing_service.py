@@ -296,10 +296,21 @@ class IndexingService:
         return results[:k]
 
     def search_batch(self, queries: np.ndarray, k: int, **kwargs: Any):
+        n_probe = kwargs.pop("n_probe", None)
         if self.index_type == "ivf":
-            n_probe = int(kwargs.get("n_probe", 10) or 10)
+            n_probe = int(n_probe or 10)
             n_probe = max(1, min(n_probe, self.index.k))
-            return self.index.search_batch(queries, n_probe=n_probe, top_k=k)
+            # filters implement tenancy/ACL — forward them (mirrors
+            # _ivf_search; a dropped filter silently leaks excluded docs)
+            return self.index.search_batch(
+                queries, n_probe=n_probe, top_k=k,
+                filter_ids=kwargs.get("filter_ids"),
+            )
+        if self.index_type == "flat":
+            # exact search has no ef/beam knobs
+            return self.index.search_batch(
+                queries, k, filter_ids=kwargs.get("filter_ids")
+            )
         return self.index.search_batch(queries, k, **kwargs)
 
     def save_index(self) -> None:
