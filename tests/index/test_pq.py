@@ -105,3 +105,62 @@ def test_encode_before_train_raises(rng):
     codec = PQCodec(k=2, chunks=2, dim=8)
     with pytest.raises(ValueError, match="trained"):
         codec.encode(rng.standard_normal((4, 8)).astype(np.float32))
+
+
+def test_opq_rotation_improves_reconstruction(rng):
+    """On coordinate-correlated data OPQ must cut quantization error vs
+    plain PQ (the rotation decorrelates subspaces)."""
+    from vector_db_tpu.index.pq import PQCodec
+
+    # strongly correlated dims: low-rank mixing
+    u = rng.standard_normal((2000, 4)).astype(np.float32)
+    mix = rng.standard_normal((4, 32)).astype(np.float32)
+    x = (u @ mix + 0.05 * rng.standard_normal((2000, 32))).astype(np.float32)
+
+    plain = PQCodec(k=16, chunks=8, dim=32)
+    plain.train(x, seed=0, iters=25, restarts=1)
+    err_plain = np.mean((plain.decode(plain.encode(x)) - x) ** 2)
+
+    opq = PQCodec(k=16, chunks=8, dim=32)
+    opq.train(x, seed=0, iters=25, restarts=1, opq_iters=6)
+    assert opq.rotation is not None
+    r = np.asarray(opq.rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(32), atol=1e-4)  # orthogonal
+    err_opq = np.mean((opq.decode(opq.encode(x)) - x) ** 2)
+    assert err_opq < 0.7 * err_plain, (err_opq, err_plain)
+
+
+def test_opq_hnsw_search(rng):
+    """HNSW PQ traversal with OPQ rotation: exact-rerank contract holds."""
+    import random as _random
+
+    from vector_db_tpu.index.hnsw import HNSW
+    from vector_db_tpu.types import Node
+
+    u = rng.standard_normal((300, 4)).astype(np.float32)
+    mix = rng.standard_normal((4, 32)).astype(np.float32)
+    x = (u @ mix + 0.05 * rng.standard_normal((300, 32))).astype(np.float32)
+    index = HNSW(M=8, ef_construction=40, rng=_random.Random(42))
+    index.build_index([Node(id=i, embedding=x[i]) for i in range(300)])
+    index.enable_pq(chunks=8, ksub=16, opq_iters=4)
+    dists, ids = index.search_batch_pq(x[:5], k=3, ef=40)
+    assert ids.shape == (5, 3)
+    for i in range(5):
+        assert ids[i, 0] == i
+        assert dists[i, 0] < 2e-2  # expanded-L2 f32 rounding at this scale
+
+
+def test_opq_ivf_search(rng):
+    from vector_db_tpu.index.ivf import IvfIndex
+    from vector_db_tpu.types import Node
+
+    u = rng.standard_normal((300, 4)).astype(np.float32)
+    mix = rng.standard_normal((4, 32)).astype(np.float32)
+    x = (u @ mix + 0.05 * rng.standard_normal((300, 32))).astype(np.float32)
+    index = IvfIndex(k=8)
+    index.build_index([Node(id=i, embedding=x[i]) for i in range(300)])
+    index.enable_pq(chunks=8, ksub=16, opq_iters=4)
+    dists, ids = index.search_batch(x[:5], n_probe=8, top_k=3, pq=True)
+    for i in range(5):
+        assert ids[i, 0] == i
+        assert dists[i, 0] < 2e-2  # expanded-L2 f32 rounding at this scale

@@ -200,3 +200,28 @@ def test_ivf_n_probe_changes_probing(tmp_path, rng):
     far = svc.search(q, k=1, n_probe=2)
     assert far[0][0].id == 99
     assert near[0][0].id != 99
+
+
+def test_flat_bf16_precision(tmp_path, rng):
+    """bf16 scan mode: same contract as f32, near-identical ranking."""
+    cfg = make_config(tmp_path, "flat", precision="bf16")
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 50)
+    svc.insert_nodes(nodes)
+    res = svc.search(nodes[7].embedding, k=1)
+    assert res[0][0].id == 7
+    assert res[0][1] < 1e-3  # k survivors are exactly re-scored
+    # mutations invalidate the mirror: a new node must be findable
+    from vector_db_tpu.types import Node as _N
+    v = rng.standard_normal(16).astype(np.float32)
+    svc.insert_node(_N(id=500, embedding=v))
+    assert svc.search(v, k=1)[0][0].id == 500
+    svc.delete_node(500)
+    assert all(n.id != 500 for n, _ in svc.search(v, k=5))
+    # top-5 overlap with exact brute force >= 4/5 (bf16 rounding only)
+    q = rng.standard_normal(16).astype(np.float32)
+    got = {n.id for n, _ in svc.search(q, k=5)}
+    d = [np.linalg.norm(q - n.embedding) for n in nodes]
+    want = {nodes[i].id for i in np.argsort(d)[:5]}
+    assert len(got & want) >= 4

@@ -180,6 +180,17 @@ class HNSW:
         self.level_mult = 1.0 / math.log(self.M) if self.M > 1 else 1.0
         # beam expansion budget; 0 = auto (2*ef + 16 at query time)
         self.max_steps = int(max_steps)
+        # edge-commit strategy: "grouped" (batch-parallel, default) or
+        # "sequential" (item-at-a-time fori_loop; reference-faithful fold)
+        self.commit_mode = "grouped"
+        # construction-beam multi-pop: expand E candidates per step (the
+        # sequential step count is the insert bottleneck; the explored set
+        # at equal ef_construction is a superset of best-first's)
+        self.insert_expand = 4
+        # candidate generation for streaming inserts: "exact" (tiled MXU
+        # scan of the table — faster below ~10M rows AND exact) or "beam"
+        # (reference-shaped per-item beam search)
+        self.construction_mode = "exact"
 
         self.graph: Optional[K.Graph] = None
         self._store = DeviceVectorStore(
@@ -457,15 +468,29 @@ class HNSW:
         embs_p[:b] = embs_np
         self._store.write(slots, embs_p)
 
-        max_steps = self.max_steps or (2 * self.ef_construction + 16)
         # search + commit as ONE device program: on remote/tunneled
         # backends each dispatch costs real latency, so fewer calls wins
-        self.graph = K.insert_step(
-            self.graph, self._emb, self._has_emb,
-            jnp.asarray(embs_p), jnp.asarray(slots), jnp.asarray(levels),
-            M=self.M, l_max=self.l_max,
-            ef_construction=self.ef_construction, max_steps=max_steps,
-        )
+        if self.construction_mode == "exact":
+            tile = min(self._capacity, 32768)  # capacities are powers of 2
+            self.graph = K.insert_step_exact(
+                self.graph, self._emb, self._has_emb,
+                jnp.asarray(embs_p), jnp.asarray(slots), jnp.asarray(levels),
+                M=self.M, l_max=self.l_max,
+                ef_construction=self.ef_construction,
+                ef_upper=min(self.ef_construction, 64), tile=tile,
+                commit=self.commit_mode,
+            )
+        else:
+            expand = max(1, int(self.insert_expand))
+            max_steps = self.max_steps or (2 * self.ef_construction + 16)
+            max_steps = max(48, max_steps // expand)
+            self.graph = K.insert_step(
+                self.graph, self._emb, self._has_emb,
+                jnp.asarray(embs_p), jnp.asarray(slots), jnp.asarray(levels),
+                M=self.M, l_max=self.l_max,
+                ef_construction=self.ef_construction, max_steps=max_steps,
+                commit=self.commit_mode, expand=expand,
+            )
 
     # ------------------------------------------------------------------
     def delete_node(self, node_id: int) -> None:
@@ -482,13 +507,17 @@ class HNSW:
 
     # ------------------------------------------------------------------
     def enable_pq(self, chunks: int = 16, ksub: int = 256, seed: int = 0,
-                  restarts: int = 2) -> None:
+                  restarts: int = 2, opq_iters: int = 0) -> None:
         """Attach a product-quantized traversal path: train per-subspace
         codebooks on the current corpus and encode every stored vector.
         Subsequent ``search_batch(..., pq=True)`` traverses on ADC
         distances and reranks the final candidates exactly. (The reference
         accepts a ``pq_chunks`` search param but never uses it,
-        api/models.py:18 vs hnsw.py:330-341.)"""
+        api/models.py:18 vs hnsw.py:330-341.)
+
+        ``opq_iters`` > 0 trains an OPQ rotation first (see PQCodec.train)
+        — one extra matmul per encode/query, large ADC recall gain on
+        correlated data."""
         from vector_db_tpu.index.pq import PQCodec, _encode_scan
 
         if self._dim is None or self.size == 0:
@@ -502,7 +531,8 @@ class HNSW:
         if live_slots.size > 131072:
             live_slots = rng.choice(live_slots, 131072, replace=False)
         sample = np.asarray(self._emb[jnp.asarray(live_slots)])
-        self._pq.train(sample, seed=seed, restarts=restarts)
+        self._pq.train(sample, seed=seed, restarts=restarts,
+                       opq_iters=opq_iters)
         # encode the whole device table in one streaming program (invalid
         # rows get garbage codes; has_emb masks them at query time)
         enc_chunk = 8192
@@ -514,7 +544,8 @@ class HNSW:
             if pad else self._emb
         )
         self._pq_codes = _encode_scan(
-            emb_enc, self._pq.codebooks, chunk=enc_chunk
+            emb_enc, self._pq.codebooks, chunk=enc_chunk,
+            rotation=self._pq.rotation,
         )[: self._capacity]
 
     def refresh_pq_codes(self) -> None:
@@ -534,7 +565,8 @@ class HNSW:
             if pad else self._emb
         )
         self._pq_codes = _encode_scan(
-            emb_enc, self._pq.codebooks, chunk=enc_chunk
+            emb_enc, self._pq.codebooks, chunk=enc_chunk,
+            rotation=self._pq.rotation,
         )[: self._capacity]
 
     def search_batch_pq(
@@ -554,10 +586,11 @@ class HNSW:
             return (np.full((b, k), np.inf, np.float32),
                     np.full((b, k), -1, np.int64))
         ef = max(ef, k)
+        q_dev = jnp.asarray(np.asarray(queries, np.float32))
         d_sq, slots = K.search_batch_pq(
             self.graph, self._pq_codes, self._pq.codebooks,
             self._emb, self._has_emb,
-            jnp.asarray(np.asarray(queries, np.float32)),
+            q_dev, self._pq.rotate_queries(q_dev),
             M=self.M, l_max=self.l_max, ef=ef, k=k,
             max_steps=self.max_steps or (2 * ef + 16),
             pool=ef, expand=expand, rerank=rerank,

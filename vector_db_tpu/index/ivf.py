@@ -77,6 +77,7 @@ def _ivf_search_batch_pq(
     emb: jnp.ndarray,         # f32[capacity, d] (rerank only)
     has_emb: jnp.ndarray,
     queries: jnp.ndarray,
+    queries_rot: jnp.ndarray,  # queries in code space (OPQ; may alias)
     n_probe: int,
     top_k: int,
     rerank: bool,
@@ -88,7 +89,7 @@ def _ivf_search_batch_pq(
 
     cd = l2_sq_pairwise(queries, centroids)
     _, probe = jax.lax.top_k(-cd, n_probe)
-    lut = _adc_lut(queries, codebooks)  # [B, chunks, ksub]
+    lut = _adc_lut(queries_rot, codebooks)  # [B, chunks, ksub]
 
     def one(q, probe_row, lut_q):
         members = lists[probe_row].reshape(-1)
@@ -289,10 +290,11 @@ class IvfIndex:
         return out
 
     def enable_pq(self, chunks: int = 16, ksub: int = 256, seed: int = 0,
-                  restarts: int = 2) -> None:
+                  restarts: int = 2, opq_iters: int = 0) -> None:
         """Attach IVF-PQ scoring: train codebooks on the stored vectors and
         encode them; subsequent ``search_batch(..., pq=True)`` scores probed
-        candidates by asymmetric PQ distance with exact rerank."""
+        candidates by asymmetric PQ distance with exact rerank.
+        ``opq_iters`` > 0 trains an OPQ rotation first (PQCodec.train)."""
         from vector_db_tpu.index.pq import PQCodec
 
         if self.centroids is None:
@@ -302,7 +304,8 @@ class IvfIndex:
         ksub = min(ksub, max(2, n_live))
         self._pq = PQCodec(k=ksub, chunks=chunks, dim=self._dim)
         emb_np = np.asarray(self._emb)
-        self._pq.train(emb_np[live], seed=seed, restarts=restarts)
+        self._pq.train(emb_np[live], seed=seed, restarts=restarts,
+                       opq_iters=opq_iters)
         codes = np.zeros((self._capacity, chunks), np.int32)
         codes[live] = self._pq.encode(emb_np[live])
         self._pq_codes = jnp.asarray(codes)
@@ -327,6 +330,7 @@ class IvfIndex:
             d_sq, slots = _ivf_search_batch_pq(
                 self._centroids_dev, self._device_lists(), self._pq_codes,
                 self._pq.codebooks, self._emb, self._has_emb, q,
+                self._pq.rotate_queries(q),
                 n_probe=int(n_probe), top_k=int(top_k), rerank=rerank,
             )
         else:

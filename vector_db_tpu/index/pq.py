@@ -50,15 +50,21 @@ def _encode_scan(
     emb: jnp.ndarray,        # f32[N, dim], N multiple of chunk
     codebooks: jnp.ndarray,  # f32[m, k, subdim]
     chunk: int = 8192,
+    rotation: Optional[jnp.ndarray] = None,  # f32[dim, dim] (OPQ)
 ) -> jnp.ndarray:
     """Large-corpus encoder: streams row chunks under lax.scan so the
-    [m, N, k] distance tensor never materializes. Returns int32[N, m]."""
+    [m, N, k] distance tensor never materializes. With ``rotation`` set
+    (OPQ), each chunk is rotated before encoding — one extra [chunk, dim] x
+    [dim, dim] matmul, never a rotated copy of the table. Returns
+    int32[N, m]."""
     n, dim = emb.shape
     m, k, subdim = codebooks.shape
     assert n % chunk == 0
 
     def body(_, c_idx):
         rows = jax.lax.dynamic_slice(emb, (c_idx * chunk, 0), (chunk, dim))
+        if rotation is not None:
+            rows = jnp.dot(rows, rotation, preferred_element_type=jnp.float32)
         sub = rows.reshape(chunk, m, subdim).transpose(1, 0, 2)
         d = jax.vmap(l2_sq_pairwise)(sub, codebooks)  # [m, chunk, k]
         return None, jnp.argmin(d, axis=-1).astype(jnp.int32).T
@@ -186,6 +192,11 @@ class PQCodec:
         self.dim = int(dim)
         self.subdim = dim // chunks
         self.codebooks: Optional[jnp.ndarray] = None  # f32[chunks, k, subdim]
+        # OPQ rotation (f32[dim, dim], orthogonal) or None. L2 distances are
+        # rotation-invariant, so ADC distances computed in the rotated space
+        # estimate original-space distances — the rotation only decorrelates
+        # the subspaces so codebooks quantize better (Ge et al., OPQ).
+        self.rotation: Optional[jnp.ndarray] = None
 
     def _validate(self, embeddings: np.ndarray) -> None:
         if not isinstance(embeddings, np.ndarray):
@@ -201,22 +212,57 @@ class PQCodec:
             )
 
     def _subspaces(self, embeddings: np.ndarray) -> jnp.ndarray:
-        n = embeddings.shape[0]
-        return jnp.asarray(
-            embeddings.reshape(n, self.chunks, self.subdim).transpose(1, 0, 2)
-        )
+        x = jnp.asarray(embeddings)
+        if self.rotation is not None:
+            x = jnp.dot(x, self.rotation, preferred_element_type=jnp.float32)
+        n = x.shape[0]
+        return x.reshape(n, self.chunks, self.subdim).transpose(1, 0, 2)
 
     def train(self, embeddings: np.ndarray, seed: int = 0,
-              iters: int = 100, restarts: int = 4) -> None:
+              iters: int = 100, restarts: int = 4,
+              opq_iters: int = 0, opq_sample: int = 65536) -> None:
         """Train per-subspace codebooks. ``restarts`` > 1 runs vmapped
         k-means restarts and keeps the best inertia per subspace — the
-        reference's single scipy kmeans2 run (pq.py:64-75) is restarts=1."""
+        reference's single scipy kmeans2 run (pq.py:64-75) is restarts=1.
+
+        ``opq_iters`` > 0 first learns an orthogonal rotation by the OPQ
+        alternating procedure: rotate -> train light codebooks -> encode/
+        decode -> Procrustes-update R from the SVD of X^T X_hat. The
+        rotation costs one matmul at encode/query time and typically
+        recovers large ADC recall on correlated (real-embedding-like) data.
+        """
         self._validate(embeddings)
         if embeddings.shape[0] < self.k:
             raise ValueError(
                 f"Need at least {self.k} vectors for {self.k} centroids"
             )
-        sub = self._subspaces(embeddings.astype(np.float32))
+        x = embeddings.astype(np.float32)
+        if opq_iters > 0:
+            xs = x
+            if xs.shape[0] > opq_sample:
+                sel = np.random.default_rng(seed).choice(
+                    xs.shape[0], opq_sample, replace=False
+                )
+                xs = xs[sel]
+            xd = jnp.asarray(xs)
+            r = jnp.eye(self.dim, dtype=jnp.float32)
+            for t in range(opq_iters):
+                xr = jnp.dot(xd, r, preferred_element_type=jnp.float32)
+                sub = xr.reshape(
+                    xr.shape[0], self.chunks, self.subdim
+                ).transpose(1, 0, 2)
+                cb, _ = kmeans_multi(
+                    sub, self.k, jax.random.key(seed + 1 + t),
+                    iters=12, restarts=1,
+                )
+                xhat = _decode(_encode(sub, cb), cb)  # rotated-space recon
+                m = np.asarray(
+                    jnp.dot(xd.T, xhat, preferred_element_type=jnp.float32)
+                )
+                u, _, vt = np.linalg.svd(m)
+                r = jnp.asarray((u @ vt).astype(np.float32))
+            self.rotation = r
+        sub = self._subspaces(x)
         self.codebooks, _ = kmeans_multi(
             sub, self.k, jax.random.key(seed), iters=iters, restarts=restarts
         )
@@ -231,14 +277,24 @@ class PQCodec:
     def decode(self, codes: np.ndarray) -> np.ndarray:
         if self.codebooks is None:
             raise ValueError("Codec must be trained before decoding")
-        return np.asarray(_decode(jnp.asarray(codes, jnp.int32), self.codebooks))
+        out = _decode(jnp.asarray(codes, jnp.int32), self.codebooks)
+        if self.rotation is not None:  # back to the original space
+            out = jnp.dot(out, self.rotation.T,
+                          preferred_element_type=jnp.float32)
+        return np.asarray(out)
+
+    def rotate_queries(self, queries: np.ndarray) -> jnp.ndarray:
+        """Queries mapped into the (rotated) code space; identity when no
+        OPQ rotation is trained."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if self.rotation is not None:
+            q = jnp.dot(q, self.rotation, preferred_element_type=jnp.float32)
+        return q
 
     def adc_lut(self, queries: np.ndarray) -> jnp.ndarray:
         if self.codebooks is None:
             raise ValueError("Codec must be trained before ADC")
-        return _adc_lut(
-            jnp.asarray(np.asarray(queries, np.float32)), self.codebooks
-        )
+        return _adc_lut(self.rotate_queries(queries), self.codebooks)
 
     def adc_search(
         self,

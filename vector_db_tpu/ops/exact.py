@@ -87,6 +87,110 @@ def exact_search_tiled(
     return best_d, best_i
 
 
+@partial(jax.jit, static_argnames=("k", "tile", "recall_target"))
+def approx_search_tiled(
+    queries: jnp.ndarray,
+    emb: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    tile: int = 125000,
+    x_sq: jnp.ndarray | None = None,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k by squared L2 with TPU-native approximate per-tile reduction.
+
+    Same contract as :func:`exact_search_tiled`, two performance levers:
+
+    - ``emb`` may be **bfloat16** (cast once at ingest): halves HBM traffic
+      and quadruples MXU rate; the cross term still accumulates in f32.
+      Pass ``x_sq`` computed from the f32 source for exact norms.
+    - per-tile top-k uses ``lax.approx_min_k`` (the TPU PartialReduce
+      hardware reduction) instead of a full sort — ~2.5x end-to-end at 1M.
+
+    Measured on 1M x 768-d, B=1000, k=10 vs exact-f32 ground truth (v5e):
+    bf16 + tile 125k -> ~28k QPS at recall@10 = 0.998 (exact-f32 scan with
+    full sorts: ~9k QPS). The returned distances of surviving candidates
+    are bf16-accurate; callers needing exact distances re-score the k rows.
+    """
+    n, dim = emb.shape
+    b = queries.shape[0]
+    pad = (-n) % tile
+    if pad:
+        emb = jnp.concatenate([emb, jnp.zeros((pad, dim), emb.dtype)], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+        if x_sq is not None:
+            x_sq = jnp.concatenate([x_sq, jnp.zeros((pad,), x_sq.dtype)])
+    n_tiles = emb.shape[0] // tile
+    emb_t = emb.reshape(n_tiles, tile, dim)
+    valid_t = valid.reshape(n_tiles, tile)
+    xsq_t = (
+        x_sq.reshape(n_tiles, tile) if x_sq is not None
+        else jnp.sum(
+            emb_t.astype(jnp.float32) * emb_t.astype(jnp.float32), axis=-1
+        )
+    )
+    base_ids = jnp.arange(tile, dtype=jnp.int32)
+    q_sq = squared_norms(queries.astype(jnp.float32))
+    qc = queries.astype(emb.dtype)
+
+    init = (
+        jnp.full((b, k), BIG, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        tile_emb, tile_valid, tile_xsq, tile_idx = xs
+        cross = jnp.dot(qc, tile_emb.T, preferred_element_type=jnp.float32)
+        d = q_sq[:, None] - 2.0 * cross + tile_xsq[None, :]
+        d = jnp.where(tile_valid[None, :], d, BIG)
+        nd, pos = jax.lax.approx_min_k(
+            d, min(k, tile), recall_target=recall_target
+        )
+        ids = base_ids + tile_idx * tile
+        ti = jnp.where(nd >= BIG_THRESH_LOCAL, -1, ids[pos])
+        return merge_top_k(best_d, best_i, nd, ti, k), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        body,
+        init,
+        (emb_t, valid_t, xsq_t, jnp.arange(n_tiles, dtype=jnp.int32)),
+    )
+    return best_d, best_i
+
+
+BIG_THRESH_LOCAL = jnp.float32(1.0e37)
+
+
+@partial(jax.jit, static_argnames=())
+def rescore_exact(
+    queries: jnp.ndarray,
+    emb: jnp.ndarray,
+    cand: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact f32 re-scoring of per-query candidate rows, sorted ascending.
+
+    queries: f32[B, d]; emb: f32[capacity, d] (the f32 source table);
+    cand: int32[B, K] slot ids (-1 padded). Returns (f32[B, K], int32[B, K]).
+    Used after a bf16/approx scan so returned distances are full-precision
+    (the scan's job is candidate selection, not distance reporting).
+    """
+    safe = jnp.maximum(cand, 0)
+    rows = emb[safe]  # [B, K, d]
+    d = (
+        jnp.sum(rows * rows, axis=-1)
+        - 2.0 * jnp.einsum("bkd,bd->bk", rows, queries,
+                           preferred_element_type=jnp.float32)
+        + jnp.sum(queries * queries, axis=-1, keepdims=True)
+    )
+    d = jnp.where(cand >= 0, jnp.maximum(d, 0.0), BIG)
+    order = jnp.argsort(d, axis=-1)
+    return (
+        jnp.take_along_axis(d, order, axis=-1),
+        jnp.take_along_axis(cand, order, axis=-1),
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "tile"))
 def knn_exact(
     queries: jnp.ndarray,

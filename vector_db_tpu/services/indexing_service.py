@@ -66,6 +66,9 @@ class IndexingService:
         self._pq_chunks = int(pq_cfg.get("chunks", 0) or 0)
         self._pq_ksub = int(pq_cfg.get("ksub", 256))
         self._pq_min_size = int(pq_cfg.get("min_size", 4096))
+        # OPQ rotation iterations (0 = plain PQ); big ADC recall gain on
+        # correlated data for one extra matmul per query/encode
+        self._pq_opq_iters = int(pq_cfg.get("opq_iters", 0))
         self._pq_active = False
 
         rng = random.Random(42)
@@ -80,7 +83,11 @@ class IndexingService:
         elif self.index_type == "flat":
             from vector_db_tpu.index.flat import FlatIndex
 
-            self.index = FlatIndex(storage=storage, index_file=self.index_file)
+            self.index = FlatIndex(
+                storage=storage, index_file=self.index_file,
+                metric=str(index_config.get("metric", "l2")),
+                precision=str(index_config.get("precision", "f32")),
+            )
             if self.index_file.exists():
                 self.index.load_index()
         elif self.index_type == "ivf":
@@ -213,7 +220,8 @@ class IndexingService:
                 return False
             with self._lock:
                 if not self._pq_active:
-                    self.index.enable_pq(chunks=chunks, ksub=self._pq_ksub)
+                    self.index.enable_pq(chunks=chunks, ksub=self._pq_ksub,
+                                         opq_iters=self._pq_opq_iters)
                     self._pq_active = True
                     self._pq_stale = False
         elif getattr(self, "_pq_stale", False):
