@@ -129,6 +129,43 @@ def main():
         log(f"hnsw-opq ef={ef}: recall={rec:.3f} qps={qps:.0f}")
         results["hnsw_opq"].append({"ef": ef, "recall": rec, "qps": qps})
 
+    # ---- IVF-PQ (OPQ) with exact rerank: the scale-path ANN mode ----
+    # free the HNSW tables first (graph + PQ mirrors); the IVF index owns
+    # its own device table and both don't fit 16G HBM at 1M x 768
+    del index
+    import gc
+    gc.collect()
+
+    from vector_db_tpu.index.ivf import IvfIndex
+
+    n_cells = int(os.environ.get("BENCH_IVF_K", 4096))
+    t0 = time.perf_counter()
+    ivf = IvfIndex(k=n_cells)
+    ivf.build_arrays(range(N), x, seed=0, iters=20)
+    ivf_build_s = time.perf_counter() - t0
+    log(f"ivf build (k={n_cells}): {ivf_build_s:.0f}s")
+    t0 = time.perf_counter()
+    ivf.enable_pq(chunks=16, ksub=256, opq_iters=6)
+    ivf.search_batch(q[:8], n_probe=8, top_k=K, pq=True)  # build cells
+    log(f"ivf enable_pq(opq): {time.perf_counter() - t0:.0f}s")
+    results["ivf_pq"] = {"k_cells": n_cells, "build_s": ivf_build_s,
+                         "ops": []}
+    for n_probe, fetch in [(16, 128), (32, 128), (64, 128), (64, 256),
+                           (128, 256)]:
+        def run(v, n_probe=n_probe, fetch=fetch):
+            return ivf.search_batch(np.asarray(v), n_probe=n_probe,
+                                    top_k=K, pq=True, fetch=fetch)[0]
+
+        _, ids = ivf.search_batch(q, n_probe=n_probe, top_k=K, pq=True,
+                                  fetch=fetch)
+        qps = timed(run, qd, B)
+        rec = recall_of(ids, gt, K)
+        log(f"ivf-pq n_probe={n_probe} fetch={fetch}: recall={rec:.3f} "
+            f"qps={qps:.0f}")
+        results["ivf_pq"]["ops"].append(
+            {"n_probe": n_probe, "fetch": fetch, "recall": rec, "qps": qps}
+        )
+
     Path("BENCH_1M.json").write_text(json.dumps(results, indent=2))
     log(json.dumps(results))
 

@@ -1,0 +1,129 @@
+"""Scale-path IVF: build_arrays (subsampled k-means + tiled assign +
+bounded lists) and the cell-contiguous IVF-PQ probe.
+
+Contracts mirrored from the reference IvfIndex (src/vector_db/indexing/
+ivf.py:52-199): build -> search returns nearest neighbors; plus the
+rebuild-specific guarantees — bounded cell sizes and ADC+rerank recall.
+"""
+
+import numpy as np
+import pytest
+
+from vector_db_tpu.index.ivf import IvfIndex
+from vector_db_tpu.ops.exact import exact_search
+import jax.numpy as jnp
+
+
+def _corpus(n=4096, dim=64, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((32, dim)).astype(np.float32) * 3
+    x = centers[rng.integers(0, 32, n)] + rng.standard_normal(
+        (n, dim)
+    ).astype(np.float32)
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def built():
+    x = _corpus()
+    index = IvfIndex(k=32)
+    index.build_arrays(range(len(x)), x, seed=1, iters=15)
+    return index, x
+
+
+def _exact_gt(index, q, k):
+    d, slots = exact_search(jnp.asarray(q), index._emb, index._has_emb, k)
+    return index._store.ids_of(np.asarray(slots))
+
+
+def test_build_arrays_search_recall(built):
+    index, x = built
+    q = x[:64] + 0.01
+    gt = _exact_gt(index, q, 10)
+    _, ids = index.search_batch(q, n_probe=8, top_k=10)
+    recall = np.mean([
+        len(set(ids[i].tolist()) & set(gt[i].tolist())) / 10
+        for i in range(len(q))
+    ])
+    assert recall >= 0.9
+
+
+def test_build_arrays_all_probed_is_exact(built):
+    index, x = built
+    q = x[200:210]
+    gt = _exact_gt(index, q, 5)
+    _, ids = index.search_batch(q, n_probe=32, top_k=5)
+    assert np.array_equal(np.sort(ids, axis=1), np.sort(gt, axis=1))
+
+
+def test_bounded_lists(built):
+    index, x = built
+    cap = int(np.ceil(4.0 * len(x) / index.k))
+    sizes = [len(l) for l in index.inverted_lists]
+    assert sum(sizes) == len(x)
+    assert max(sizes) <= cap + 1  # waived-cap stragglers are rare
+    # every id lands in exactly one list
+    all_ids = [i for l in index.inverted_lists for i in l]
+    assert len(set(all_ids)) == len(x)
+
+
+def test_pq_cells_probe_recall(built):
+    index, x = built
+    index.enable_pq(chunks=8, ksub=64, opq_iters=0)
+    q = x[300:364] + 0.01
+    gt = _exact_gt(index, q, 10)
+
+    def recall(ids):
+        return np.mean([
+            len(set(ids[i].tolist()) & set(gt[i].tolist())) / 10
+            for i in range(len(q))
+        ])
+
+    # probe recall (exact scoring of probed cells) is the ceiling; ADC
+    # fetch + exact rerank must approach it as fetch widens
+    _, ids_exact = index.search_batch(q, n_probe=8, top_k=10)
+    _, ids_pq = index.search_batch(
+        q, n_probe=8, top_k=10, pq=True, fetch=256
+    )
+    assert recall(ids_pq) >= recall(ids_exact) - 0.05
+
+
+def test_pq_rerank_distances_are_exact(built):
+    index, x = built
+    q = x[10:13]
+    dists, ids = index.search_batch(q, n_probe=32, top_k=3, pq=True)
+    for r in range(3):
+        for c in range(3):
+            if ids[r, c] < 0:
+                continue
+            want = np.linalg.norm(q[r] - x[ids[r, c]])
+            # f32 norm²-2·cross+norm² decomposition carries ~1e-3 abs
+            # error near zero (catastrophic cancellation) — rerank is
+            # "exact" in the f32-decomposition sense, like exact_search
+            assert dists[r, c] == pytest.approx(want, rel=1e-3, abs=0.05)
+
+
+def test_add_after_enable_pq_updates_codes():
+    x = _corpus(n=512, dim=32, seed=3)
+    index = IvfIndex(k=8)
+    index.build_arrays(range(len(x)), x, seed=1, iters=10)
+    index.enable_pq(chunks=4, ksub=32)
+    from vector_db_tpu.types import Node
+
+    # well-separated from every base row so f32 cancellation noise
+    # (~1e-3) cannot flip the ranking
+    rng = np.random.default_rng(9)
+    v = x[7] + rng.standard_normal(x.shape[1]).astype(np.float32)
+    index.add(Node(id=10_000, embedding=v.tolist(), metadata={}))
+    _, ids = index.search_batch(v[None, :], n_probe=8, top_k=1, pq=True)
+    assert ids[0, 0] == 10_000
+
+
+def test_balanced_assign_caps_and_fallback():
+    index = IvfIndex(k=4)
+    # 12 rows all wanting cluster 0 first; candidates [0, 1]
+    cand = np.tile(np.array([[0, 1]], np.int32), (12, 1))
+    labels = index._balanced_assign(cand, alpha=1.0)  # cap = 3
+    counts = np.bincount(labels, minlength=4)
+    assert counts[0] == 3 + 6  # 3 under cap + 6 fallback (cluster 1 full)
+    assert counts[1] == 3

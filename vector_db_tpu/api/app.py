@@ -368,11 +368,12 @@ def create_app(
 
     async def on_startup(app: web.Application) -> None:
         # engine kernels compile once per config; persist across restarts
-        from vector_db_tpu.runtime import enable_compilation_cache
+        from vector_db_tpu.runtime import apply_device, enable_compilation_cache
 
         enable_compilation_cache()
         cfg_path = app["config_path"]
         config = load_config(cfg_path)
+        apply_device(str(config.get("device", "auto")))
         vdb = config.get("vector_db", {})
         emb_cfg = config.get("embedding", {})
 

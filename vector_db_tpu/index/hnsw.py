@@ -608,13 +608,10 @@ class HNSW:
         """
         if self.graph is None:
             return
-        has = np.zeros((self._capacity,), bool)
-        for nid, slot in self._slot_of_id.items():
-            try:
-                self.storage.get_embedding(nid)
-                has[slot] = True
-            except KeyError:
-                continue
+        # vectorized membership test (np.isin) — no per-id storage calls
+        live = np.asarray(self.storage.get_all_ids(), np.int64)
+        ids_arr = np.asarray(self._id_of_slot, np.int64)
+        has = (ids_arr >= 0) & np.isin(ids_arr, live)
         self._has_emb = jnp.asarray(has)
 
     # ------------------------------------------------------------------
@@ -770,21 +767,22 @@ class HNSW:
         )
         self._store.import_id_map(id_of_slot)
 
-        # hydrate the device embedding table from storage
-        emb = None
-        has = np.zeros((self._capacity,), bool)
-        for nid, slot in self._slot_of_id.items():
-            try:
-                v = np.asarray(self.storage.get_embedding(nid), np.float32)
-            except KeyError:
-                # node deleted from storage while index file persisted —
-                # reference tolerates this by skipping at query time
-                continue
-            if emb is None:
-                self._store.ensure_dim(v.shape[0])
-                emb = np.zeros((self._capacity, v.shape[0]), np.float32)
-            emb[slot] = v
-            has[slot] = True
-        if emb is not None:
-            self._store.emb = jnp.asarray(emb)
-            self._store.valid = jnp.asarray(has)
+        # hydrate the device embedding table from storage in ONE bulk read
+        # (per-id get_embedding loops cost minutes at 1M capacity); ids
+        # missing from storage — deleted behind the index's back — stay
+        # invalid, matching the reference's skip-at-query-time tolerance
+        if self._slot_of_id:
+            ids = np.fromiter(self._slot_of_id.keys(), np.int64,
+                              count=len(self._slot_of_id))
+            slots = np.fromiter(self._slot_of_id.values(), np.int64,
+                                count=len(self._slot_of_id))
+            rows, found = self.storage.get_embeddings(ids)
+            if found.any():
+                dim = rows.shape[1]
+                self._store.ensure_dim(dim)
+                emb = np.zeros((self._capacity, dim), np.float32)
+                has = np.zeros((self._capacity,), bool)
+                emb[slots[found]] = rows[found]
+                has[slots[found]] = True
+                self._store.emb = jnp.asarray(emb)
+                self._store.valid = jnp.asarray(has)

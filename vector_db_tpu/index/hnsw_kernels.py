@@ -42,12 +42,13 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax import lax
 
 from vector_db_tpu.ops.distance import BIG, gather_l2_sq
 from vector_db_tpu.ops.topk import masked_top_k_smallest
 
-BIG_THRESH = jnp.float32(1.0e37)
+BIG_THRESH = _np.float32(1.0e37)  # numpy scalar: no device alloc at import
 
 
 class Graph(NamedTuple):

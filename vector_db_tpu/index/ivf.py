@@ -67,51 +67,67 @@ def _ivf_search_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_probe", "top_k", "rerank")
+    jax.jit, static_argnames=("n_probe", "top_k", "fetch", "rerank")
 )
-def _ivf_search_batch_pq(
-    centroids: jnp.ndarray,   # f32[k, d]
-    lists: jnp.ndarray,       # int32[k, max_list]
-    codes: jnp.ndarray,       # int32[capacity, chunks]
-    codebooks: jnp.ndarray,   # f32[chunks, ksub, subdim]
-    emb: jnp.ndarray,         # f32[capacity, d] (rerank only)
-    has_emb: jnp.ndarray,
-    queries: jnp.ndarray,
-    queries_rot: jnp.ndarray,  # queries in code space (OPQ; may alias)
+def _ivf_pq_probe_cells(
+    centroids: jnp.ndarray,    # f32[k, d]
+    cell_slots: jnp.ndarray,   # int32[k, L] slot ids, -1 padded
+    cell_codes: jnp.ndarray,   # uint8[k, L, m] PQ codes, cell-contiguous
+    codebooks: jnp.ndarray,    # f32[m, ksub, subdim]
+    emb: jnp.ndarray,          # f32[capacity, d] (exact rerank source)
+    has_emb: jnp.ndarray,      # bool[capacity]
+    queries: jnp.ndarray,      # f32[B, d]
+    queries_rot: jnp.ndarray,  # f32[B, d] in code space (OPQ)
     n_probe: int,
     top_k: int,
+    fetch: int,
     rerank: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """IVF-PQ probe: candidate scoring is asymmetric PQ distance via
-    per-query LUTs (the classic IVFADC layout, here with the LUT gather as
-    vmapped indexing and an optional exact rerank of the final top-k)."""
+    """Scale-path IVFADC probe with cell-contiguous code storage.
+
+    The 1M-class layout: PQ codes are stored grouped by cell
+    (``cell_codes[c]`` is one contiguous block), so probing gathers
+    ``n_probe`` whole blocks — large contiguous HBM reads — instead of
+    per-member row gathers. Candidate scoring reads 16 bytes/vector (the
+    codes) rather than 3 KB (the f32 row): the classic IVFADC memory
+    story (Jégou et al.), laid out for TPU gather efficiency.
+
+    Per query: flat-LUT gather scores all padded candidates, a masked
+    top-``fetch`` picks the ADC front, and (optionally) an exact f32
+    re-scoring of those ``fetch`` rows re-ranks before the final top-k cut
+    — reranking wider than ``top_k`` recovers quantizer misrankings.
+    """
     from vector_db_tpu.index.pq import _adc_lut
 
+    m, ksub, _ = codebooks.shape
+    p_total = n_probe * cell_slots.shape[1]
+    fetch = max(top_k, min(fetch, p_total))
+    pad = max(0, fetch - p_total)  # tiny-corpus guard (static)
     cd = l2_sq_pairwise(queries, centroids)
-    _, probe = jax.lax.top_k(-cd, n_probe)
-    lut = _adc_lut(queries_rot, codebooks)  # [B, chunks, ksub]
+    _, probe = jax.lax.top_k(-cd, n_probe)           # [B, n_probe]
+    lut = _adc_lut(queries_rot, codebooks)           # [B, m, ksub]
+    lut_flat = lut.reshape(queries.shape[0], m * ksub)
+    offs = (jnp.arange(m, dtype=jnp.int32) * ksub)[None, :]
 
-    def one(q, probe_row, lut_q):
-        members = lists[probe_row].reshape(-1)
-        safe = jnp.maximum(members, 0)
-        c = codes[safe]  # [P, chunks]
-        g = jax.vmap(lambda lm, cm: lm[cm], in_axes=(0, 1), out_axes=1)(
-            lut_q, c
-        )
-        d = jnp.sum(g, axis=1)
-        ok = (members >= 0) & has_emb[safe]
+    def one(q, probe_row, lut_row):
+        slots = cell_slots[probe_row].reshape(-1)            # [P]
+        codes = cell_codes[probe_row].reshape(-1, m)         # [P, m]
+        idx = codes.astype(jnp.int32) + offs                 # [P, m]
+        d = jnp.sum(lut_row[idx], axis=-1)                   # [P]
+        ok = (slots >= 0) & has_emb[jnp.maximum(slots, 0)]
         d = jnp.where(ok, d, BIG)
-        if rerank:
-            # fetch a wider ADC candidate set, rerank exactly, then cut —
-            # reranking only the final top_k cannot recover candidates the
-            # quantizer misranked past position top_k
-            fetch = min(4 * top_k, members.shape[0])
-            fd, fi = masked_top_k_smallest(d, members, fetch)
-            fd = gather_l2_sq(q, emb, fi, has_emb[jnp.maximum(fi, 0)])
-            return masked_top_k_smallest(fd, fi, top_k)
-        return masked_top_k_smallest(d, members, top_k)
+        if pad > 0:
+            d = jnp.concatenate([d, jnp.full((pad,), BIG, d.dtype)])
+            slots = jnp.concatenate(
+                [slots, jnp.full((pad,), -1, slots.dtype)]
+            )
+        if not rerank:
+            return masked_top_k_smallest(d, slots, top_k)
+        fd, fi = masked_top_k_smallest(d, slots, fetch)
+        fd = gather_l2_sq(q, emb, fi, fi >= 0)
+        return masked_top_k_smallest(fd, fi, top_k)
 
-    return jax.vmap(one)(queries, probe, lut)
+    return jax.vmap(one)(queries, probe, lut_flat)
 
 
 class IvfIndex:
@@ -134,6 +150,11 @@ class IvfIndex:
         # device: padded slot table, rebuilt lazily when dirty
         self._lists_dev: Optional[jnp.ndarray] = None
         self._lists_dirty = True
+        # cell-contiguous PQ code blocks (scale path), rebuilt with lists
+        self._cells_codes_dev: Optional[jnp.ndarray] = None
+        # persist index_file on every mutation (reference behavior,
+        # ivf.py:210-214); services set False and flush on their threshold
+        self.autosave = True
 
         self._store = DeviceVectorStore(capacity=256)
 
@@ -170,18 +191,64 @@ class IvfIndex:
         self._store.ensure_dim(dim)
         self._store.grow_to(need)
 
+    def _slot_table(self) -> np.ndarray:
+        """Vectorized [k, max_list] -1-padded slot table from the host
+        inverted lists (no per-member Python loop; O(total) numpy)."""
+        sizes = np.asarray([len(l) for l in self.inverted_lists], np.int64)
+        total = int(sizes.sum())
+        max_list = max(int(sizes.max()) if sizes.size else 0, 1)
+        table = np.full((self.k, max_list), -1, np.int32)
+        if total:
+            flat_ids = np.fromiter(
+                (nid for lst in self.inverted_lists for nid in lst),
+                np.int64, count=total,
+            )
+            slot_map = self._slot_of_id
+            flat_slots = np.fromiter(
+                (slot_map.get(int(nid), -1) for nid in flat_ids),
+                np.int32, count=total,
+            )
+            rows = np.repeat(np.arange(self.k), sizes)
+            offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            cols = np.arange(total) - offsets[rows]
+            table[rows, cols] = flat_slots
+        return table
+
+    def _rebuild_device_tables(self) -> None:
+        table = self._slot_table()
+        self._lists_dev = jnp.asarray(table)
+        codes_np = self._ensure_codes_capacity()
+        if codes_np is not None:
+            safe = np.maximum(table, 0)
+            blocks = codes_np[safe]                  # [k, L, m] uint8
+            blocks[table < 0] = 0
+            self._cells_codes_dev = jnp.asarray(blocks)
+        else:
+            self._cells_codes_dev = None
+        self._lists_dirty = False
+
+    def _ensure_codes_capacity(self) -> Optional[np.ndarray]:
+        """Grow the host PQ code table to match store capacity (new rows
+        zero-coded until written)."""
+        codes_np = getattr(self, "_codes_np", None)
+        if codes_np is not None and codes_np.shape[0] < self._capacity:
+            codes_np = np.concatenate([
+                codes_np,
+                np.zeros((self._capacity - codes_np.shape[0],
+                          codes_np.shape[1]), np.uint8),
+            ])
+            self._codes_np = codes_np
+        return codes_np
+
     def _device_lists(self) -> jnp.ndarray:
         if self._lists_dirty or self._lists_dev is None:
-            max_list = max((len(l) for l in self.inverted_lists), default=0)
-            max_list = max(max_list, 1)
-            table = np.full((self.k, max_list), -1, np.int32)
-            for c, ids in enumerate(self.inverted_lists):
-                for j, nid in enumerate(ids):
-                    slot = self._slot_of_id.get(nid, -1)
-                    table[c, j] = slot
-            self._lists_dev = jnp.asarray(table)
-            self._lists_dirty = False
+            self._rebuild_device_tables()
         return self._lists_dev
+
+    def _device_cells(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self._lists_dirty or self._cells_codes_dev is None:
+            self._rebuild_device_tables()
+        return self._lists_dev, self._cells_codes_dev
 
     # ------------------------------------------------------------------
     def build_index(self, nodes: Sequence[Node], seed: int = 0) -> None:
@@ -224,6 +291,108 @@ class IvfIndex:
         if self.index_file:
             self.save_index()
 
+    def build_arrays(
+        self,
+        ids: Sequence[int],
+        embeddings: np.ndarray,
+        seed: int = 0,
+        iters: int = 25,
+        train_sample: Optional[int] = None,
+        assign_candidates: int = 4,
+        list_cap_alpha: float = 4.0,
+    ) -> None:
+        """Scale-path build (no Node objects): train k-means on a subsample,
+        assign the full corpus in one tiled device pass, construct the
+        inverted lists vectorized.
+
+        The reference's ``build_index`` (ivf.py:52-96) clusters the whole
+        corpus with scipy on host; at 1M x 768 that is neither feasible nor
+        necessary — centroids converge on a ``train_sample`` subsample
+        (default ``min(N, max(64k, 100k))``) and the E-step for the full
+        corpus is a streaming MXU pass (:func:`ops.kmeans.assign_tiled`).
+
+        ``list_cap_alpha`` bounds cell size at ``alpha * N / k``: members of
+        an over-full cell cascade to their next-nearest centroid (up to
+        ``assign_candidates`` choices, then the cap is waived). Bounded
+        lists keep the padded probe tensor — and probe cost — O(n_probe *
+        alpha * N/k) instead of O(n_probe * max_cluster).
+        """
+        from vector_db_tpu.ops.kmeans import assign_tiled
+
+        embeddings = np.asarray(embeddings, np.float32)
+        ids_arr = np.asarray(list(ids), np.int64)
+        n, dim = embeddings.shape
+        if n != ids_arr.shape[0]:
+            raise ValueError("ids and embeddings must have equal length")
+        if n < self.k:
+            raise ValueError(
+                f"Need at least {self.k} vectors for {self.k} clusters"
+            )
+        self._ensure_capacity(n, dim)
+        slots = self._store.take_slots(ids_arr.tolist())
+        self._store.write(slots, embeddings)
+
+        sample = train_sample or min(n, max(64 * self.k, 100_000))
+        rng = np.random.default_rng(seed)
+        sel = (rng.choice(n, size=sample, replace=False)
+               if sample < n else np.arange(n))
+        cents, _ = kmeans(
+            jnp.asarray(embeddings[sel]), self.k, jax.random.key(seed),
+            iters=iters,
+        )
+        self.centroids = np.asarray(cents)
+        self._centroids_dev = cents
+
+        n_cand = max(1, min(assign_candidates, self.k))
+        tile = 65536 if n >= 65536 else max(256, 1 << (n - 1).bit_length())
+        cand = np.asarray(assign_tiled(
+            jnp.asarray(embeddings), cents, tile=tile, n_cand=n_cand
+        ))
+        labels = self._balanced_assign(cand, list_cap_alpha)
+
+        order = np.argsort(labels, kind="stable")
+        sorted_ids = ids_arr[order]
+        bounds = np.searchsorted(labels[order], np.arange(self.k + 1))
+        self.inverted_lists = [
+            sorted_ids[bounds[c]:bounds[c + 1]].tolist()
+            for c in range(self.k)
+        ]
+        self._lists_dirty = True
+        if self.index_file and self.autosave:
+            self.save_index()
+
+    def _balanced_assign(
+        self, cand: np.ndarray, alpha: float
+    ) -> np.ndarray:
+        """Capacity-bounded nearest-centroid assignment.
+
+        cand: int32[N, C] per-row nearest centroids, best first. Each row
+        takes its best candidate whose cell is under ``cap = alpha * N / k``;
+        rows exhausting all C candidates fall back to their first choice
+        (cap waived — correctness over balance)."""
+        n, n_cand = cand.shape
+        cap = max(1, int(np.ceil(alpha * n / self.k)))
+        chosen = np.full(n, -1, np.int64)
+        counts = np.zeros(self.k, np.int64)
+        for c in range(n_cand):
+            todo = np.flatnonzero(chosen < 0)
+            if todo.size == 0:
+                break
+            want = cand[todo, c].astype(np.int64)
+            order = np.argsort(want, kind="stable")
+            sw = want[order]
+            # rank of each row within its cluster group this round
+            group_start = np.searchsorted(sw, np.arange(self.k))
+            rank = np.arange(todo.size) - group_start[sw]
+            accept = rank < (cap - counts[sw])
+            taken = order[accept]
+            chosen[todo[taken]] = sw[accept]
+            counts += np.bincount(sw[accept], minlength=self.k)
+        left = chosen < 0
+        if left.any():
+            chosen[left] = cand[left, 0]
+        return chosen
+
     def add(self, node: Node) -> None:
         if self.centroids is None:
             raise ValueError("Index must be built before adding nodes")
@@ -245,8 +414,11 @@ class IvfIndex:
         distances = np.linalg.norm(self.centroids - embedding, axis=1)
         nearest = int(np.argmin(distances))
         self.inverted_lists[nearest].append(node.id)
+        if self._ensure_codes_capacity() is not None:
+            # keep the PQ code row current so the cell rebuild stays valid
+            self._codes_np[slot] = self._pq.encode(embedding[None, :])[0]
         self._lists_dirty = True
-        if self.index_file:
+        if self.index_file and self.autosave:
             self.save_index()
 
     def delete(self, node_id: int) -> None:
@@ -257,7 +429,7 @@ class IvfIndex:
         self._lists_dirty = True
         if hasattr(self.storage, "delete"):
             self.storage.delete(node_id)
-        if self.index_file:
+        if self.index_file and self.autosave:
             self.save_index()
 
     # ------------------------------------------------------------------
@@ -290,48 +462,79 @@ class IvfIndex:
         return out
 
     def enable_pq(self, chunks: int = 16, ksub: int = 256, seed: int = 0,
-                  restarts: int = 2, opq_iters: int = 0) -> None:
+                  restarts: int = 2, opq_iters: int = 0,
+                  train_sample: int = 262144) -> None:
         """Attach IVF-PQ scoring: train codebooks on the stored vectors and
         encode them; subsequent ``search_batch(..., pq=True)`` scores probed
         candidates by asymmetric PQ distance with exact rerank.
         ``opq_iters`` > 0 trains an OPQ rotation first (PQCodec.train)."""
         from vector_db_tpu.index.pq import PQCodec
 
+        from vector_db_tpu.index.pq import _encode_scan
+
         if self.centroids is None:
             raise ValueError("Index must be built before enabling PQ")
         live = np.asarray(self._has_emb)
         n_live = int(live.sum())
         ksub = min(ksub, max(2, n_live))
+        if ksub > 256:
+            raise ValueError("ksub must be <= 256 (codes are uint8)")
         self._pq = PQCodec(k=ksub, chunks=chunks, dim=self._dim)
         emb_np = np.asarray(self._emb)
-        self._pq.train(emb_np[live], seed=seed, restarts=restarts,
+        train = emb_np[live]
+        if train.shape[0] > train_sample:
+            sel = np.random.default_rng(seed).choice(
+                train.shape[0], train_sample, replace=False
+            )
+            train = train[sel]
+        self._pq.train(train, seed=seed, restarts=restarts,
                        opq_iters=opq_iters)
-        codes = np.zeros((self._capacity, chunks), np.int32)
-        codes[live] = self._pq.encode(emb_np[live])
-        self._pq_codes = jnp.asarray(codes)
+        # encode the whole table (dead rows too — harmless, masked at probe);
+        # capacity is a power of two (DeviceVectorStore doubling), so
+        # min(8192, capacity) always divides it
+        chunk = min(8192, self._capacity)
+        enc = np.asarray(_encode_scan(
+            self._emb, self._pq.codebooks, chunk=chunk,
+            rotation=(jnp.asarray(self._pq.rotation)
+                      if self._pq.rotation is not None else None),
+        ))
+        self._codes_np = enc.astype(np.uint8)
+        self._lists_dirty = True  # cell code blocks must rebuild
 
     def search_batch(
         self, queries: np.ndarray, n_probe: int, top_k: int,
         pq: bool = False, rerank: bool = True, filter_ids=None,
+        fetch: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Device fast path: (L2 f32[B, top_k], ids int64[B, top_k]).
-        ``filter_ids`` masks candidates in-kernel (exact path only)."""
+        ``filter_ids`` masks candidates in-kernel (exact path only).
+        ``fetch`` (PQ path) widens the ADC candidate front that gets exact
+        re-ranking; default ``max(4*top_k, 100)``."""
         if self.centroids is None:
             raise ValueError("Index must be built before searching")
         q = jnp.asarray(np.asarray(queries, np.float32))
         use_filter = filter_ids is not None
-        fmask = jnp.asarray(
-            self._store.filter_mask(filter_ids) if use_filter
-            else np.zeros((self._capacity,), bool)
-        )
+        if use_filter:
+            fmask = jnp.asarray(self._store.filter_mask(filter_ids))
+        else:
+            # cached all-False placeholder: never rebuild/transfer a
+            # capacity-sized mask on the unfiltered hot path
+            fmask = getattr(self, "_zero_mask", None)
+            if fmask is None or fmask.shape[0] != self._capacity:
+                fmask = jnp.zeros((self._capacity,), bool)
+                self._zero_mask = fmask
         if pq:
             if getattr(self, "_pq", None) is None:
                 raise ValueError("call enable_pq() first")
-            d_sq, slots = _ivf_search_batch_pq(
-                self._centroids_dev, self._device_lists(), self._pq_codes,
+            cell_slots, cell_codes = self._device_cells()
+            if fetch is None:
+                fetch = max(4 * int(top_k), 100)
+            d_sq, slots = _ivf_pq_probe_cells(
+                self._centroids_dev, cell_slots, cell_codes,
                 self._pq.codebooks, self._emb, self._has_emb, q,
                 self._pq.rotate_queries(q),
-                n_probe=int(n_probe), top_k=int(top_k), rerank=rerank,
+                n_probe=int(n_probe), top_k=int(top_k), fetch=int(fetch),
+                rerank=rerank,
             )
         else:
             d_sq, slots = _ivf_search_batch(
@@ -393,22 +596,16 @@ class IvfIndex:
             self.inverted_lists.append([int(x) for x in flat[off : off + s]])
             off += int(s)
         self._lists_dirty = True
-        # hydrate embeddings from storage
+        # hydrate embeddings from storage in one bulk read
         all_ids = [nid for lst in self.inverted_lists for nid in lst]
         if all_ids:
             dim = self.centroids.shape[1]
             self._ensure_capacity(len(all_ids), dim)
-            embs, slots = [], []
-            for nid in all_ids:
-                try:
-                    v = np.asarray(self.storage.get_embedding(nid), np.float32)
-                except KeyError:
-                    continue
-                slot = self._store.slot_of(nid)
-                slots.append(slot if slot is not None
-                             else self._store.take_slot(nid))
-                embs.append(v)
-            if embs:
-                self._store.write(
-                    np.asarray(slots, np.int32), np.stack(embs)
-                )
+            rows, found = self.storage.get_embeddings(all_ids)
+            if found.any():
+                slots = np.asarray([
+                    self._store.slot_of(nid)
+                    if nid in self._store else self._store.take_slot(nid)
+                    for nid, f in zip(all_ids, found) if f
+                ], np.int32)
+                self._store.write(slots, rows[found])

@@ -16,8 +16,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(3.0e38)  # sentinel "infinite" distance for masked entries
+# Sentinel "infinite" distance for masked entries. A numpy scalar, NOT a
+# jnp array: module import must never initialize the JAX backend (services
+# pin the platform from config AFTER import; a device allocation here would
+# grab the TPU on import and race concurrent processes for it).
+BIG = np.float32(3.0e38)
 
 
 def squared_norms(x: jnp.ndarray) -> jnp.ndarray:

@@ -14,6 +14,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vector_db_tpu.ops.distance import BIG, l2_sq_pairwise, squared_norms
 from vector_db_tpu.ops.topk import masked_top_k_smallest, merge_top_k
@@ -159,7 +160,7 @@ def approx_search_tiled(
     return best_d, best_i
 
 
-BIG_THRESH_LOCAL = jnp.float32(1.0e37)
+BIG_THRESH_LOCAL = np.float32(1.0e37)  # numpy scalar: no device alloc at import
 
 
 @partial(jax.jit, static_argnames=())

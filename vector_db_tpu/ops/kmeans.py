@@ -68,6 +68,35 @@ def kmeans(
     return cents[best], labels[best]
 
 
+@partial(jax.jit, static_argnames=("tile", "n_cand"))
+def assign_tiled(
+    x: jnp.ndarray,
+    centroids: jnp.ndarray,
+    tile: int = 65536,
+    n_cand: int = 1,
+) -> jnp.ndarray:
+    """Nearest-centroid assignment of a large corpus, streamed in tiles.
+
+    x: f32[N, d]; centroids: f32[k, d]. Returns int32[N, n_cand] — each
+    row's ``n_cand`` nearest centroids, best first. This is the scalable
+    complement to :func:`kmeans`: train on a subsample, then assign the
+    full corpus with one streaming pass of MXU matmuls (the E-step only).
+    """
+    n, dim = x.shape
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, dim), x.dtype)], axis=0)
+    xt = x.reshape(-1, tile, dim)
+
+    def body(_, rows):
+        d = l2_sq_pairwise(rows, centroids)
+        _, idx = jax.lax.top_k(-d, n_cand)
+        return None, idx.astype(jnp.int32)
+
+    _, out = jax.lax.scan(body, None, xt)
+    return out.reshape(-1, n_cand)[:n]
+
+
 def kmeans_multi(
     x: jnp.ndarray,
     k: int,

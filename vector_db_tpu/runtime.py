@@ -11,6 +11,22 @@ import jax
 _CACHE_ENABLED = False
 
 
+def apply_device(device: str) -> None:
+    """Pin the JAX platform from the config ``device`` key.
+
+    ``device: cpu`` must hold even when a TPU plugin is discoverable —
+    the env var ``JAX_PLATFORMS`` alone is overridden by plugin discovery
+    in this environment, so we set the config flag programmatically (must
+    run before the first JAX computation). ``auto``/``tpu`` leave JAX's
+    default resolution alone (tpu when reachable, else cpu), because
+    requesting ``tpu`` explicitly would hard-fail on CPU-only hosts where
+    the reference's torch fallback (reference device.py:17-57) degrades
+    gracefully instead.
+    """
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> str:
     """Enable the persistent XLA compilation cache.
 

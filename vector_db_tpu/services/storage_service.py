@@ -40,10 +40,16 @@ class StorageService:
         from vector_db_tpu.native.metadata import MetadataIndex
 
         self._meta_index = MetadataIndex()
-        for nid in self._storage.get_all_ids():
-            node = self._storage.get(nid)
-            if node is not None:
-                self._meta_index.set(nid, node.metadata)
+        if hasattr(self._storage, "iter_metadata"):
+            # bulk path: one metadata-column read, no embedding copies /
+            # Node construction per id (1M-capacity reopen in seconds)
+            for nid, metadata, _content in self._storage.iter_metadata():
+                self._meta_index.set(nid, metadata)
+        else:
+            for nid in self._storage.get_all_ids():
+                node = self._storage.get(nid)
+                if node is not None:
+                    self._meta_index.set(nid, node.metadata)
 
     def save(self, node: Node) -> None:
         self._storage.save(node)

@@ -54,5 +54,27 @@ class NodeStorage(ABC):
         """Alias for save (reference storage.py:49-51)."""
         self.save(node)
 
+    def get_embeddings(self, ids) -> "tuple[np.ndarray, np.ndarray]":
+        """Bulk embedding fetch: (f32[n, dim] — zero rows where missing,
+        found bool[n]). Default loops :meth:`get_embedding`; memmap
+        backends override with one vectorized read — this is the
+        1M-capacity index-reopen path, where a per-id Python loop costs
+        minutes."""
+        ids = list(ids)
+        found = np.zeros(len(ids), bool)
+        out: Optional[np.ndarray] = None
+        for j, nid in enumerate(ids):
+            try:
+                v = np.asarray(self.get_embedding(int(nid)), np.float32)
+            except KeyError:
+                continue
+            if out is None:
+                out = np.zeros((len(ids), v.shape[0]), np.float32)
+            out[j] = v
+            found[j] = True
+        if out is None:
+            out = np.zeros((len(ids), 0), np.float32)
+        return out, found
+
     def close(self) -> None:
         """Release resources; default no-op."""

@@ -182,6 +182,37 @@ class MMapNodeStorage(NodeStorage):
         del self._meta
 
     # -- bulk views (TPU ingest path; no reference analog) -------------------
+    def get_embeddings(self, ids) -> "tuple[np.ndarray, np.ndarray]":
+        """Bulk fetch as ONE fancy-indexed memmap read (vs the base class's
+        per-id loop): the 1M-capacity reopen path runs in milliseconds."""
+        ids = np.asarray(list(ids), np.int64)
+        rows = np.fromiter(
+            (self._id_to_index.get(int(i), -1) for i in ids),
+            np.int64, count=len(ids),
+        )
+        found = rows >= 0
+        out = np.zeros((len(ids), self.dim), np.float32)
+        if found.any():
+            out[found] = self._emb["embedding"][rows[found]]
+        return out, found
+
+    def iter_metadata(self):
+        """Yield (id, metadata dict, content) for all live rows, reading
+        only the metadata columns (no embedding copies / Node objects) —
+        the StorageService filter-index hydration path."""
+        if not self._id_to_index:
+            return
+        rows = np.asarray(sorted(self._id_to_index.values()), np.int64)
+        metas = self._meta["metadata_json"][rows]
+        contents = self._meta["content"][rows]
+        row_ids = self._meta["id"][rows]
+        for nid, mj, content in zip(row_ids, metas, contents):
+            try:
+                metadata = json.loads(str(mj)) if mj else {}
+            except json.JSONDecodeError:
+                metadata = {}
+            yield int(nid), metadata, (str(content) or None)
+
     def embedding_matrix(self) -> np.ndarray:
         """Zero-copy structured view of all embedding rows, f32[capacity, dim]."""
         return self._emb["embedding"]
