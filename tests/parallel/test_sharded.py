@@ -97,3 +97,104 @@ def test_sharded_hnsw_filter(rng):
     live = ids[ids >= 0]
     assert len(live) > 0
     assert set(live.tolist()) <= allowed
+
+
+def test_sharded_hnsw_bulk_build_recall(rng):
+    mesh = make_mesh()
+    idx = ShardedHNSW(M=8, ef_construction=50, mesh=mesh, dim=16,
+                      capacity_per_shard=64)
+    x = rng.standard_normal((320, 16)).astype(np.float32)
+    idx.bulk_build(list(range(320)), x)
+    assert idx.size == 320
+
+    q = rng.standard_normal((10, 16)).astype(np.float32)
+    dists, ids = idx.search_batch(q, k=5, ef=50)
+    want = brute_force(q, x, 5)
+    recalls = [len(set(ids[i]) & set(want[i])) / 5 for i in range(10)]
+    # exact-kNN edges: bulk graphs should beat the streaming-insert bar
+    assert np.mean(recalls) >= 0.85
+
+
+def test_sharded_hnsw_bulk_build_then_insert(rng):
+    idx = ShardedHNSW(M=4, ef_construction=30, mesh=make_mesh(), dim=8,
+                      capacity_per_shard=64)
+    x = rng.standard_normal((120, 8)).astype(np.float32)
+    idx.bulk_build(list(range(100)), x[:100])
+    idx.insert(list(range(100, 120)), x[100:])
+    assert idx.size == 120
+    _, ids = idx.search_batch(x[105:108], k=1, ef=30)
+    np.testing.assert_array_equal(ids[:, 0], [105, 106, 107])
+
+
+def test_sharded_hnsw_bulk_build_duplicate_ids(rng):
+    idx = ShardedHNSW(M=4, ef_construction=30, mesh=make_mesh(), dim=8,
+                      capacity_per_shard=32)
+    x = rng.standard_normal((6, 8)).astype(np.float32)
+    idx.bulk_build([1, 2, 1, 3, 2, 4], x)  # first occurrence wins
+    assert idx.size == 4
+    _, ids = idx.search_batch(x[:1], k=1, ef=20)
+    assert ids[0, 0] == 1
+
+
+def test_sharded_hnsw_delete_unlinks_edges(rng):
+    idx = ShardedHNSW(M=4, ef_construction=30, mesh=make_mesh(), dim=8,
+                      capacity_per_shard=32)
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    idx.insert(list(range(100)), x)
+    victims = [5, 17, 33]
+    gslots = [idx._gslot_of_id[v] for v in victims]
+    idx.delete_batch(victims)
+    # no table row anywhere references a deleted slot
+    neigh = np.asarray(idx._neighbors)
+    for g in gslots:
+        s, local = g // idx.cap, g % idx.cap
+        shard_rows = neigh[s * idx.cap : (s + 1) * idx.cap]
+        assert not np.any(shard_rows == local)
+        assert np.all(neigh[g] == -1)
+    # deleted ids never surface in results
+    _, ids = idx.search_batch(x[victims], k=10, ef=40)
+    assert not (set(victims) & set(ids.ravel().tolist()))
+    # survivors still findable
+    _, ids2 = idx.search_batch(x[50:52], k=1, ef=30)
+    np.testing.assert_array_equal(ids2[:, 0], [50, 51])
+
+
+def test_sharded_hnsw_delete_entry_reelection(rng):
+    idx = ShardedHNSW(M=4, ef_construction=30, mesh=make_mesh(), dim=8,
+                      capacity_per_shard=32, seed=3)
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    idx.insert(list(range(64)), x)
+    # delete every entry node once; searches must keep working
+    entries = np.asarray(idx._entry)
+    caps = idx.cap
+    victims = []
+    for s, e in enumerate(entries):
+        if e >= 0:
+            nid = int(idx._id_of_gslot[s * caps + int(e)])
+            if nid >= 0:
+                victims.append(nid)
+    idx.delete_batch(victims)
+    survivors = [i for i in range(64) if i not in set(victims)]
+    _, ids = idx.search_batch(x[survivors[:3]], k=1, ef=30)
+    np.testing.assert_array_equal(ids[:, 0], survivors[:3])
+
+
+def test_reverse_merge_device_matches_host(rng):
+    import jax.numpy as jnp
+
+    from vector_db_tpu.index.hnsw import _reverse_merge
+    from vector_db_tpu.ops.graph_build import reverse_merge
+
+    n, deg, width = 50, 4, 6
+    fwd_d = rng.random((n, deg)).astype(np.float32)
+    fwd_i = rng.integers(0, n, (n, deg)).astype(np.int32)
+    fwd_i[fwd_i == np.arange(n)[:, None]] = -1  # no self edges
+    order = np.argsort(fwd_d, axis=1)
+    fwd_d = np.take_along_axis(fwd_d, order, axis=1)
+    fwd_i = np.take_along_axis(fwd_i, order, axis=1)
+
+    host = _reverse_merge(fwd_i, fwd_d, width)
+    dev = np.asarray(reverse_merge(jnp.asarray(fwd_d), jnp.asarray(fwd_i),
+                                   width))
+    for r in range(n):
+        assert set(host[r][host[r] >= 0]) == set(dev[r][dev[r] >= 0])

@@ -109,6 +109,53 @@ def build_forward_edges(
     return fwd_d.reshape(n, deg), fwd_i.reshape(n, deg)
 
 
+@functools.partial(jax.jit, static_argnames=("width",))
+def reverse_merge(
+    fwd_d: jnp.ndarray,   # f32[n, deg]
+    fwd_i: jnp.ndarray,   # int32[n, deg] (-1 padded)
+    width: int,
+) -> jnp.ndarray:
+    """Device analog of the host ``_reverse_merge`` (index/hnsw.py):
+    symmetrize forward edges, dedup (v, u) pairs, keep each row's closest
+    ``width``. All-sort formulation with static shapes so it can run
+    per-shard inside ``shard_map`` (the SPMD bulk-build path).
+
+    Returns rows int32[n, width] of local neighbor indices.
+    """
+    n, deg = fwd_i.shape
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), deg)
+    dst = fwd_i.reshape(-1)
+    dd = fwd_d.reshape(-1)
+    ok = dst >= 0
+    # undirected edge set; invalid entries get v = n (sorts last, dropped)
+    v = jnp.concatenate([jnp.where(ok, src, n), jnp.where(ok, dst, n)])
+    u = jnp.concatenate([jnp.where(ok, dst, 0), jnp.where(ok, src, 0)])
+    w = jnp.concatenate([dd, dd])
+
+    # dedup (v, u): sort by pair key, invalidate repeats
+    key = v.astype(jnp.int64) * (n + 1) + u.astype(jnp.int64)
+    order = jnp.argsort(key)
+    key, v, u, w = key[order], v[order], u[order], w[order]
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), key[1:] == key[:-1]]
+    )
+    v = jnp.where(dup, n, v)
+
+    # per-row closest-width: sort by (v, w), rank within each v segment
+    order2 = jnp.lexsort((w, v))
+    v, u, w = v[order2], u[order2], w[order2]
+    starts = jnp.searchsorted(v, jnp.arange(n, dtype=v.dtype))
+    rank = jnp.arange(v.shape[0], dtype=jnp.int32) - starts[
+        jnp.minimum(v, n - 1)
+    ].astype(jnp.int32)
+    sel = (v < n) & (rank < width)
+    rows = jnp.full((n, width), -1, jnp.int32)
+    rows = rows.at[
+        jnp.where(sel, v, n), jnp.where(sel, rank, 0)
+    ].set(u.astype(jnp.int32), mode="drop")
+    return rows
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def assign_topk_clusters(
     emb: jnp.ndarray,        # f32[N, dim], N multiple of chunk

@@ -27,6 +27,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vector_db_tpu.index import hnsw_kernels as K
@@ -319,6 +320,138 @@ class ShardedHNSW:
 
         return _search
 
+    def _build_bulk_fn(self, level_sizes: Tuple[int, ...]):
+        """One SPMD bulk-construction program: every shard builds its own
+        graph over its local rows concurrently (cells are independent —
+        near-linear scaling over the mesh). ``level_sizes`` are static
+        per-level prefix lengths (max over shards, pow2-bucketed); local
+        slots are assigned level-descending so each level's nodes occupy a
+        prefix and upper-level kNN passes touch only that prefix."""
+        from vector_db_tpu.ops.graph_build import (
+            build_forward_edges,
+            reverse_merge,
+        )
+
+        M, l_max, cap = self.M, self.l_max, self.cap
+        mesh = self.mesh
+
+        def per_shard(emb, has_emb, levels_local):
+            ncols_ = K.ncols(M, l_max)
+            neighbors = jnp.full((cap, ncols_), -1, jnp.int32)
+            for level, p in enumerate(level_sizes):
+                if p < 2:
+                    continue
+                width = K.level_width(level, M)
+                deg = min(M, p - 1, width)
+                e = emb[:p]
+                valid = has_emb[:p] & (levels_local[:p] >= level)
+                chunk = min(512, p & (-p))  # largest pow2 divisor of p
+                fd, fi = build_forward_edges(
+                    e, valid, deg=deg, k_cand=min(4 * M, p - 1),
+                    chunk=chunk, alpha=1.0,
+                )
+                rows = reverse_merge(fd, fi, width)
+                start = K.level_col_start(level, M)
+                neighbors = lax.dynamic_update_slice(
+                    neighbors, rows, (0, start)
+                )
+            # local slot 0 holds the shard's highest-level node
+            entry = jnp.where(has_emb[0], jnp.int32(0), jnp.int32(-1))
+            entry_level = jnp.where(has_emb[0], levels_local[0],
+                                    jnp.int32(-1))
+            lv = jnp.where(has_emb, levels_local, -1)
+            return neighbors, lv, entry[None], entry_level[None]
+
+        spec = P(Axis)
+
+        @jax.jit
+        def _bulk(emb, has_emb, levels_local):
+            return jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=(spec, spec, spec, spec),
+                check_vma=False,
+            )(emb, has_emb, levels_local)
+
+        return _bulk
+
+    def bulk_build(self, ids: Sequence[int], embeddings: np.ndarray) -> None:
+        """SPMD bulk construction (the 10M initial-load path): rows route
+        round-robin to shards; every shard builds exact-kNN + occlusion-
+        pruned + reverse-merged level graphs over its local rows in ONE
+        program. Single-chip semantics preserved per shard
+        (HNSW.bulk_build); search merges across shards as usual."""
+        if self.size > 0:
+            raise ValueError("bulk_build requires an empty index")
+        embeddings = np.asarray(embeddings, np.float32)
+        seen: Dict[int, None] = {}
+        keep = []
+        for j, nid in enumerate(ids):
+            if int(nid) not in seen:
+                seen[int(nid)] = None
+                keep.append(j)
+        idx = np.asarray(keep, np.int64)
+        ids_arr = np.asarray([int(ids[j]) for j in keep], np.int64)
+        embeddings = embeddings[idx]
+        n = embeddings.shape[0]
+        if n == 0:
+            return
+        if n > self.n_shards * self.cap:
+            raise RuntimeError("Sharded index full")
+        if self.dim != embeddings.shape[1]:
+            raise ValueError(
+                f"dim {embeddings.shape[1]} != index dim {self.dim}"
+            )
+
+        levels = np.asarray(
+            [self.sample_level() for _ in range(n)], np.int32
+        )
+        shard_of = np.arange(n) % self.n_shards
+
+        emb_np = np.zeros((self.n_shards, self.cap, self.dim), np.float32)
+        has_np = np.zeros((self.n_shards, self.cap), bool)
+        lvl_np = np.full((self.n_shards, self.cap), -1, np.int32)
+        counts = np.zeros(self.n_shards, np.int64)
+        for s in range(self.n_shards):
+            mine = np.nonzero(shard_of == s)[0]
+            # level-descending local slot order => per-level prefixes
+            mine = mine[np.argsort(-levels[mine], kind="stable")]
+            m = mine.size
+            counts[s] = m
+            emb_np[s, :m] = embeddings[mine]
+            has_np[s, :m] = True
+            lvl_np[s, :m] = levels[mine]
+            self._next_in_shard[s] = int(m)
+            for local, j in enumerate(mine):
+                g = s * self.cap + local
+                self._gslot_of_id[int(ids_arr[j])] = g
+                self._id_of_gslot[g] = int(ids_arr[j])
+        self._rr = int(n)
+
+        # static per-level prefix sizes: max live count over shards,
+        # bucketed to powers of two (compile-cache friendly)
+        level_sizes = []
+        for level in range(self.l_max):
+            c = int(max(
+                ((lvl_np[s] >= level).sum() for s in range(self.n_shards)),
+                default=0,
+            ))
+            p = 0 if c < 2 else min(
+                self.cap, 1 << (max(c, 2) - 1).bit_length()
+            )
+            level_sizes.append(p)
+
+        shr = NamedSharding(self.mesh, P(Axis))
+        self._emb = jax.device_put(
+            jnp.asarray(emb_np.reshape(-1, self.dim)), shr
+        )
+        self._has_emb = jax.device_put(jnp.asarray(has_np.reshape(-1)), shr)
+        bulk = self._build_bulk_fn(tuple(level_sizes))
+        (self._neighbors, self._levels, self._entry,
+         self._entry_level) = bulk(
+            self._emb, self._has_emb, jnp.asarray(lvl_np.reshape(-1))
+        )
+
     # -- public API ---------------------------------------------------------
     def insert(self, ids: Sequence[int], embeddings: np.ndarray) -> None:
         """Streaming bulk insert: rows route round-robin to shards; all
@@ -381,16 +514,86 @@ class ShardedHNSW:
         dists = np.where(gslots >= 0, np.sqrt(np.maximum(d_sq, 0)), np.inf)
         return dists.astype(np.float32), ids
 
-    def delete(self, node_id: int) -> None:
-        """Tombstone delete: the row is masked out of navigation and
-        results (the reference's skip-dangling semantics, hnsw.py:117-121);
-        graph edges decay lazily. Entry re-election is per-shard local and
-        handled by the has_emb mask at query time."""
-        g = self._gslot_of_id.pop(node_id, None)
-        if g is None:
+    def _build_delete_fn(self):
+        """SPMD batched delete with full edge unlink: single-chip
+        ``delete_slot`` parity (hnsw_kernels.delete_slot) per shard — one
+        gather pass clears every reference to any deleted slot (recycled
+        slots can never alias stale edges), own rows/levels reset, entry
+        re-elected to the highest-level survivor."""
+        cap = self.cap
+        mesh = self.mesh
+
+        def per_shard(neighbors, levels, entry, entry_level, has_emb,
+                      slots):
+            present = slots >= 0
+            safe = jnp.where(present, slots, cap)
+            deleted = jnp.zeros((cap,), bool).at[safe].set(
+                True, mode="drop"
+            )
+            hit = deleted[jnp.maximum(neighbors, 0)] & (neighbors >= 0)
+            neighbors = jnp.where(hit, -1, neighbors)
+            neighbors = neighbors.at[safe].set(-1, mode="drop")
+            levels = levels.at[safe].set(-1, mode="drop")
+            has_emb = has_emb.at[safe].set(False, mode="drop")
+            e = entry[0]
+            need = jnp.where(e >= 0, deleted[jnp.maximum(e, 0)], False)
+            best = jnp.argmax(levels).astype(jnp.int32)
+            any_left = levels[best] >= 0
+            e2 = jnp.where(need, jnp.where(any_left, best, -1), e)
+            el2 = jnp.where(
+                need, jnp.where(any_left, levels[best], -1), entry_level[0]
+            )
+            return neighbors, levels, e2[None], el2[None], has_emb
+
+        spec = P(Axis)
+
+        @jax.jit
+        def _delete(neighbors, levels, entry, entry_level, has_emb, slots):
+            return jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(spec,) * 6,
+                out_specs=(spec,) * 5,
+                check_vma=False,
+            )(neighbors, levels, entry, entry_level, has_emb, slots)
+
+        return _delete
+
+    def delete_batch(self, node_ids: Sequence[int]) -> None:
+        """Delete a batch of nodes across shards in ONE SPMD program with
+        full edge unlink (single-chip ``delete_slot`` parity; tombstone-only
+        deletes would leave edges to dead slots wasting beam expansion and
+        aliasing recycled slots)."""
+        per_shard: List[List[int]] = [[] for _ in range(self.n_shards)]
+        for nid in node_ids:
+            g = self._gslot_of_id.pop(int(nid), None)
+            if g is None:
+                continue
+            self._id_of_gslot[g] = -1
+            per_shard[g // self.cap].append(g % self.cap)
+        d = max((len(x) for x in per_shard), default=0)
+        if d == 0:
             return
-        self._has_emb = self._has_emb.at[g].set(False)
-        self._id_of_gslot[g] = -1
+        d = 1 << (d - 1).bit_length() if d > 1 else 1  # pow2 bucket
+        slots = np.full((self.n_shards, d), -1, np.int32)
+        for s, items in enumerate(per_shard):
+            slots[s, : len(items)] = items
+        if not hasattr(self, "_delete_fn"):
+            self._delete_fn = self._build_delete_fn()
+        (self._neighbors, self._levels, self._entry, self._entry_level,
+         self._has_emb) = self._delete_fn(
+            self._neighbors, self._levels, self._entry, self._entry_level,
+            self._has_emb,
+            jax.device_put(jnp.asarray(slots.reshape(-1)),
+                           NamedSharding(self.mesh, P(Axis))),
+        )
+        # freed local slots are NOT recycled: routing appends monotonically
+        # per shard, so stale references (already cleared above) and id
+        # aliasing are structurally impossible
+
+    def delete(self, node_id: int) -> None:
+        """Single delete: one-element :meth:`delete_batch` (full edge
+        unlink + per-shard entry re-election)."""
+        self.delete_batch([node_id])
 
     # -- persistence ---------------------------------------------------------
     def save_index(self, path) -> None:
