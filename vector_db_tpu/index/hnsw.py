@@ -30,7 +30,6 @@ import random
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -14,7 +14,7 @@ tier lives in HBM, durable payloads stay in a ``NodeStorage``.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
