@@ -80,7 +80,7 @@ def _clustered_forward(
     seed: int = 0,
     spill: int = 3,
     lmax_cap: int = 8192,
-    refine_rounds: int = 1,
+    refine_rounds: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate forward edges for large corpora via cluster-partitioned
     exact kNN: k-means into ~sqrt(n) cells, assign every point to its
@@ -146,9 +146,12 @@ def _clustered_forward(
             fwd_i, jnp.full((emb_pad.shape[0] - fwd_i.shape[0], deg), -1,
                             jnp.int32)
         ]) if fwd_i.shape[0] < emb_pad.shape[0] else fwd_i
+        # chunk sized so the [chunk, deg*sample, dim] gather stays <1GB
+        nd_sample = max(4, min(8, deg // 2))
+        nd_chunk = 2048 if deg * nd_sample <= 128 else 1024
         fd_pad, fi_pad = nn_descent_round(
-            emb_dev, fd_pad, fi_pad, deg, chunk=2048,
-            sample=max(4, deg // 2),
+            emb_dev, fd_pad, fi_pad, deg, chunk=nd_chunk,
+            sample=nd_sample,
         )
         # pad rows may have picked up edges via their zero vectors; real
         # rows never reference pads (cand ids come from real rows' edges)
@@ -167,6 +170,7 @@ class HNSW:
         l_max: int = DEFAULT_L_MAX,
         capacity: int = MIN_CAPACITY,
         max_steps: int = 0,
+        precision: str = "f32",
     ) -> None:
         self.M = int(M)
         self.M_max = self.M
@@ -182,6 +186,15 @@ class HNSW:
         # edge-commit strategy: "grouped" (batch-parallel, default) or
         # "sequential" (item-at-a-time fori_loop; reference-faithful fold)
         self.commit_mode = "grouped"
+        # traversal precision: "bf16" gathers beam-expansion rows from a
+        # bfloat16 mirror (half the HBM traffic of the memory-bound beam
+        # loop); final results are re-scored exactly from the f32 table.
+        # Mirror rebuilds lazily after mutations (identity-tracked).
+        if precision not in ("f32", "bf16"):
+            raise ValueError("precision must be 'f32' or 'bf16'")
+        self.precision = precision
+        self._emb16 = None
+        self._emb16_src = None
         # construction-beam multi-pop: expand E candidates per step (the
         # sequential step count is the insert bottleneck; the explored set
         # at equal ef_construction is a superset of best-first's)
@@ -372,8 +385,11 @@ class HNSW:
             deg = min(self.M, sub.size - 1)
 
             if sub.size > exact_threshold:
+                # build at full row width (2M at level 0): wider forward
+                # edges + NN-descent rounds recover the recall a cluster-
+                # partitioned build loses vs exact kNN
                 fwd_d, fwd_i = _clustered_forward(
-                    embeddings[sub], deg, seed=level
+                    embeddings[sub], min(width, sub.size - 1), seed=level
                 )
             elif sub.size <= host_threshold:
                 # tiny level: plain numpy, naive closest-deg selection (the
@@ -600,6 +616,18 @@ class HNSW:
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
 
+    def _emb_traverse(self) -> jnp.ndarray:
+        """Embedding table for beam traversal: the f32 source, or a lazily
+        rebuilt bf16 mirror (identity-tracked — functional updates swap the
+        f32 array object, which invalidates the mirror)."""
+        if self.precision != "bf16":
+            return self._emb
+        src = self._store.emb
+        if self._emb16_src is not src:
+            self._emb16 = src.astype(jnp.bfloat16)
+            self._emb16_src = src
+        return self._emb16
+
     def sync_storage(self) -> None:
         """Re-check which graph nodes still exist in storage and mask out
         the missing ones (reference semantics: nodes deleted from storage
@@ -681,13 +709,20 @@ class HNSW:
             if use_filter else None
         )
         max_steps = max_steps or self.max_steps or (2 * ef + 16)
+        q_dev = jnp.asarray(np.asarray(queries, np.float32))
         d_sq, slots = K.search_batch(
-            self.graph, self._emb, self._has_emb,
-            jnp.asarray(np.asarray(queries, np.float32)), filter_mask,
+            self.graph, self._emb_traverse(), self._has_emb,
+            q_dev, filter_mask,
             M=self.M, l_max=self.l_max, ef=ef, k=k,
             max_steps=max_steps, use_filter=use_filter, pool=max(pool, ef),
             expand=expand,
         )
+        if self.precision == "bf16":
+            # re-score the k survivors from the f32 table so reported
+            # distances are full precision (selection was bf16)
+            from vector_db_tpu.ops.exact import rescore_exact
+
+            d_sq, slots = rescore_exact(q_dev, self._emb, slots)
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]
         ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)

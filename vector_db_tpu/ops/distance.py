@@ -78,7 +78,11 @@ def gather_l2_sq(
     from HBM, one (K, d) · (d,) contraction, mask.
     """
     safe = jnp.maximum(idx, 0)
-    rows = emb[safe]  # [K, d] gather
+    rows = emb[safe]  # [K, d] gather — traffic at the TABLE's dtype
+    if rows.dtype != jnp.float32:
+        # bf16 table: gather halves HBM traffic, math still runs f32
+        rows = rows.astype(jnp.float32)
+    q = q.astype(jnp.float32)
     diff_sq = (
         jnp.sum(rows * rows, axis=-1)
         - 2.0 * jnp.dot(rows, q, preferred_element_type=jnp.float32)

@@ -79,6 +79,7 @@ class IndexingService:
                 rng=rng,
                 storage=storage,
                 index_file=self.index_file,
+                precision=str(index_config.get("precision", "f32")),
             )
         elif self.index_type == "flat":
             from vector_db_tpu.index.flat import FlatIndex
@@ -97,6 +98,9 @@ class IndexingService:
             self.index = IvfIndex(
                 k=self.ivf_k, storage=storage, index_file=self.index_file
             )
+            # the service owns persistence (threshold flush); per-add
+            # npz rewrites are O(corpus) and redundant under it
+            self.index.autosave = False
             self._ivf_pending: List[Node] = []
         elif self.index_type == "sharded-hnsw":
             from vector_db_tpu.parallel.sharded import ShardedHNSW
