@@ -136,3 +136,50 @@ def test_in_memory_storage_contract(rng):
     assert s.get(0) is None
     with pytest.raises(KeyError):
         s.get_embedding(0)
+
+
+def test_get_embeddings_bulk(tmp_path, rng):
+    from vector_db_tpu.storage.mmap import MMapNodeStorage
+    from vector_db_tpu.types import Node
+
+    s = MMapNodeStorage(
+        embedding_file=tmp_path / "e.npy", metadata_file=tmp_path / "m.npy",
+        dim=8, capacity=64,
+    )
+    x = rng.standard_normal((20, 8)).astype(np.float32)
+    for i in range(20):
+        s.save(Node(id=i * 3, embedding=x[i], metadata={"i": i},
+                    content=f"c{i}"))
+    s.delete(9)  # id 9 = row for i=3
+
+    ids = [0, 3, 9, 57, 999]  # present, present, deleted, present, never
+    rows, found = s.get_embeddings(ids)
+    np.testing.assert_array_equal(found, [True, True, False, True, False])
+    np.testing.assert_allclose(rows[0], x[0], rtol=1e-6)
+    np.testing.assert_allclose(rows[1], x[1], rtol=1e-6)
+    np.testing.assert_allclose(rows[3], x[19], rtol=1e-6)
+    assert np.all(rows[2] == 0) and np.all(rows[4] == 0)
+
+    # matches the base-class per-id fallback exactly
+    from vector_db_tpu.storage.base import NodeStorage
+
+    base_rows, base_found = NodeStorage.get_embeddings(s, ids)
+    np.testing.assert_array_equal(found, base_found)
+    np.testing.assert_allclose(rows, base_rows, rtol=1e-6)
+
+
+def test_iter_metadata_bulk(tmp_path, rng):
+    from vector_db_tpu.storage.mmap import MMapNodeStorage
+    from vector_db_tpu.types import Node
+
+    s = MMapNodeStorage(
+        embedding_file=tmp_path / "e.npy", metadata_file=tmp_path / "m.npy",
+        dim=4, capacity=32,
+    )
+    for i in range(6):
+        s.save(Node(id=i, embedding=np.ones(4, np.float32) * i,
+                    metadata={"topic": str(i % 2)}, content=f"doc {i}"))
+    s.delete(2)
+    got = {nid: (meta, content) for nid, meta, content in s.iter_metadata()}
+    assert set(got) == {0, 1, 3, 4, 5}
+    assert got[3] == ({"topic": "1"}, "doc 3")
