@@ -127,3 +127,73 @@ def test_balanced_assign_caps_and_fallback():
     counts = np.bincount(labels, minlength=4)
     assert counts[0] == 3 + 6  # 3 under cap + 6 fallback (cluster 1 full)
     assert counts[1] == 3
+
+
+def test_residual_pq_beats_raw_pq_adc():
+    """Residual IVFADC (encode x − c_cell) must estimate distances better
+    than raw-vector PQ on clustered data: the coarse quantizer absorbs the
+    cluster mean so the code budget covers only intra-cell variance
+    (Jégou et al. IVFADC; reference PQ computes no distances at all,
+    src/vector_db/inference/pq.py:77-108)."""
+    x = _corpus(n=4096, dim=64, seed=11)
+    q = _corpus(n=64, dim=64, seed=12)
+    d_all = ((x[None, :, :] - q[:, None, :]) ** 2).sum(-1)
+    gt = np.argsort(d_all, axis=1)[:, :10]
+
+    recalls = {}
+    for residual in (False, True):
+        index = IvfIndex(k=32)
+        index.build_arrays(range(len(x)), x, seed=1, iters=15)
+        index.enable_pq(chunks=8, ksub=64, residual=residual)
+        _, ids = index.search_batch(q, n_probe=16, top_k=10, pq=True,
+                                    rerank=False)
+        recalls[residual] = np.mean([
+            len(set(ids[i].tolist()) & set(gt[i].tolist())) / 10
+            for i in range(len(q))
+        ])
+    assert recalls[True] > recalls[False]
+    # isotropic unit-Gaussian residuals are PQ's worst case; the absolute
+    # bar is deliberately modest — the contract is the relative gain
+    assert recalls[True] >= 0.25
+
+
+def test_residual_pq_distance_identity():
+    """The stored-scalar decomposition must reproduce the directly-computed
+    residual ADC distance: Σ_j lut[code_j] + s_x + (‖q−c‖² − ‖q‖²)
+    == ‖q − c − recon‖² for the quantized reconstruction."""
+    x = _corpus(n=1024, dim=32, seed=21)
+    index = IvfIndex(k=8)
+    index.build_arrays(range(len(x)), x, seed=2, iters=10)
+    index.enable_pq(chunks=4, ksub=32, residual=True, opq_iters=3)
+    q = x[5][None, :] + 0.25
+
+    # probe everything, no rerank: returned d = sqrt(ADC estimate)
+    d, ids = index.search_batch(q, n_probe=8, top_k=5, pq=True, rerank=False)
+    cell_of = {}
+    for c, lst in enumerate(index.inverted_lists):
+        for nid in lst:
+            cell_of[nid] = c
+    for j in range(5):
+        nid = int(ids[0, j])
+        slot = index._store.slot_of(nid)
+        code = index._codes_np[slot].astype(np.int32)[None, :]
+        recon = index._pq.decode(code)[0]           # original space
+        c = index.centroids[cell_of[nid]]
+        want = float(((q[0] - c - recon) ** 2).sum())
+        assert d[0, j] ** 2 == pytest.approx(want, rel=1e-3, abs=0.05)
+
+
+def test_residual_add_after_enable_pq():
+    """add() must keep residual codes AND the correction scalar current."""
+    from vector_db_tpu.types import Node
+
+    x = _corpus(n=512, dim=32, seed=3)
+    index = IvfIndex(k=8)
+    index.build_arrays(range(len(x)), x, seed=1, iters=10)
+    index.enable_pq(chunks=4, ksub=32, residual=True, opq_iters=2)
+    rng = np.random.default_rng(9)
+    v = x[7] + rng.standard_normal(x.shape[1]).astype(np.float32)
+    index.add(Node(id=10_000, embedding=v.tolist(), metadata={}))
+    d, ids = index.search_batch(v[None, :], n_probe=8, top_k=1, pq=True)
+    assert ids[0, 0] == 10_000
+    assert d[0, 0] < 0.5  # a wrong s_x would shift the estimate far off

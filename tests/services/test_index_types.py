@@ -225,3 +225,49 @@ def test_flat_bf16_precision(tmp_path, rng):
     d = [np.linalg.norm(q - n.embedding) for n in nodes]
     want = {nodes[i].id for i in np.argsort(d)[:5]}
     assert len(got & want) >= 4
+
+
+def test_ivf_pq_via_config(tmp_path, rng):
+    """index.type: ivf + index.pq activates residual IVFADC probing once
+    the corpus passes min_size; results stay consistent with exact IVF."""
+    cfg = make_config(tmp_path, "ivf", ivf_k=4,
+                      pq={"chunks": 4, "ksub": 16, "min_size": 16,
+                          "residual": True})
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 64)
+    svc.insert_nodes(nodes)
+
+    res = svc.search(nodes[9].embedding, k=3, n_probe=4)
+    assert svc._pq_active
+    assert getattr(svc.index, "_pq_residual", False)
+    assert res[0][0].id == 9  # exact rerank recovers the true neighbor
+
+    # batch path also probes with PQ
+    q = np.stack([nodes[5].embedding, nodes[11].embedding])
+    _, ids = svc.search_batch(q, k=1, n_probe=4)
+    assert ids[0, 0] == 5 and ids[1, 0] == 11
+
+    # filtered searches fall back to the exact probe path (ADC kernel
+    # carries no filter mask) and still respect the filter
+    fres = svc.search(nodes[9].embedding, k=5,
+                      filter_ids={n.id for n in nodes if n.id % 2 == 0})
+    assert all(n.id % 2 == 0 for n, _ in fres)
+
+
+def test_ivf_pq_add_after_activation(tmp_path, rng):
+    """Nodes inserted after PQ activation must be findable via ADC (codes
+    and correction scalars are maintained incrementally by IvfIndex.add)."""
+    cfg = make_config(tmp_path, "ivf", ivf_k=4,
+                      pq={"chunks": 4, "ksub": 16, "min_size": 16})
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    svc.insert_nodes(make_nodes(rng, 48))
+    svc.search(np.zeros(16, np.float32), k=1, n_probe=4)  # activate PQ
+    assert svc._pq_active
+
+    late = Node(id=999, embedding=rng.standard_normal(16).astype(np.float32),
+                metadata={})
+    svc.insert_nodes([late])
+    res = svc.search(late.embedding, k=1, n_probe=4)
+    assert res[0][0].id == 999

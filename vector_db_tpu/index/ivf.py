@@ -67,12 +67,14 @@ def _ivf_search_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_probe", "top_k", "fetch", "rerank")
+    jax.jit,
+    static_argnames=("n_probe", "top_k", "fetch", "rerank", "residual"),
 )
 def _ivf_pq_probe_cells(
     centroids: jnp.ndarray,    # f32[k, d]
     cell_slots: jnp.ndarray,   # int32[k, L] slot ids, -1 padded
     cell_codes: jnp.ndarray,   # uint8[k, L, m] PQ codes, cell-contiguous
+    cell_s: jnp.ndarray,       # f32[k, L] residual correction scalars
     codebooks: jnp.ndarray,    # f32[m, ksub, subdim]
     emb: jnp.ndarray,          # f32[capacity, d] (exact rerank source)
     has_emb: jnp.ndarray,      # bool[capacity]
@@ -82,15 +84,21 @@ def _ivf_pq_probe_cells(
     top_k: int,
     fetch: int,
     rerank: bool,
+    residual: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scale-path IVFADC probe with cell-contiguous code storage.
 
     The 1M-class layout: PQ codes are stored grouped by cell
     (``cell_codes[c]`` is one contiguous block), so probing gathers
     ``n_probe`` whole blocks — large contiguous HBM reads — instead of
-    per-member row gathers. Candidate scoring reads 16 bytes/vector (the
-    codes) rather than 3 KB (the f32 row): the classic IVFADC memory
+    per-member row gathers. Candidate scoring reads tens of bytes/vector
+    (the codes) rather than 3 KB (the f32 row): the classic IVFADC memory
     story (Jégou et al.), laid out for TPU gather efficiency.
+
+    With ``residual=True`` the codes quantize ``x − c_cell`` and scoring
+    adds the per-vector correction ``cell_s`` plus the coarse term
+    ``‖q−c‖² − ‖q‖²`` (FAISS precomputed-tables identity) — one query
+    LUT serves every probed cell, no per-(query, cell) LUT tensor.
 
     Per query: flat-LUT gather scores all padded candidates, a masked
     top-``fetch`` picks the ADC front, and (optionally) an exact f32
@@ -108,12 +116,24 @@ def _ivf_pq_probe_cells(
     lut = _adc_lut(queries_rot, codebooks)           # [B, m, ksub]
     lut_flat = lut.reshape(queries.shape[0], m * ksub)
     offs = (jnp.arange(m, dtype=jnp.int32) * ksub)[None, :]
+    if residual:
+        # coarse correction per (query, probed cell): ‖q−c‖² − ‖q_rot‖²
+        # (the LUT sum carries ‖q_rot‖²; rotation keeps norms, cd is
+        # rotation-invariant)
+        q_sq = jnp.sum(queries_rot * queries_rot, axis=-1)       # [B]
+        cdp = jnp.take_along_axis(cd, probe, axis=1) - q_sq[:, None]
+    else:
+        cdp = jnp.zeros_like(probe, dtype=jnp.float32)
 
-    def one(q, probe_row, lut_row):
+    def one(q, probe_row, lut_row, cdp_row):
         slots = cell_slots[probe_row].reshape(-1)            # [P]
         codes = cell_codes[probe_row].reshape(-1, m)         # [P, m]
         idx = codes.astype(jnp.int32) + offs                 # [P, m]
         d = jnp.sum(lut_row[idx], axis=-1)                   # [P]
+        if residual:
+            s = cell_s[probe_row].reshape(-1)                # [P]
+            L = cell_slots.shape[1]
+            d = d + s + jnp.repeat(cdp_row, L)
         ok = (slots >= 0) & has_emb[jnp.maximum(slots, 0)]
         d = jnp.where(ok, d, BIG)
         if pad > 0:
@@ -127,7 +147,139 @@ def _ivf_pq_probe_cells(
         fd = gather_l2_sq(q, emb, fi, fi >= 0)
         return masked_top_k_smallest(fd, fi, top_k)
 
-    return jax.vmap(one)(queries, probe, lut_flat)
+    return jax.vmap(one)(queries, probe, lut_flat, cdp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_probe", "top_k", "fetch", "rerank", "dedup",
+                     "qblock"),
+)
+def _ivf_rp_probe_cells(
+    centroids: jnp.ndarray,    # f32[k, d]
+    cent_proj: jnp.ndarray,    # f32[k, dp] projected centroids
+    cell_slots: jnp.ndarray,   # int32[k, L] slot ids, -1 padded
+    cell_rp: jnp.ndarray,      # bf16[k, L, dp] projected rows, cell blocks
+    cell_xsq: jnp.ndarray,     # f32[k, L] ‖x̂‖² per member
+    emb: jnp.ndarray,          # f32[capacity, d] (exact rerank source)
+    has_emb: jnp.ndarray,      # bool[capacity]
+    queries: jnp.ndarray,      # f32[B, d]
+    proj: jnp.ndarray,         # f32[d, dp] orthonormal projection
+    n_probe: int,
+    top_k: int,
+    fetch: int,
+    rerank: bool,
+    dedup: bool,
+    qblock: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Residual-projection probe: the gather-free TPU scoring mode.
+
+    Classic IVFADC scores candidates through per-element LUT gathers —
+    scalar addressing the TPU VPU executes at issue rate, not bandwidth
+    (measured: the ADC probe path is gather-op bound). This mode instead
+    keeps a PCA-projected bf16 mirror ``x̂ = R^T x`` and scores with one
+    MXU matvec per cell block:
+
+        d(q, x) ≈ ‖q − c‖² − ‖q̂ − ĉ‖² + ‖q̂ − x̂‖²
+
+    — an exact identity for the rank-``dp`` residual approximation (the
+    ĉ·x̂ cross terms cancel), so per-candidate work is a contiguous
+    [L, dp] bf16 block read + dot product: HBM streams + systolic array,
+    no scalar gathers anywhere. Because x̂ is cell-independent the same
+    row serves spilled (multi-assigned) copies; ``dedup`` masks duplicate
+    slots inside the rerank window.
+
+    Queries run in ``qblock`` chunks under ``lax.map`` and cells stream
+    under ``lax.scan`` so peak memory is O(qblock · L · dp), independent
+    of batch size and n_probe.
+    """
+    b, d = queries.shape
+    k_cells, max_l = cell_slots.shape
+    p_total = n_probe * max_l
+    fetch = max(top_k, min(fetch, p_total))
+    pad_c = max(0, fetch - p_total)  # tiny-corpus guard (static)
+
+    cd = l2_sq_pairwise(queries, centroids)
+    _, probe = jax.lax.top_k(-cd, n_probe)                   # [B, n_probe]
+    qp = jnp.dot(queries, proj, preferred_element_type=jnp.float32)
+    qpsq = jnp.sum(qp * qp, axis=-1)                         # [B]
+    cdp = jnp.take_along_axis(cd, probe, axis=1)             # [B, n_probe]
+    cp = cent_proj[probe]                                    # [B, n_probe, dp]
+    qc = jnp.sum((qp[:, None, :] - cp) ** 2, axis=-1)        # [B, n_probe]
+    corr = cdp - qc                                          # [B, n_probe]
+
+    padq = (-b) % qblock
+    if padq:
+        qz = jnp.zeros((padq, d), queries.dtype)
+        queries_p = jnp.concatenate([queries, qz])
+        qp_p = jnp.concatenate([qp, jnp.zeros((padq, qp.shape[1]))])
+        qpsq_p = jnp.concatenate([qpsq, jnp.zeros((padq,))])
+        probe_p = jnp.concatenate(
+            [probe, jnp.zeros((padq, n_probe), probe.dtype)])
+        corr_p = jnp.concatenate([corr, jnp.zeros((padq, n_probe))])
+    else:
+        queries_p, qp_p, qpsq_p, probe_p, corr_p = (
+            queries, qp, qpsq, probe, corr)
+    nblk = queries_p.shape[0] // qblock
+
+    def reshape_blk(a):
+        return a.reshape((nblk, qblock) + a.shape[1:])
+
+    def block_fn(args):
+        q_b, qp_b, qpsq_b, probe_b, corr_b = args  # [Q, ...]
+        qp16 = qp_b.astype(jnp.bfloat16)
+
+        def pstep(_, pi):
+            cells = probe_b[:, pi]                  # [Q]
+            blk = cell_rp[cells]                    # [Q, L, dp] bf16
+            xsq = cell_xsq[cells]                   # [Q, L]
+            slots = cell_slots[cells]               # [Q, L]
+            dots = jnp.einsum(
+                "qld,qd->ql", blk, qp16,
+                preferred_element_type=jnp.float32,
+            )
+            score = (corr_b[:, pi][:, None] + qpsq_b[:, None]
+                     - 2.0 * dots + xsq)
+            ok = (slots >= 0) & has_emb[jnp.maximum(slots, 0)]
+            return None, (jnp.where(ok, score, BIG), slots)
+
+        _, (scores, slots) = jax.lax.scan(
+            pstep, None, jnp.arange(n_probe, dtype=jnp.int32)
+        )
+        # [n_probe, Q, L] -> [Q, P]
+        d_all = scores.transpose(1, 0, 2).reshape(qblock, p_total)
+        s_all = slots.transpose(1, 0, 2).reshape(qblock, p_total)
+        if pad_c > 0:
+            d_all = jnp.concatenate(
+                [d_all, jnp.full((qblock, pad_c), BIG, d_all.dtype)], axis=1)
+            s_all = jnp.concatenate(
+                [s_all, jnp.full((qblock, pad_c), -1, s_all.dtype)], axis=1)
+        if not rerank:
+            return jax.vmap(
+                lambda dv, sv: masked_top_k_smallest(dv, sv, top_k)
+            )(d_all, s_all)
+
+        def one(qv, dv, sv):
+            fd, fi = masked_top_k_smallest(dv, sv, fetch)
+            if dedup:
+                # spilled copies: same slot can appear twice; keep the
+                # first (they re-rank to identical exact distances)
+                eq = (fi[:, None] == fi[None, :]) & (fi[:, None] >= 0)
+                first = jnp.tril(eq, k=-1).any(axis=1)
+                fi = jnp.where(first, -1, fi)
+            fd = gather_l2_sq(qv, emb, fi, fi >= 0)
+            return masked_top_k_smallest(fd, fi, top_k)
+
+        return jax.vmap(one)(q_b, d_all, s_all)
+
+    dd, ii = jax.lax.map(
+        block_fn,
+        (reshape_blk(queries_p), reshape_blk(qp_p), reshape_blk(qpsq_p),
+         reshape_blk(probe_p), reshape_blk(corr_p)),
+    )
+    dd = dd.reshape(-1, top_k)[:b]
+    ii = ii.reshape(-1, top_k)[:b]
+    return dd, ii
 
 
 class IvfIndex:
@@ -223,8 +375,16 @@ class IvfIndex:
             blocks = codes_np[safe]                  # [k, L, m] uint8
             blocks[table < 0] = 0
             self._cells_codes_dev = jnp.asarray(blocks)
+            sx = getattr(self, "_sx_np", None)
+            if sx is not None:
+                s_blocks = sx[safe].astype(np.float32)
+                s_blocks[table < 0] = 0.0
+                self._cells_s_dev = jnp.asarray(s_blocks)
+            else:
+                self._cells_s_dev = jnp.zeros(table.shape, jnp.float32)
         else:
             self._cells_codes_dev = None
+            self._cells_s_dev = None
         self._lists_dirty = False
 
     def _ensure_codes_capacity(self) -> Optional[np.ndarray]:
@@ -232,12 +392,16 @@ class IvfIndex:
         zero-coded until written)."""
         codes_np = getattr(self, "_codes_np", None)
         if codes_np is not None and codes_np.shape[0] < self._capacity:
+            grow = self._capacity - codes_np.shape[0]
             codes_np = np.concatenate([
-                codes_np,
-                np.zeros((self._capacity - codes_np.shape[0],
-                          codes_np.shape[1]), np.uint8),
+                codes_np, np.zeros((grow, codes_np.shape[1]), np.uint8),
             ])
             self._codes_np = codes_np
+            sx = getattr(self, "_sx_np", None)
+            if sx is not None:
+                self._sx_np = np.concatenate(
+                    [sx, np.zeros((grow,), np.float32)]
+                )
         return codes_np
 
     def _device_lists(self) -> jnp.ndarray:
@@ -245,10 +409,10 @@ class IvfIndex:
             self._rebuild_device_tables()
         return self._lists_dev
 
-    def _device_cells(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _device_cells(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         if self._lists_dirty or self._cells_codes_dev is None:
             self._rebuild_device_tables()
-        return self._lists_dev, self._cells_codes_dev
+        return self._lists_dev, self._cells_codes_dev, self._cells_s_dev
 
     # ------------------------------------------------------------------
     def build_index(self, nodes: Sequence[Node], seed: int = 0) -> None:
@@ -416,7 +580,17 @@ class IvfIndex:
         self.inverted_lists[nearest].append(node.id)
         if self._ensure_codes_capacity() is not None:
             # keep the PQ code row current so the cell rebuild stays valid
-            self._codes_np[slot] = self._pq.encode(embedding[None, :])[0]
+            vec = embedding[None, :]
+            if getattr(self, "_pq_residual", False):
+                vec = vec - self.centroids[nearest][None, :]
+            code = self._pq.encode(vec)
+            self._codes_np[slot] = code[0]
+            if getattr(self, "_sx_np", None) is not None:
+                # s = 2·c_rot·recon_rot = 2·c·recon_orig (rotation cancels)
+                self._sx_np[slot] = 2.0 * float(
+                    np.dot(self.centroids[nearest],
+                           self._pq.decode(code)[0])
+                )
         self._lists_dirty = True
         if self.index_file and self.autosave:
             self.save_index()
@@ -461,16 +635,34 @@ class IvfIndex:
                 out.append((node, float(d)))
         return out
 
+    def _slot_cell_table(self) -> np.ndarray:
+        """int32[capacity] coarse cell of each live slot (-1 for dead);
+        one vectorized pass over the padded slot table."""
+        out = np.full(self._capacity, -1, np.int32)
+        table = self._slot_table()
+        valid = table >= 0
+        cells = np.broadcast_to(
+            np.arange(self.k, dtype=np.int32)[:, None], table.shape
+        )
+        out[table[valid]] = cells[valid]
+        return out
+
     def enable_pq(self, chunks: int = 16, ksub: int = 256, seed: int = 0,
                   restarts: int = 2, opq_iters: int = 0,
-                  train_sample: int = 262144) -> None:
+                  train_sample: int = 262144, residual: bool = True) -> None:
         """Attach IVF-PQ scoring: train codebooks on the stored vectors and
         encode them; subsequent ``search_batch(..., pq=True)`` scores probed
         candidates by asymmetric PQ distance with exact rerank.
-        ``opq_iters`` > 0 trains an OPQ rotation first (PQCodec.train)."""
-        from vector_db_tpu.index.pq import PQCodec
+        ``opq_iters`` > 0 trains an OPQ rotation first (PQCodec.train).
 
-        from vector_db_tpu.index.pq import _encode_scan
+        ``residual=True`` (default) trains and encodes the residuals
+        ``x − c_cell(x)`` — the IVFADC formulation (Jégou et al.): the
+        coarse quantizer absorbs the cluster mean so the m·8-bit budget
+        quantizes only intra-cell variance. Query-time cost is unchanged
+        (one LUT per query; the per-cell term folds into a stored scalar)."""
+        from vector_db_tpu.index.pq import (
+            PQCodec, _encode_residual_scan, _encode_scan,
+        )
 
         if self.centroids is None:
             raise ValueError("Index must be built before enabling PQ")
@@ -481,23 +673,43 @@ class IvfIndex:
             raise ValueError("ksub must be <= 256 (codes are uint8)")
         self._pq = PQCodec(k=ksub, chunks=chunks, dim=self._dim)
         emb_np = np.asarray(self._emb)
-        train = emb_np[live]
-        if train.shape[0] > train_sample:
-            sel = np.random.default_rng(seed).choice(
-                train.shape[0], train_sample, replace=False
+        slot_cell = self._slot_cell_table() if residual else None
+        if residual:
+            live = live & (slot_cell >= 0)
+        train_rows = np.flatnonzero(live)
+        if train_rows.shape[0] > train_sample:
+            train_rows = np.random.default_rng(seed).choice(
+                train_rows, train_sample, replace=False
             )
-            train = train[sel]
+        train = emb_np[train_rows]
+        if residual:
+            train = train - self.centroids[slot_cell[train_rows]]
         self._pq.train(train, seed=seed, restarts=restarts,
                        opq_iters=opq_iters)
+        rot = (jnp.asarray(self._pq.rotation)
+               if self._pq.rotation is not None else None)
         # encode the whole table (dead rows too — harmless, masked at probe);
         # capacity is a power of two (DeviceVectorStore doubling), so
         # min(8192, capacity) always divides it
         chunk = min(8192, self._capacity)
-        enc = np.asarray(_encode_scan(
-            self._emb, self._pq.codebooks, chunk=chunk,
-            rotation=(jnp.asarray(self._pq.rotation)
-                      if self._pq.rotation is not None else None),
-        ))
+        if residual:
+            cents_d = jnp.asarray(self.centroids, jnp.float32)
+            cent_rot = (jnp.dot(cents_d, rot,
+                                preferred_element_type=jnp.float32)
+                        if rot is not None else cents_d)
+            self._cent_rot = cent_rot
+            codes, sx = _encode_residual_scan(
+                self._emb, jnp.asarray(np.maximum(slot_cell, 0)), cent_rot,
+                self._pq.codebooks, chunk=chunk, rotation=rot,
+            )
+            self._sx_np = np.array(sx, np.float32)  # writable copy
+            enc = np.asarray(codes)
+        else:
+            enc = np.asarray(_encode_scan(
+                self._emb, self._pq.codebooks, chunk=chunk, rotation=rot,
+            ))
+            self._sx_np = None
+        self._pq_residual = bool(residual)
         self._codes_np = enc.astype(np.uint8)
         self._lists_dirty = True  # cell code blocks must rebuild
 
@@ -526,15 +738,16 @@ class IvfIndex:
         if pq:
             if getattr(self, "_pq", None) is None:
                 raise ValueError("call enable_pq() first")
-            cell_slots, cell_codes = self._device_cells()
+            cell_slots, cell_codes, cell_s = self._device_cells()
             if fetch is None:
                 fetch = max(4 * int(top_k), 100)
             d_sq, slots = _ivf_pq_probe_cells(
-                self._centroids_dev, cell_slots, cell_codes,
+                self._centroids_dev, cell_slots, cell_codes, cell_s,
                 self._pq.codebooks, self._emb, self._has_emb, q,
                 self._pq.rotate_queries(q),
                 n_probe=int(n_probe), top_k=int(top_k), fetch=int(fetch),
                 rerank=rerank,
+                residual=getattr(self, "_pq_residual", False),
             )
         else:
             d_sq, slots = _ivf_search_batch(
@@ -548,6 +761,11 @@ class IvfIndex:
         ids = self._store.ids_of(slots)
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
+
+    @property
+    def size(self) -> int:
+        """Live vector count (sum of inverted-list sizes)."""
+        return sum(len(lst) for lst in self.inverted_lists)
 
     # ------------------------------------------------------------------
     def get_cluster_size(self, cluster_id: int) -> int:

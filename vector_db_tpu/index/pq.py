@@ -75,6 +75,51 @@ def _encode_scan(
     return codes.reshape(n, m)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _encode_residual_scan(
+    emb: jnp.ndarray,        # f32[N, dim], N multiple of chunk
+    cell_ids: jnp.ndarray,   # int32[N] coarse cell per row (>=0)
+    cent_rot: jnp.ndarray,   # f32[k_cells, dim] rotated coarse centroids
+    codebooks: jnp.ndarray,  # f32[m, k, subdim]
+    chunk: int = 8192,
+    rotation: Optional[jnp.ndarray] = None,  # f32[dim, dim] (OPQ)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Residual IVFADC encoder: codes the rotated residual ``x@R − c@R``
+    against the codebooks and returns, per row, the correction scalar
+
+        s_x = Σ_j 2 · c_rot_j · b_{code_j}  =  2 · c_rot · recon_rot
+
+    With s_x stored, query-time residual ADC needs only the plain query
+    LUT ``||q_rot_j − b_t||²`` plus the (already-computed) coarse distance:
+    ``d ≈ Σ_j lut[code_j] + s_x + (‖q−c‖² − ‖q‖²)`` — the FAISS
+    "precomputed tables" identity, avoiding per-(query, cell) LUTs.
+    Returns (codes int32[N, m], s f32[N])."""
+    n, dim = emb.shape
+    m, k, subdim = codebooks.shape
+    assert n % chunk == 0
+
+    def body(_, c_idx):
+        rows = jax.lax.dynamic_slice(emb, (c_idx * chunk, 0), (chunk, dim))
+        cells = jax.lax.dynamic_slice(cell_ids, (c_idx * chunk,), (chunk,))
+        if rotation is not None:
+            rows = jnp.dot(rows, rotation, preferred_element_type=jnp.float32)
+        c_rows = cent_rot[cells]                       # [chunk, dim]
+        res = rows - c_rows
+        sub = res.reshape(chunk, m, subdim).transpose(1, 0, 2)
+        d = jax.vmap(l2_sq_pairwise)(sub, codebooks)   # [m, chunk, k]
+        codes = jnp.argmin(d, axis=-1).astype(jnp.int32)  # [m, chunk]
+        recon = jax.vmap(lambda cb, c: cb[c])(codebooks, codes)
+        # recon: [m, chunk, subdim] -> rotated-space reconstruction rows
+        recon_rows = recon.transpose(1, 0, 2).reshape(chunk, dim)
+        s = 2.0 * jnp.sum(c_rows * recon_rows, axis=-1)   # [chunk]
+        return None, (codes.T, s)
+
+    _, (codes, s) = jax.lax.scan(
+        body, None, jnp.arange(n // chunk, dtype=jnp.int32)
+    )
+    return codes.reshape(n, m), s.reshape(n)
+
+
 @jax.jit
 def _decode(codes: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     """codes: int32[N, chunks]; codebooks: f32[chunks, k, subdim]

@@ -69,6 +69,8 @@ class IndexingService:
         # OPQ rotation iterations (0 = plain PQ); big ADC recall gain on
         # correlated data for one extra matmul per query/encode
         self._pq_opq_iters = int(pq_cfg.get("opq_iters", 0))
+        # residual IVFADC is the recall-correct default for index.type: ivf
+        self._pq_residual = bool(pq_cfg.get("residual", True))
         self._pq_active = False
 
         rng = random.Random(42)
@@ -210,8 +212,12 @@ class IndexingService:
     def _maybe_enable_pq(self, requested_chunks: Optional[int]) -> bool:
         """Activate PQ traversal when configured (or explicitly requested
         via the search's pq_chunks param) and the corpus is big enough to
-        train codebooks. Returns whether PQ search should be used."""
-        if self.index_type != "hnsw":
+        train codebooks. Returns whether PQ search should be used.
+
+        For ``index.type: ivf`` this turns probing into residual IVFADC
+        (codes stay current incrementally — IvfIndex.add encodes on the
+        spot — so no stale-refresh pass is needed)."""
+        if self.index_type not in ("hnsw", "ivf"):
             return False
         chunks = self._pq_chunks or int(requested_chunks or 0)
         if chunks <= 0:
@@ -224,11 +230,20 @@ class IndexingService:
                 return False
             with self._lock:
                 if not self._pq_active:
-                    self.index.enable_pq(chunks=chunks, ksub=self._pq_ksub,
-                                         opq_iters=self._pq_opq_iters)
+                    if self.index_type == "ivf":
+                        self.index.enable_pq(
+                            chunks=chunks, ksub=self._pq_ksub,
+                            opq_iters=self._pq_opq_iters,
+                            residual=self._pq_residual,
+                        )
+                    else:
+                        self.index.enable_pq(
+                            chunks=chunks, ksub=self._pq_ksub,
+                            opq_iters=self._pq_opq_iters,
+                        )
                     self._pq_active = True
                     self._pq_stale = False
-        elif getattr(self, "_pq_stale", False):
+        elif self.index_type == "hnsw" and getattr(self, "_pq_stale", False):
             # inserts/deletes since the last encode: refresh codes (one
             # streaming device program; codebooks are not retrained)
             with self._lock:
@@ -294,9 +309,13 @@ class IndexingService:
             return [(n, d) for d, n in cands[:k]]
         n_probe = int(kwargs.get("n_probe", 10) or 10)
         n_probe = max(1, min(n_probe, self.index.k))
+        # PQ probing when configured; filtered searches take the exact
+        # probe path (the ADC kernel carries no filter mask)
+        use_pq = (filter_ids is None
+                  and self._maybe_enable_pq(kwargs.get("pq_chunks")))
         dists, ids = self.index.search_batch(
             np.asarray(query, np.float32)[None, :], n_probe=n_probe,
-            top_k=k, filter_ids=filter_ids,
+            top_k=k, filter_ids=filter_ids, pq=use_pq,
         )
         results = []
         for nid, d in zip(ids[0], dists[0]):
@@ -314,9 +333,12 @@ class IndexingService:
             n_probe = max(1, min(n_probe, self.index.k))
             # filters implement tenancy/ACL — forward them (mirrors
             # _ivf_search; a dropped filter silently leaks excluded docs)
+            filter_ids = kwargs.get("filter_ids")
+            use_pq = (filter_ids is None
+                      and self._maybe_enable_pq(kwargs.get("pq_chunks")))
             return self.index.search_batch(
                 queries, n_probe=n_probe, top_k=k,
-                filter_ids=kwargs.get("filter_ids"),
+                filter_ids=filter_ids, pq=use_pq,
             )
         if self.index_type == "flat":
             # exact search has no ef/beam knobs
