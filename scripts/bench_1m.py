@@ -129,7 +129,7 @@ def main():
         log(f"hnsw-opq ef={ef}: recall={rec:.3f} qps={qps:.0f}")
         results["hnsw_opq"].append({"ef": ef, "recall": rec, "qps": qps})
 
-    # ---- IVF-PQ (OPQ) with exact rerank: the scale-path ANN mode ----
+    # ---- IVF modes: the scale-path ANN story ----
     # free the HNSW tables first (graph + PQ mirrors); the IVF index owns
     # its own device table and both don't fit 16G HBM at 1M x 768
     del index
@@ -139,30 +139,52 @@ def main():
     from vector_db_tpu.index.ivf import IvfIndex
 
     n_cells = int(os.environ.get("BENCH_IVF_K", 4096))
+    spill = int(os.environ.get("BENCH_IVF_SPILL", 2))
     t0 = time.perf_counter()
     ivf = IvfIndex(k=n_cells)
-    ivf.build_arrays(range(N), x, seed=0, iters=20)
+    ivf.build_arrays(range(N), x, seed=0, iters=20, spill=spill,
+                     list_cap_alpha=2.0)
     ivf_build_s = time.perf_counter() - t0
-    log(f"ivf build (k={n_cells}): {ivf_build_s:.0f}s")
+    log(f"ivf build (k={n_cells}, spill={spill}): {ivf_build_s:.0f}s")
+
+    # coarse-probe recall ceiling (host-side): what any in-cell scoring
+    # can at best achieve — separates quantizer loss from cell selection
+    cell_of = [[] for _ in range(N)]
+    for c, lst in enumerate(ivf.inverted_lists):
+        for nid in lst:
+            cell_of[nid].append(c)
+    cents = ivf.centroids
+    cdh = (cents * cents).sum(-1)[None, :] - 2.0 * (q @ cents.T)
+    order = np.argsort(cdh, axis=1)
+    probe_ceiling = {}
+    for n_probe in [64, 128, 256]:
+        probed = [set(order[i, :n_probe].tolist()) for i in range(B)]
+        probe_ceiling[n_probe] = float(np.mean(
+            [[bool(set(cell_of[g]) & probed[i]) for g in gt[i]]
+             for i in range(B)]
+        ))
+        log(f"probe ceiling n_probe={n_probe}: {probe_ceiling[n_probe]:.4f}")
+
+    # residual-projection bf16 scoring (gather-free, MXU-native)
     t0 = time.perf_counter()
-    ivf.enable_pq(chunks=16, ksub=256, opq_iters=6)
-    ivf.search_batch(q[:8], n_probe=8, top_k=K, pq=True)  # build cells
-    log(f"ivf enable_pq(opq): {time.perf_counter() - t0:.0f}s")
-    results["ivf_pq"] = {"k_cells": n_cells, "build_s": ivf_build_s,
-                         "ops": []}
-    for n_probe, fetch in [(16, 128), (32, 128), (64, 128), (64, 256),
-                           (128, 256)]:
+    ivf.enable_rp(dims=int(os.environ.get("BENCH_RP_DIMS", 128)))
+    ivf.search_batch(q[:8], n_probe=8, top_k=K, rp=True)  # build cells
+    log(f"ivf enable_rp: {time.perf_counter() - t0:.0f}s")
+    results["ivf_rp"] = {"k_cells": n_cells, "spill": spill,
+                         "build_s": ivf_build_s,
+                         "probe_ceiling": probe_ceiling, "ops": []}
+    for n_probe, fetch in [(64, 128), (128, 256), (256, 256)]:
         def run(v, n_probe=n_probe, fetch=fetch):
             return ivf.search_batch(np.asarray(v), n_probe=n_probe,
-                                    top_k=K, pq=True, fetch=fetch)[0]
+                                    top_k=K, rp=True, fetch=fetch)[0]
 
-        _, ids = ivf.search_batch(q, n_probe=n_probe, top_k=K, pq=True,
+        _, ids = ivf.search_batch(q, n_probe=n_probe, top_k=K, rp=True,
                                   fetch=fetch)
         qps = timed(run, qd, B)
         rec = recall_of(ids, gt, K)
-        log(f"ivf-pq n_probe={n_probe} fetch={fetch}: recall={rec:.3f} "
+        log(f"ivf-rp n_probe={n_probe} fetch={fetch}: recall={rec:.3f} "
             f"qps={qps:.0f}")
-        results["ivf_pq"]["ops"].append(
+        results["ivf_rp"]["ops"].append(
             {"n_probe": n_probe, "fetch": fetch, "recall": rec, "qps": qps}
         )
 

@@ -197,3 +197,83 @@ def test_residual_add_after_enable_pq():
     d, ids = index.search_batch(v[None, :], n_probe=8, top_k=1, pq=True)
     assert ids[0, 0] == 10_000
     assert d[0, 0] < 0.5  # a wrong s_x would shift the estimate far off
+
+
+# ---------------------------------------------------------------------------
+# residual-projection (RP) scoring + spilled assignment
+# ---------------------------------------------------------------------------
+
+def _lowrank_corpus(n, dim=64, rank=8, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((n, rank)).astype(np.float32)
+    v = rng.standard_normal((rank, dim)).astype(np.float32)
+    x = u @ v + 0.05 * rng.standard_normal((n, dim)).astype(np.float32)
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+def test_rp_matches_exact_probe_recall():
+    """With dims >= intrinsic rank the projected bf16 scoring must find the
+    same neighbors as exact-embedding probing (the decomposition
+    ‖q−c‖² − ‖q̂−ĉ‖² + ‖q̂−x̂‖² is lossless when x−c lies in span(R))."""
+    data = _lowrank_corpus(4096 + 32)
+    x, q = data[:4096], data[4096:]
+    ivf = IvfIndex(k=32)
+    ivf.build_arrays(range(4096), x, seed=0, iters=15)
+    ivf.enable_rp(dims=16)
+    _, ids_rp = ivf.search_batch(q, n_probe=8, top_k=10, rp=True, fetch=64)
+    _, ids_ex = ivf.search_batch(q, n_probe=8, top_k=10)
+    match = np.mean([
+        len(set(ids_rp[i].tolist()) & set(ids_ex[i].tolist())) / 10
+        for i in range(32)
+    ])
+    assert match >= 0.95
+
+
+def test_spill_raises_probe_recall():
+    """Multi-assignment must improve recall at fixed n_probe on
+    low-intrinsic-dimension data (neighbors straddle cell boundaries)."""
+    data = _lowrank_corpus(8192 + 64, seed=3)
+    x, q = data[:8192], data[8192:]
+    gt = np.argsort(((x[None, :, :] - q[:, None, :]) ** 2).sum(-1),
+                    axis=1)[:, :10]
+
+    def recall(ids):
+        return np.mean([len(set(ids[i].tolist()) & set(gt[i].tolist())) / 10
+                        for i in range(64)])
+
+    recs = {}
+    for spill in (1, 2):
+        ivf = IvfIndex(k=64)
+        ivf.build_arrays(range(8192), x, seed=0, iters=15, spill=spill)
+        _, ids = ivf.search_batch(q, n_probe=4, top_k=10)
+        recs[spill] = recall(ids)
+        # spilled copies must never surface as duplicate ids
+        assert all(
+            len(set(ids[i][ids[i] >= 0].tolist()))
+            == int((ids[i] >= 0).sum()) for i in range(64)
+        )
+    assert recs[2] > recs[1]
+
+
+def test_rp_add_after_enable():
+    from vector_db_tpu.types import Node
+
+    x = _corpus(n=512, dim=32, seed=3)
+    ivf = IvfIndex(k=8)
+    ivf.build_arrays(range(len(x)), x, seed=1, iters=10, spill=2)
+    ivf.enable_rp(dims=16)
+    rng = np.random.default_rng(9)
+    v = x[7] + rng.standard_normal(32).astype(np.float32)
+    ivf.add(Node(id=10_000, embedding=v.tolist(), metadata={}))
+    d, ids = ivf.search_batch(v[None, :], n_probe=8, top_k=1, rp=True)
+    assert ids[0, 0] == 10_000
+    assert d[0, 0] < 0.5
+
+
+def test_residual_pq_rejects_spill():
+    x = _corpus(n=512, dim=32, seed=5)
+    ivf = IvfIndex(k=8)
+    ivf.build_arrays(range(len(x)), x, seed=1, iters=10, spill=2)
+    with pytest.raises(ValueError, match="spill"):
+        ivf.enable_pq(chunks=4, ksub=32, residual=True)
+    ivf.enable_pq(chunks=4, ksub=32, residual=False)  # raw PQ is fine

@@ -271,3 +271,29 @@ def test_ivf_pq_add_after_activation(tmp_path, rng):
     svc.insert_nodes([late])
     res = svc.search(late.embedding, k=1, n_probe=4)
     assert res[0][0].id == 999
+
+
+def test_ivf_rp_via_config(tmp_path, rng):
+    """index.type: ivf + index.rp activates residual-projection probing;
+    late adds stay current (projected in place by IvfIndex.add)."""
+    cfg = make_config(tmp_path, "ivf", ivf_k=4,
+                      rp={"dims": 8, "min_size": 16})
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 64)
+    svc.insert_nodes(nodes)
+
+    res = svc.search(nodes[9].embedding, k=3, n_probe=4)
+    assert svc._rp_active
+    assert res[0][0].id == 9
+
+    late = Node(id=999, embedding=rng.standard_normal(16).astype(np.float32),
+                metadata={})
+    svc.insert_nodes([late])
+    res = svc.search(late.embedding, k=1, n_probe=4)
+    assert res[0][0].id == 999
+
+    # filtered search falls back to the exact probe path, still correct
+    fres = svc.search(nodes[8].embedding, k=5,
+                      filter_ids={n.id for n in nodes if n.id % 2 == 0})
+    assert all(n.id % 2 == 0 for n, _ in fres)

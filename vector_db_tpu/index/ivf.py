@@ -38,7 +38,7 @@ from vector_db_tpu.types import Node
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_probe", "top_k", "use_filter")
+    jax.jit, static_argnames=("n_probe", "top_k", "use_filter", "dedup")
 )
 def _ivf_search_batch(
     centroids: jnp.ndarray,      # f32[k, d]
@@ -50,9 +50,11 @@ def _ivf_search_batch(
     n_probe: int,
     top_k: int,
     use_filter: bool = False,
+    dedup: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     cd = l2_sq_pairwise(queries, centroids)  # [B, k]
     _, probe = jax.lax.top_k(-cd, n_probe)   # [B, n_probe]
+    p_total = n_probe * lists.shape[1]
 
     def one(q, probe_row):
         members = lists[probe_row].reshape(-1)  # [n_probe * max_list]
@@ -61,7 +63,17 @@ def _ivf_search_batch(
         if use_filter:
             ok = ok & fmask[safe]
         d = gather_l2_sq(q, emb, members, ok)
-        return masked_top_k_smallest(d, members, top_k)
+        if not dedup:
+            return masked_top_k_smallest(d, members, top_k)
+        # spilled copies of one slot carry identical distances: take a
+        # 2k window, drop repeats pairwise (small), then cut to k
+        m2 = min(2 * top_k, p_total)
+        td, ti = masked_top_k_smallest(d, members, m2)
+        rep = (ti[:, None] == ti[None, :]) & (ti[:, None] >= 0)
+        drop = jnp.tril(rep, k=-1).any(axis=1)
+        return masked_top_k_smallest(
+            jnp.where(drop, BIG, td), jnp.where(drop, -1, ti), top_k
+        )
 
     return jax.vmap(one)(queries, probe)
 
@@ -385,6 +397,18 @@ class IvfIndex:
         else:
             self._cells_codes_dev = None
             self._cells_s_dev = None
+        rp = getattr(self, "_rp_np", None)
+        if rp is not None:
+            safe = np.maximum(table, 0)
+            blocks = np.ascontiguousarray(rp[safe])   # [k, L, dp] bf16
+            blocks[table < 0] = 0
+            self._cells_rp_dev = jnp.asarray(blocks)
+            xsq = self._rp_xsq_np[safe].astype(np.float32)
+            xsq[table < 0] = 0.0
+            self._cells_xsq_dev = jnp.asarray(xsq)
+        else:
+            self._cells_rp_dev = None
+            self._cells_xsq_dev = None
         self._lists_dirty = False
 
     def _ensure_codes_capacity(self) -> Optional[np.ndarray]:
@@ -403,6 +427,15 @@ class IvfIndex:
                     [sx, np.zeros((grow,), np.float32)]
                 )
         return codes_np
+
+    def _ensure_rp_capacity(self) -> None:
+        rp = getattr(self, "_rp_np", None)
+        if rp is not None and rp.shape[0] < self._capacity:
+            grow = self._capacity - rp.shape[0]
+            self._rp_np = np.concatenate(
+                [rp, np.zeros((grow, rp.shape[1]), rp.dtype)])
+            self._rp_xsq_np = np.concatenate(
+                [self._rp_xsq_np, np.zeros((grow,), np.float32)])
 
     def _device_lists(self) -> jnp.ndarray:
         if self._lists_dirty or self._lists_dev is None:
@@ -464,6 +497,7 @@ class IvfIndex:
         train_sample: Optional[int] = None,
         assign_candidates: int = 4,
         list_cap_alpha: float = 4.0,
+        spill: int = 1,
     ) -> None:
         """Scale-path build (no Node objects): train k-means on a subsample,
         assign the full corpus in one tiled device pass, construct the
@@ -480,6 +514,13 @@ class IvfIndex:
         ``assign_candidates`` choices, then the cap is waived). Bounded
         lists keep the padded probe tensor — and probe cost — O(n_probe *
         alpha * N/k) instead of O(n_probe * max_cluster).
+
+        ``spill`` > 1 multi-assigns each vector to its ``spill`` nearest
+        distinct cells (SOAR-style spilling): on high-intrinsic-dimension
+        corpora, where neighbors straddle cell boundaries (measured probe
+        recall 0.62 at n_probe=64/1024 on the rank-64 embedding corpus),
+        spilling trades index memory for coarse recall. Search paths
+        de-duplicate repeated slots in the top-k window.
         """
         from vector_db_tpu.ops.kmeans import assign_tiled
 
@@ -507,16 +548,49 @@ class IvfIndex:
         self.centroids = np.asarray(cents)
         self._centroids_dev = cents
 
-        n_cand = max(1, min(assign_candidates, self.k))
+        spill = max(1, min(int(spill), self.k))
+        n_cand = max(spill, min(assign_candidates, self.k))
         tile = 65536 if n >= 65536 else max(256, 1 << (n - 1).bit_length())
         cand = np.asarray(assign_tiled(
             jnp.asarray(embeddings), cents, tile=tile, n_cand=n_cand
         ))
         labels = self._balanced_assign(cand, list_cap_alpha)
+        all_ids, all_labels = [ids_arr], [labels]
+        taken = labels[:, None]                     # cells already used
+        # spill copies respect a widened cap so the padded [k, L] probe
+        # tensor stays O(alpha * spill * N/k); over-cap copies are dropped
+        # (those rows stay single-assigned)
+        cap2 = max(1, int(np.ceil(list_cap_alpha * spill * n / self.k)))
+        counts = np.bincount(labels, minlength=self.k)
+        for _ in range(1, spill):
+            sec = np.full(n, -1, np.int64)
+            for j in range(n_cand):
+                todo = sec < 0
+                cj = cand[:, j].astype(np.int64)
+                fresh = todo & ~(taken == cj[:, None]).any(axis=1)
+                sec[fresh] = cj[fresh]
+            want_rows = np.flatnonzero(sec >= 0)
+            w = sec[want_rows]
+            order2 = np.argsort(w, kind="stable")
+            sw = w[order2]
+            group_start = np.searchsorted(sw, np.arange(self.k))
+            rank = np.arange(want_rows.size) - group_start[sw]
+            accept = rank < (cap2 - counts[sw])
+            keep = want_rows[order2[accept]]
+            sec_final = np.full(n, -1, np.int64)
+            sec_final[keep] = sec[keep]
+            counts += np.bincount(sec_final[keep], minlength=self.k)
+            ok = sec_final >= 0
+            all_ids.append(ids_arr[ok])
+            all_labels.append(sec_final[ok])
+            taken = np.concatenate([taken, sec_final[:, None]], axis=1)
+        ids_cat = np.concatenate(all_ids)
+        lab_cat = np.concatenate(all_labels)
+        self._spill = spill
 
-        order = np.argsort(labels, kind="stable")
-        sorted_ids = ids_arr[order]
-        bounds = np.searchsorted(labels[order], np.arange(self.k + 1))
+        order = np.argsort(lab_cat, kind="stable")
+        sorted_ids = ids_cat[order]
+        bounds = np.searchsorted(lab_cat[order], np.arange(self.k + 1))
         self.inverted_lists = [
             sorted_ids[bounds[c]:bounds[c + 1]].tolist()
             for c in range(self.k)
@@ -577,7 +651,14 @@ class IvfIndex:
 
         distances = np.linalg.norm(self.centroids - embedding, axis=1)
         nearest = int(np.argmin(distances))
-        self.inverted_lists[nearest].append(node.id)
+        spill = max(1, getattr(self, "_spill", 1))
+        for c in np.argsort(distances)[:spill]:
+            self.inverted_lists[int(c)].append(node.id)
+        if getattr(self, "_rp_np", None) is not None:
+            xh = (embedding @ self._rp_proj).astype(np.float32)
+            self._ensure_rp_capacity()
+            self._rp_xsq_np[slot] = float(np.sum(xh * xh))
+            self._rp_np[slot] = xh.astype(self._rp_np.dtype)
         if self._ensure_codes_capacity() is not None:
             # keep the PQ code row current so the cell rebuild stays valid
             vec = embedding[None, :]
@@ -666,6 +747,12 @@ class IvfIndex:
 
         if self.centroids is None:
             raise ValueError("Index must be built before enabling PQ")
+        if residual and getattr(self, "_spill", 1) > 1:
+            raise ValueError(
+                "residual PQ stores one code per slot and cannot serve "
+                "spilled (multi-assigned) copies; use enable_rp() for "
+                "spilled indexes, or enable_pq(residual=False)"
+            )
         live = np.asarray(self._has_emb)
         n_live = int(live.sum())
         ksub = min(ksub, max(2, n_live))
@@ -713,15 +800,57 @@ class IvfIndex:
         self._codes_np = enc.astype(np.uint8)
         self._lists_dirty = True  # cell code blocks must rebuild
 
+    def enable_rp(self, dims: int = 128, seed: int = 0,
+                  train_sample: int = 131072) -> None:
+        """Attach residual-projection scoring: PCA the coarse residuals
+        ``x − c_cell`` down to ``dims`` directions, keep the projected
+        corpus ``x̂ = R^T x`` as a bf16 mirror plus per-row ‖x̂‖².
+
+        This is the gather-free IVF mode for TPU (see
+        :func:`_ivf_rp_probe_cells`): classic ADC LUT gathers run at the
+        VPU's scalar-issue rate, while this path's candidate scoring is
+        contiguous cell-block reads + one MXU matvec. Because x̂ is
+        cell-independent, spilled (multi-assigned) copies share one row —
+        compatible with ``build_arrays(spill>1)``, unlike residual PQ.
+        Memory: 2·dims bytes/vector (e.g. 256 B at dims=128 vs 3 KB f32)."""
+        if self.centroids is None:
+            raise ValueError("Index must be built before enabling RP")
+        dims = int(min(dims, self._dim))
+        if dims <= 0:
+            raise ValueError("dims must be positive")
+        emb_np = np.asarray(self._emb)
+        slot_cell = self._slot_cell_table()
+        live = np.asarray(self._has_emb) & (slot_cell >= 0)
+        rows = np.flatnonzero(live)
+        if rows.size == 0:
+            raise ValueError("no live vectors to train the projection")
+        if rows.shape[0] > train_sample:
+            rows = np.random.default_rng(seed).choice(
+                rows, train_sample, replace=False)
+        res = emb_np[rows] - self.centroids[slot_cell[rows]]
+        cov = (res.T @ res) / max(1, res.shape[0])
+        w, v = np.linalg.eigh(cov.astype(np.float64))
+        proj = v[:, ::-1][:, :dims].astype(np.float32)     # [dim, dims]
+        self._rp_proj = proj
+        self._rp_proj_dev = jnp.asarray(proj)
+        self._cent_proj_dev = jnp.asarray(self.centroids @ proj)
+        xh = emb_np @ proj                                  # [capacity, dims]
+        self._rp_xsq_np = np.sum(
+            xh.astype(np.float32) ** 2, axis=-1).astype(np.float32)
+        self._rp_np = xh.astype(jnp.bfloat16)  # ml_dtypes bf16 numpy array
+        self._lists_dirty = True  # rp cell blocks must rebuild
+
     def search_batch(
         self, queries: np.ndarray, n_probe: int, top_k: int,
-        pq: bool = False, rerank: bool = True, filter_ids=None,
-        fetch: Optional[int] = None,
+        pq: bool = False, rp: bool = False, rerank: bool = True,
+        filter_ids=None, fetch: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Device fast path: (L2 f32[B, top_k], ids int64[B, top_k]).
         ``filter_ids`` masks candidates in-kernel (exact path only).
-        ``fetch`` (PQ path) widens the ADC candidate front that gets exact
-        re-ranking; default ``max(4*top_k, 100)``."""
+        ``pq`` scores probes by (residual) ADC; ``rp`` by the projected
+        bf16 mirror (``enable_rp``). ``fetch`` widens the approximate
+        candidate front that gets exact re-ranking; default
+        ``max(4*top_k, 100)``."""
         if self.centroids is None:
             raise ValueError("Index must be built before searching")
         q = jnp.asarray(np.asarray(queries, np.float32))
@@ -735,12 +864,25 @@ class IvfIndex:
             if fmask is None or fmask.shape[0] != self._capacity:
                 fmask = jnp.zeros((self._capacity,), bool)
                 self._zero_mask = fmask
-        if pq:
+        spilled = getattr(self, "_spill", 1) > 1
+        if fetch is None:
+            fetch = max(4 * int(top_k), 100)
+        if rp:
+            if getattr(self, "_rp_np", None) is None:
+                raise ValueError("call enable_rp() first")
+            if self._lists_dirty or self._cells_rp_dev is None:
+                self._rebuild_device_tables()
+            d_sq, slots = _ivf_rp_probe_cells(
+                self._centroids_dev, self._cent_proj_dev, self._lists_dev,
+                self._cells_rp_dev, self._cells_xsq_dev, self._emb,
+                self._has_emb, q, self._rp_proj_dev,
+                n_probe=int(n_probe), top_k=int(top_k), fetch=int(fetch),
+                rerank=rerank, dedup=spilled,
+            )
+        elif pq:
             if getattr(self, "_pq", None) is None:
                 raise ValueError("call enable_pq() first")
             cell_slots, cell_codes, cell_s = self._device_cells()
-            if fetch is None:
-                fetch = max(4 * int(top_k), 100)
             d_sq, slots = _ivf_pq_probe_cells(
                 self._centroids_dev, cell_slots, cell_codes, cell_s,
                 self._pq.codebooks, self._emb, self._has_emb, q,
@@ -754,7 +896,7 @@ class IvfIndex:
                 self._centroids_dev, self._device_lists(), self._emb,
                 self._has_emb, q, fmask,
                 n_probe=int(n_probe), top_k=int(top_k),
-                use_filter=use_filter,
+                use_filter=use_filter, dedup=spilled,
             )
         d_sq = np.asarray(d_sq)
         slots = np.asarray(slots)

@@ -72,6 +72,12 @@ class IndexingService:
         # residual IVFADC is the recall-correct default for index.type: ivf
         self._pq_residual = bool(pq_cfg.get("residual", True))
         self._pq_active = False
+        # Residual-projection scoring (config: index.rp: {dims, min_size}) —
+        # the gather-free bf16 IVF mode; preferred over pq when both are set
+        rp_cfg = index_config.get("rp") or {}
+        self._rp_dims = int(rp_cfg.get("dims", 0) or 0)
+        self._rp_min_size = int(rp_cfg.get("min_size", 4096))
+        self._rp_active = False
 
         rng = random.Random(42)
         if self.index_type == "hnsw":
@@ -252,6 +258,22 @@ class IndexingService:
                     self._pq_stale = False
         return self._pq_active
 
+    def _maybe_enable_rp(self) -> bool:
+        """Activate residual-projection probing for index.type: ivf when
+        configured and the corpus is big enough for the PCA train pass.
+        Rows added later stay current (IvfIndex.add projects in place)."""
+        if self.index_type != "ivf" or self._rp_dims <= 0:
+            return False
+        if not self._rp_active:
+            if (self.index.centroids is None
+                    or self.index.size < self._rp_min_size):
+                return False
+            with self._lock:
+                if not self._rp_active:
+                    self.index.enable_rp(dims=self._rp_dims)
+                    self._rp_active = True
+        return self._rp_active
+
     def search(
         self, query: np.ndarray, k: int, **kwargs: Any
     ) -> List[Tuple[Node, float]]:
@@ -309,13 +331,14 @@ class IndexingService:
             return [(n, d) for d, n in cands[:k]]
         n_probe = int(kwargs.get("n_probe", 10) or 10)
         n_probe = max(1, min(n_probe, self.index.k))
-        # PQ probing when configured; filtered searches take the exact
-        # probe path (the ADC kernel carries no filter mask)
-        use_pq = (filter_ids is None
+        # RP/PQ probing when configured; filtered searches take the exact
+        # probe path (the approximate kernels carry no filter mask)
+        use_rp = filter_ids is None and self._maybe_enable_rp()
+        use_pq = (not use_rp and filter_ids is None
                   and self._maybe_enable_pq(kwargs.get("pq_chunks")))
         dists, ids = self.index.search_batch(
             np.asarray(query, np.float32)[None, :], n_probe=n_probe,
-            top_k=k, filter_ids=filter_ids, pq=use_pq,
+            top_k=k, filter_ids=filter_ids, pq=use_pq, rp=use_rp,
         )
         results = []
         for nid, d in zip(ids[0], dists[0]):
@@ -334,11 +357,12 @@ class IndexingService:
             # filters implement tenancy/ACL — forward them (mirrors
             # _ivf_search; a dropped filter silently leaks excluded docs)
             filter_ids = kwargs.get("filter_ids")
-            use_pq = (filter_ids is None
+            use_rp = filter_ids is None and self._maybe_enable_rp()
+            use_pq = (not use_rp and filter_ids is None
                       and self._maybe_enable_pq(kwargs.get("pq_chunks")))
             return self.index.search_batch(
                 queries, n_probe=n_probe, top_k=k,
-                filter_ids=filter_ids, pq=use_pq,
+                filter_ids=filter_ids, pq=use_pq, rp=use_rp,
             )
         if self.index_type == "flat":
             # exact search has no ef/beam knobs
