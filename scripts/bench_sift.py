@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""SIFT1M-shaped IVF benchmark (BASELINE.md config 3/4 on realistic data).
+
+The 768-d rank-64 embedding corpus is partition-hostile (measured: 0.95
+recall needs ~25% of the corpus probed — see BENCH_1M.json probe
+ceilings). Real-world ANN datasets like SIFT1M have local intrinsic
+dimension ~10-15, where inverted-file indexes earn their keep. This
+benchmark runs the IVF modes on ``datasets.sift_like`` (anisotropic
+Gaussian mixture matching published SIFT1M ANN-difficulty; real TEXMEX
+files are used instead when SIFT1M_DIR points at them) and reports, at
+1M x 128:
+
+- exact f32 + bf16-scan baselines (the modes any ANN row must beat),
+- coarse probe ceilings (what any in-cell scoring can at best reach),
+- IVF-RP (residual-projection bf16) recall/QPS operating points,
+- residual IVF-PQ (IVFADC m=16, the literature-comparable config).
+
+Writes BENCH_SIFT.json; one JSON line + progress to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def timed(run, q, n_q, reps=3):
+    import jax
+
+    for w in range(3):
+        jax.block_until_ready(run(q * (1.0 + w * 1e-7)))
+    t0 = time.perf_counter()
+    for r in range(reps):
+        jax.block_until_ready(run(q * (1.0 + (r + 1) * 1e-6)))
+    return reps * n_q / (time.perf_counter() - t0)
+
+
+def main():
+    from vector_db_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from vector_db_tpu.datasets import load_sift1m, sift_like
+    from vector_db_tpu.index.ivf import IvfIndex
+    from vector_db_tpu.ops.exact import approx_search_tiled, exact_search_tiled
+
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    B, K = 1000, 10
+    real = load_sift1m()
+    if real is not None:
+        base, queries, _ = real
+        x, q = base[:N], queries[:B].astype(np.float32)
+        data_label = "SIFT1M (real, TEXMEX files)"
+    else:
+        x, q = sift_like(N, dim=128, seed=0, queries=B)
+        data_label = ("sift_like synthetic: anisotropic Gaussian mixture, "
+                      "log-normal cluster sizes (no egress for real SIFT1M)")
+    DIM = x.shape[1]
+    log(f"data: {data_label} ({N}x{DIM})")
+
+    results = {"N": N, "dim": DIM, "data": data_label}
+
+    k_cells = int(os.environ.get("BENCH_IVF_K", 4096))
+    spill = int(os.environ.get("BENCH_IVF_SPILL", 2))
+    t0 = time.perf_counter()
+    ivf = IvfIndex(k=k_cells)
+    ivf.build_arrays(range(N), x, seed=0, iters=20, spill=spill,
+                     list_cap_alpha=2.0)
+    build_s = time.perf_counter() - t0
+    log(f"ivf build (k={k_cells}, spill={spill}): {build_s:.0f}s")
+    results["build_s"] = build_s
+    results["k_cells"] = k_cells
+    results["spill"] = spill
+
+    # ground truth + scan baselines off the same device table
+    qd = jnp.asarray(q)
+    tile = 31250 if N % 31250 == 0 else 25000
+    gt = np.asarray(exact_search_tiled(
+        qd, ivf._emb, ivf._has_emb, K, tile=tile)[1])
+    gt_ids = ivf._store.ids_of(gt)
+
+    def recall_of(ids):
+        return float(np.mean(
+            [len(set(np.asarray(ids[i][:K]).tolist()) & set(gt_ids[i].tolist()))
+             / K for i in range(B)]
+        ))
+
+    exact_qps = timed(
+        lambda v: exact_search_tiled(v, ivf._emb, ivf._has_emb, K,
+                                     tile=tile)[0], qd, B)
+    log(f"exact f32: {exact_qps:.0f} qps (recall 1.0)")
+    results["exact_f32"] = {"qps": exact_qps, "recall": 1.0}
+
+    emb16 = ivf._emb.astype(jnp.bfloat16)
+    x_sq = jax.jit(lambda e: jnp.sum(e * e, -1))(ivf._emb)
+    jax.block_until_ready((emb16, x_sq))
+    tile16 = 125000 if N % 125000 == 0 else tile
+    _, bf16_slots = approx_search_tiled(qd, emb16, ivf._has_emb, K,
+                                        tile=tile16, x_sq=x_sq)
+    bf16_rec = recall_of(ivf._store.ids_of(np.asarray(bf16_slots)))
+    bf16_qps = timed(
+        lambda v: approx_search_tiled(v, emb16, ivf._has_emb, K,
+                                      tile=tile16, x_sq=x_sq)[0], qd, B)
+    log(f"bf16 scan: {bf16_qps:.0f} qps recall={bf16_rec:.4f}")
+    results["bf16_scan"] = {"qps": bf16_qps, "recall": bf16_rec}
+
+    # coarse probe ceilings (host-side)
+    cell_of = [[] for _ in range(N)]
+    for c, lst in enumerate(ivf.inverted_lists):
+        for nid in lst:
+            cell_of[nid].append(c)
+    cents = ivf.centroids
+    cdh = (cents * cents).sum(-1)[None, :] - 2.0 * (q @ cents.T)
+    order = np.argsort(cdh, axis=1)
+    results["probe_ceiling"] = {}
+    for n_probe in [8, 16, 32, 64]:
+        probed = [set(order[i, :n_probe].tolist()) for i in range(B)]
+        ceil = float(np.mean(
+            [[bool(set(cell_of[g]) & probed[i]) for g in gt_ids[i]]
+             for i in range(B)]
+        ))
+        results["probe_ceiling"][n_probe] = ceil
+        log(f"probe ceiling n_probe={n_probe}: {ceil:.4f}")
+
+    # IVF-RP
+    t0 = time.perf_counter()
+    ivf.enable_rp(dims=int(os.environ.get("BENCH_RP_DIMS", 64)))
+    ivf.search_batch(q[:8], n_probe=8, top_k=K, rp=True)
+    log(f"enable_rp: {time.perf_counter() - t0:.0f}s")
+    results["ivf_rp"] = []
+    for n_probe, fetch in [(8, 128), (16, 128), (32, 128), (64, 256)]:
+        def run(v, n_probe=n_probe, fetch=fetch):
+            return ivf.search_batch(np.asarray(v), n_probe=n_probe,
+                                    top_k=K, rp=True, fetch=fetch)[0]
+
+        _, ids = ivf.search_batch(q, n_probe=n_probe, top_k=K, rp=True,
+                                  fetch=fetch)
+        qps = timed(run, qd, B)
+        rec = recall_of(ids)
+        log(f"ivf-rp n_probe={n_probe} fetch={fetch}: recall={rec:.4f} "
+            f"qps={qps:.0f}")
+        results["ivf_rp"].append(
+            {"n_probe": n_probe, "fetch": fetch, "recall": rec, "qps": qps})
+
+    # residual IVF-PQ (IVFADC), literature config m=16/nbits=8. Needs a
+    # single-assignment index (one code per slot).
+    if spill > 1:
+        log("rebuilding single-assignment index for residual PQ...")
+        ivf2 = IvfIndex(k=k_cells)
+        ivf2.build_arrays(range(N), x, seed=0, iters=20, spill=1,
+                          list_cap_alpha=2.0)
+    else:
+        ivf2 = ivf
+    t0 = time.perf_counter()
+    ivf2.enable_pq(chunks=16, ksub=256, opq_iters=4, residual=True)
+    ivf2.search_batch(q[:8], n_probe=8, top_k=K, pq=True)
+    log(f"enable_pq(residual m=16): {time.perf_counter() - t0:.0f}s")
+    results["ivf_pq_residual"] = []
+    for n_probe, fetch, kk in [(16, 128, 10), (32, 128, 10), (16, 256, 100)]:
+        def run(v, n_probe=n_probe, fetch=fetch, kk=kk):
+            return ivf2.search_batch(np.asarray(v), n_probe=n_probe,
+                                     top_k=kk, pq=True, fetch=fetch)[0]
+
+        _, ids = ivf2.search_batch(q, n_probe=n_probe, top_k=kk, pq=True,
+                                   fetch=fetch)
+        if kk == K:
+            rec = recall_of(ids)
+        else:
+            gtk = np.asarray(exact_search_tiled(
+                qd, ivf2._emb, ivf2._has_emb, kk, tile=tile)[1])
+            gtk_ids = ivf2._store.ids_of(gtk)
+            rec = float(np.mean(
+                [len(set(np.asarray(ids[i]).tolist())
+                     & set(gtk_ids[i].tolist())) / kk for i in range(B)]
+            ))
+        qps = timed(run, qd, B)
+        log(f"ivf-pq(res) n_probe={n_probe} fetch={fetch} k={kk}: "
+            f"recall={rec:.4f} qps={qps:.0f}")
+        results["ivf_pq_residual"].append(
+            {"n_probe": n_probe, "fetch": fetch, "k": kk,
+             "recall": rec, "qps": qps})
+
+    Path("BENCH_SIFT.json").write_text(json.dumps(results, indent=2))
+    log(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,8 @@ def _ivf_search_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_probe", "top_k", "fetch", "rerank", "residual"),
+    static_argnames=("n_probe", "top_k", "fetch", "rerank", "residual",
+                     "qblock"),
 )
 def _ivf_pq_probe_cells(
     centroids: jnp.ndarray,    # f32[k, d]
@@ -97,6 +98,7 @@ def _ivf_pq_probe_cells(
     fetch: int,
     rerank: bool,
     residual: bool,
+    qblock: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scale-path IVFADC probe with cell-contiguous code storage.
 
@@ -159,7 +161,30 @@ def _ivf_pq_probe_cells(
         fd = gather_l2_sq(q, emb, fi, fi >= 0)
         return masked_top_k_smallest(fd, fi, top_k)
 
-    return jax.vmap(one)(queries, probe, lut_flat, cdp)
+    # queries stream in qblock chunks under lax.map: the vmapped ADC
+    # intermediates are O(B · n_probe · L · m); unchunked at B=1000 that
+    # is multi-GB and OOMs the 16G chip at 1M scale
+    b = queries.shape[0]
+    padq = (-b) % qblock
+    if padq:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((padq, queries.shape[1]), queries.dtype)])
+        probe = jnp.concatenate(
+            [probe, jnp.zeros((padq, n_probe), probe.dtype)])
+        lut_flat = jnp.concatenate(
+            [lut_flat, jnp.zeros((padq, m * ksub), lut_flat.dtype)])
+        cdp = jnp.concatenate([cdp, jnp.zeros((padq, n_probe), cdp.dtype)])
+    nblk = queries.shape[0] // qblock
+
+    def blk(a):
+        return a.reshape((nblk, qblock) + a.shape[1:])
+
+    dd, ii = jax.lax.map(
+        lambda args: jax.vmap(one)(*args),
+        (blk(queries), blk(probe), blk(lut_flat), blk(cdp)),
+    )
+    kk = dd.shape[-1]
+    return dd.reshape(-1, kk)[:b], ii.reshape(-1, kk)[:b]
 
 
 @functools.partial(
@@ -172,7 +197,7 @@ def _ivf_rp_probe_cells(
     cent_proj: jnp.ndarray,    # f32[k, dp] projected centroids
     cell_slots: jnp.ndarray,   # int32[k, L] slot ids, -1 padded
     cell_rp: jnp.ndarray,      # bf16[k, L, dp] projected rows, cell blocks
-    cell_xsq: jnp.ndarray,     # f32[k, L] ‖x̂‖² per member
+    cell_xsq: jnp.ndarray,     # f32[k, L] full-space ‖x‖² per member
     emb: jnp.ndarray,          # f32[capacity, d] (exact rerank source)
     has_emb: jnp.ndarray,      # bool[capacity]
     queries: jnp.ndarray,      # f32[B, d]
@@ -192,14 +217,17 @@ def _ivf_rp_probe_cells(
     keeps a PCA-projected bf16 mirror ``x̂ = R^T x`` and scores with one
     MXU matvec per cell block:
 
-        d(q, x) ≈ ‖q − c‖² − ‖q̂ − ĉ‖² + ‖q̂ − x̂‖²
+        d(q, x) ≈ (‖q−c‖² − ‖c‖² + 2 q̂·ĉ) + ‖x‖² − 2 q̂·x̂
 
-    — an exact identity for the rank-``dp`` residual approximation (the
-    ĉ·x̂ cross terms cancel), so per-candidate work is a contiguous
-    [L, dp] bf16 block read + dot product: HBM streams + systolic array,
-    no scalar gathers anywhere. Because x̂ is cell-independent the same
-    row serves spilled (multi-assigned) copies; ``dedup`` masks duplicate
-    slots inside the rerank window.
+    i.e. q·x is approximated by q·c + q̂·(x̂ − ĉ): the coarse centroid
+    carries the full-space component, the projection carries the residual.
+    With the TRUE ‖x‖² stored per row, the only estimation error is the
+    zero-mean cross term 2 q_⊥·(x−c)_⊥ — no norm bias when residual
+    energy falls outside the projection. Per-candidate work is a
+    contiguous [L, dp] bf16 block read + dot product: HBM streams +
+    systolic array, no scalar gathers anywhere. Because x̂ and ‖x‖² are
+    cell-independent the same row serves spilled (multi-assigned) copies;
+    ``dedup`` masks duplicate slots inside the rerank window.
 
     Queries run in ``qblock`` chunks under ``lax.map`` and cells stream
     under ``lax.scan`` so peak memory is O(qblock · L · dp), independent
@@ -214,31 +242,30 @@ def _ivf_rp_probe_cells(
     cd = l2_sq_pairwise(queries, centroids)
     _, probe = jax.lax.top_k(-cd, n_probe)                   # [B, n_probe]
     qp = jnp.dot(queries, proj, preferred_element_type=jnp.float32)
-    qpsq = jnp.sum(qp * qp, axis=-1)                         # [B]
     cdp = jnp.take_along_axis(cd, probe, axis=1)             # [B, n_probe]
+    csq = jnp.sum(centroids * centroids, axis=-1)[probe]     # [B, n_probe]
     cp = cent_proj[probe]                                    # [B, n_probe, dp]
-    qc = jnp.sum((qp[:, None, :] - cp) ** 2, axis=-1)        # [B, n_probe]
-    corr = cdp - qc                                          # [B, n_probe]
+    qpc = jnp.einsum("bpd,bd->bp", cp, qp,
+                     preferred_element_type=jnp.float32)     # q̂·ĉ
+    corr = cdp - csq + 2.0 * qpc                             # [B, n_probe]
 
     padq = (-b) % qblock
     if padq:
         qz = jnp.zeros((padq, d), queries.dtype)
         queries_p = jnp.concatenate([queries, qz])
         qp_p = jnp.concatenate([qp, jnp.zeros((padq, qp.shape[1]))])
-        qpsq_p = jnp.concatenate([qpsq, jnp.zeros((padq,))])
         probe_p = jnp.concatenate(
             [probe, jnp.zeros((padq, n_probe), probe.dtype)])
         corr_p = jnp.concatenate([corr, jnp.zeros((padq, n_probe))])
     else:
-        queries_p, qp_p, qpsq_p, probe_p, corr_p = (
-            queries, qp, qpsq, probe, corr)
+        queries_p, qp_p, probe_p, corr_p = queries, qp, probe, corr
     nblk = queries_p.shape[0] // qblock
 
     def reshape_blk(a):
         return a.reshape((nblk, qblock) + a.shape[1:])
 
     def block_fn(args):
-        q_b, qp_b, qpsq_b, probe_b, corr_b = args  # [Q, ...]
+        q_b, qp_b, probe_b, corr_b = args  # [Q, ...]
         qp16 = qp_b.astype(jnp.bfloat16)
 
         def pstep(_, pi):
@@ -250,8 +277,7 @@ def _ivf_rp_probe_cells(
                 "qld,qd->ql", blk, qp16,
                 preferred_element_type=jnp.float32,
             )
-            score = (corr_b[:, pi][:, None] + qpsq_b[:, None]
-                     - 2.0 * dots + xsq)
+            score = corr_b[:, pi][:, None] - 2.0 * dots + xsq
             ok = (slots >= 0) & has_emb[jnp.maximum(slots, 0)]
             return None, (jnp.where(ok, score, BIG), slots)
 
@@ -272,7 +298,11 @@ def _ivf_rp_probe_cells(
             )(d_all, s_all)
 
         def one(qv, dv, sv):
-            fd, fi = masked_top_k_smallest(dv, sv, fetch)
+            # fetch via the TPU PartialReduce hardware reduction instead
+            # of a full sort — the exact rerank below re-orders anyway,
+            # so only candidate SELECTION is approximate
+            nd, pos = jax.lax.approx_min_k(dv, fetch, recall_target=0.95)
+            fi = jnp.where(nd >= 1e37, -1, sv[pos])
             if dedup:
                 # spilled copies: same slot can appear twice; keep the
                 # first (they re-rank to identical exact distances)
@@ -286,7 +316,7 @@ def _ivf_rp_probe_cells(
 
     dd, ii = jax.lax.map(
         block_fn,
-        (reshape_blk(queries_p), reshape_blk(qp_p), reshape_blk(qpsq_p),
+        (reshape_blk(queries_p), reshape_blk(qp_p),
          reshape_blk(probe_p), reshape_blk(corr_p)),
     )
     dd = dd.reshape(-1, top_k)[:b]
@@ -657,7 +687,7 @@ class IvfIndex:
         if getattr(self, "_rp_np", None) is not None:
             xh = (embedding @ self._rp_proj).astype(np.float32)
             self._ensure_rp_capacity()
-            self._rp_xsq_np[slot] = float(np.sum(xh * xh))
+            self._rp_xsq_np[slot] = float(np.sum(embedding * embedding))
             self._rp_np[slot] = xh.astype(self._rp_np.dtype)
         if self._ensure_codes_capacity() is not None:
             # keep the PQ code row current so the cell rebuild stays valid
@@ -835,8 +865,10 @@ class IvfIndex:
         self._rp_proj_dev = jnp.asarray(proj)
         self._cent_proj_dev = jnp.asarray(self.centroids @ proj)
         xh = emb_np @ proj                                  # [capacity, dims]
+        # TRUE full-space norms: keeps the estimator unbiased when residual
+        # energy falls outside span(R) (see _ivf_rp_probe_cells)
         self._rp_xsq_np = np.sum(
-            xh.astype(np.float32) ** 2, axis=-1).astype(np.float32)
+            emb_np.astype(np.float32) ** 2, axis=-1).astype(np.float32)
         self._rp_np = xh.astype(jnp.bfloat16)  # ml_dtypes bf16 numpy array
         self._lists_dirty = True  # rp cell blocks must rebuild
 
