@@ -115,10 +115,27 @@ def main():
         log(f"hnsw ef={ef}: recall={rec:.3f} qps={qps:.0f}")
         results["hnsw"].append({"ef": ef, "recall": rec, "qps": qps})
 
+    # projected traversal (pHNSW-style): PCA-128 bf16 mirror beam
+    t0 = time.perf_counter()
+    index.enable_rp(dims=128)
+    index.search_batch_rp(q[:8], k=K, ef=16)  # build mirror
+    log(f"hnsw enable_rp: {time.perf_counter() - t0:.0f}s")
+    results["hnsw_rp"] = []
+    for ef in [200, 400, 600]:
+        def run(v, ef=ef):
+            return index.search_batch_rp(np.asarray(v), k=K, ef=ef,
+                                         expand=4)[0]
+
+        _, ids = index.search_batch_rp(q, k=K, ef=ef, expand=4)
+        qps = timed(run, qd, B)
+        rec = recall_of(ids, gt, K)
+        log(f"hnsw-rp ef={ef}: recall={rec:.3f} qps={qps:.0f}")
+        results["hnsw_rp"].append({"ef": ef, "recall": rec, "qps": qps})
+
     t0 = time.perf_counter()
     index.enable_pq(chunks=16, ksub=256, opq_iters=8)
     log(f"enable_pq(opq): {time.perf_counter() - t0:.0f}s")
-    for ef in [200, 400]:
+    for ef in [400]:
         def run(v, ef=ef):
             return index.search_batch_pq(np.asarray(v), k=K, ef=ef,
                                          expand=4)[0]

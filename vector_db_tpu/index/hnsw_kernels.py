@@ -518,6 +518,65 @@ def search_batch_pq(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("M", "l_max", "ef", "k", "max_steps", "expand"),
+)
+def search_batch_rp(
+    graph: Graph,
+    rp: jnp.ndarray,          # bf16[capacity, dp] PCA-projected mirror
+    xsq: jnp.ndarray,         # f32[capacity] full-space ‖x‖²
+    emb: jnp.ndarray,         # f32[capacity, dim] (exact rerank only)
+    has_emb: jnp.ndarray,
+    queries: jnp.ndarray,     # f32[B, dim]
+    queries_proj: jnp.ndarray,  # f32[B, dp] projected queries
+    M: int,
+    l_max: int,
+    ef: int,
+    k: int,
+    max_steps: int,
+    expand: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Projected-traversal HNSW search (pHNSW-style PCA filtering).
+
+    Beam traversal scores nodes from a PCA bf16 mirror: each neighbor
+    visit gathers ``dp`` bf16 values instead of a full f32 row —
+    ``dim*4 / (dp*2)``× less HBM traffic in the gather-bound hot loop
+    (12× at 768-d/dp=128). The score ``‖x‖² − 2 q̂·x̂`` is the unbiased
+    distance estimate minus the per-query constant ‖q‖² (ordering within
+    a query is unaffected); the final ef candidates are re-scored exactly
+    from the f32 table so returned distances/order are full-precision.
+    """
+    capacity = emb.shape[0]
+
+    def one(q, qp):
+        qp16 = qp.astype(rp.dtype)
+
+        def score(idx):
+            safe = jnp.maximum(idx, 0)
+            rows = rp[safe]                           # [K, dp]
+            dots = jnp.dot(rows, qp16,
+                           preferred_element_type=jnp.float32)
+            d = xsq[safe] - 2.0 * dots
+            ok = (idx >= 0) & has_emb[safe]
+            return jnp.where(ok, d, BIG)
+
+        entry = graph.entry
+        entry_d = score(entry[None])[0]
+        cur, cur_d = greedy_descent(
+            graph, score, entry, entry_d, jnp.int32(1), M, l_max
+        )
+        rd, rs = beam_layer_unified(
+            graph, score, capacity, cur, cur_d,
+            active=entry >= 0, level=0,
+            ef=ef, M=M, max_steps=max_steps, expand=expand,
+        )
+        rd = _dist_to(q, emb, rs, has_emb)
+        return masked_top_k_smallest(rd, rs, k)
+
+    return jax.vmap(one)(queries, queries_proj)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("M", "l_max", "ef_construction", "max_steps", "expand"),
 )
 def construction_search(

@@ -52,7 +52,8 @@ def _ivf_search_batch(
     use_filter: bool = False,
     dedup: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    cd = l2_sq_pairwise(queries, centroids)  # [B, k]
+    cd = l2_sq_pairwise(queries, centroids,
+                        precision=jax.lax.Precision.HIGHEST)  # [B, k]
     _, probe = jax.lax.top_k(-cd, n_probe)   # [B, n_probe]
     p_total = n_probe * lists.shape[1]
 
@@ -125,7 +126,8 @@ def _ivf_pq_probe_cells(
     p_total = n_probe * cell_slots.shape[1]
     fetch = max(top_k, min(fetch, p_total))
     pad = max(0, fetch - p_total)  # tiny-corpus guard (static)
-    cd = l2_sq_pairwise(queries, centroids)
+    cd = l2_sq_pairwise(queries, centroids,
+                        precision=jax.lax.Precision.HIGHEST)
     _, probe = jax.lax.top_k(-cd, n_probe)           # [B, n_probe]
     lut = _adc_lut(queries_rot, codebooks)           # [B, m, ksub]
     lut_flat = lut.reshape(queries.shape[0], m * ksub)
@@ -239,13 +241,16 @@ def _ivf_rp_probe_cells(
     fetch = max(top_k, min(fetch, p_total))
     pad_c = max(0, fetch - p_total)  # tiny-corpus guard (static)
 
-    cd = l2_sq_pairwise(queries, centroids)
+    cd = l2_sq_pairwise(queries, centroids,
+                        precision=jax.lax.Precision.HIGHEST)
     _, probe = jax.lax.top_k(-cd, n_probe)                   # [B, n_probe]
-    qp = jnp.dot(queries, proj, preferred_element_type=jnp.float32)
+    qp = jnp.dot(queries, proj, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
     cdp = jnp.take_along_axis(cd, probe, axis=1)             # [B, n_probe]
     csq = jnp.sum(centroids * centroids, axis=-1)[probe]     # [B, n_probe]
     cp = cent_proj[probe]                                    # [B, n_probe, dp]
     qpc = jnp.einsum("bpd,bd->bp", cp, qp,
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)     # q̂·ĉ
     corr = cdp - csq + 2.0 * qpc                             # [B, n_probe]
 

@@ -133,11 +133,16 @@ def _decode(codes: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def _adc_lut(queries: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     """queries: f32[B, dim]; codebooks: f32[chunks, k, subdim]
-    -> LUT f32[B, chunks, k] of per-subspace squared distances."""
+    -> LUT f32[B, chunks, k] of per-subspace squared distances.
+    HIGHEST precision: LUT entries sum over chunks, so per-chunk matmul
+    truncation compounds m-fold on unnormalized corpora."""
     b = queries.shape[0]
     chunks, k, subdim = codebooks.shape
     qsub = queries.reshape(b, chunks, subdim).transpose(1, 0, 2)  # [chunks,B,subdim]
-    lut = jax.vmap(l2_sq_pairwise)(qsub, codebooks)  # [chunks, B, k]
+    lut = jax.vmap(
+        lambda qq, cb: l2_sq_pairwise(
+            qq, cb, precision=jax.lax.Precision.HIGHEST)
+    )(qsub, codebooks)  # [chunks, B, k]
     return lut.transpose(1, 0, 2)
 
 

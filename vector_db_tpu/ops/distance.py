@@ -38,17 +38,26 @@ def l2_sq_pairwise(
     q: jnp.ndarray,
     x: jnp.ndarray,
     x_sq: jnp.ndarray | None = None,
+    precision=None,
 ) -> jnp.ndarray:
     """Squared L2 distance matrix: f32[B, d] × f32[N, d] -> f32[B, N].
 
     ``x_sq`` (precomputed row norms of ``x``) is an optional cache — the
     corpus norms are computed once at ingest and reused per query batch.
     The ``q·xᵀ`` term is a single MXU matmul.
+
+    ``precision``: TPU matmuls at DEFAULT precision truncate f32 inputs
+    to bf16 for the multiply; on unnormalized corpora (‖x‖² ≫ neighbor
+    gaps, e.g. SIFT) that noise exceeds the gaps and "exact" results are
+    only ~80% correct vs float64 (measured). Query-facing exact paths
+    pass ``jax.lax.Precision.HIGHEST`` (f32-accurate multi-pass);
+    throughput-critical build internals keep DEFAULT.
     """
     if x_sq is None:
         x_sq = squared_norms(x)
     q_sq = squared_norms(q)
-    cross = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(q, x.T, precision=precision,
+                    preferred_element_type=jnp.float32)
     d = q_sq[:, None] - 2.0 * cross + x_sq[None, :]
     # Guard tiny negatives from float cancellation (exact self-match must be 0).
     return jnp.maximum(d, 0.0)
@@ -77,15 +86,21 @@ def gather_l2_sq(
     This is the HNSW neighbor-expansion primitive: gather K embedding rows
     from HBM, one (K, d) · (d,) contraction, mask.
     """
+    import jax
+
     safe = jnp.maximum(idx, 0)
     rows = emb[safe]  # [K, d] gather — traffic at the TABLE's dtype
     if rows.dtype != jnp.float32:
         # bf16 table: gather halves HBM traffic, math still runs f32
         rows = rows.astype(jnp.float32)
     q = q.astype(jnp.float32)
+    # HIGHEST: this is the exact-rerank primitive; TPU DEFAULT-precision
+    # matvecs truncate to bf16 and misrank unnormalized corpora (the
+    # matvec is tiny, so the accurate multi-pass costs nothing)
     diff_sq = (
         jnp.sum(rows * rows, axis=-1)
-        - 2.0 * jnp.dot(rows, q, preferred_element_type=jnp.float32)
+        - 2.0 * jnp.dot(rows, q, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
         + jnp.dot(q, q, preferred_element_type=jnp.float32)
     )
     diff_sq = jnp.maximum(diff_sq, 0.0)

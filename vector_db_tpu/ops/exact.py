@@ -33,7 +33,7 @@ def exact_search(
     Returns (dists_sq f32[B, k], slot ids int32[B, k]); invalid slots never
     appear (padded with (BIG, -1) when fewer than k valid rows exist).
     """
-    d = l2_sq_pairwise(queries, emb)
+    d = l2_sq_pairwise(queries, emb, precision=jax.lax.Precision.HIGHEST)
     ids = jnp.arange(emb.shape[0], dtype=jnp.int32)
     return masked_top_k_smallest(d, ids, k, valid=valid[None, :])
 
@@ -74,7 +74,11 @@ def exact_search_tiled(
     def body(carry, xs):
         best_d, best_i = carry
         tile_emb, tile_valid, tile_xsq, tile_idx = xs
-        d = l2_sq_pairwise(queries, tile_emb, x_sq=tile_xsq)
+        # HIGHEST: this is the recall-1.0 contract path; TPU DEFAULT
+        # precision truncates f32 multiplies to bf16 and returns only
+        # ~80%-correct "exact" results on unnormalized corpora
+        d = l2_sq_pairwise(queries, tile_emb, x_sq=tile_xsq,
+                           precision=jax.lax.Precision.HIGHEST)
         d = jnp.where(tile_valid[None, :], d, BIG)
         ids = base_ids + tile_idx * tile
         td, ti = masked_top_k_smallest(d, ids, min(k, tile))
@@ -181,6 +185,7 @@ def rescore_exact(
     d = (
         jnp.sum(rows * rows, axis=-1)
         - 2.0 * jnp.einsum("bkd,bd->bk", rows, queries,
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
         + jnp.sum(queries * queries, axis=-1, keepdims=True)
     )
@@ -228,7 +233,10 @@ def knn_exact(
     def body(carry, xs):
         best_d, best_i = carry
         tile_emb, tile_valid, tile_xsq, tile_idx = xs
-        d = l2_sq_pairwise(queries, tile_emb, x_sq=tile_xsq)
+        # HIGHEST: exact neighbor tables are the graph-quality foundation;
+        # the matmul is a small fraction of build wall-clock
+        d = l2_sq_pairwise(queries, tile_emb, x_sq=tile_xsq,
+                           precision=jax.lax.Precision.HIGHEST)
         ids = base_ids + tile_idx * tile
         d = jnp.where(tile_valid[None, :], d, BIG)
         d = jnp.where(ids[None, :] == q_ids[:, None], BIG, d)  # exclude self
