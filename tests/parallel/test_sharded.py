@@ -198,3 +198,49 @@ def test_reverse_merge_device_matches_host(rng):
                                    width))
     for r in range(n):
         assert set(host[r][host[r] >= 0]) == set(dev[r][dev[r] >= 0])
+
+
+# ---------------------------------------------------------------------------
+# multi-slice (DCN) 2-D mesh
+# ---------------------------------------------------------------------------
+
+def test_flat_2d_mesh_matches_bruteforce(rng):
+    """2x4 ("slice", "shard") mesh: hierarchical merge (ICI within slice,
+    then only B·k pairs across the DCN axis) must return exact results."""
+    from vector_db_tpu.parallel.mesh import make_mesh_2d
+    from vector_db_tpu.parallel.sharded import ShardedFlatIndex
+
+    mesh = make_mesh_2d(2, 4)
+    index = ShardedFlatIndex(mesh=mesh, dim=16, capacity_per_shard=64)
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    index.insert(list(range(300)), x)
+
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    dists, ids = index.search_batch(q, k=7)
+    d_all = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(d_all, axis=1)[:, :7]
+    assert np.array_equal(np.sort(ids, axis=1), np.sort(want, axis=1))
+    np.testing.assert_allclose(
+        dists, np.sqrt(np.sort(d_all, axis=1)[:, :7]), rtol=1e-4, atol=1e-4)
+
+
+def test_hnsw_2d_mesh_search_and_insert(rng):
+    """ShardedHNSW on a 2x4 multi-slice mesh: insert + search end-to-end
+    with per-axis merges."""
+    from vector_db_tpu.parallel.mesh import make_mesh_2d
+    from vector_db_tpu.parallel.sharded import ShardedHNSW
+
+    mesh = make_mesh_2d(2, 4)
+    index = ShardedHNSW(M=8, ef_construction=40, mesh=mesh, dim=16,
+                        capacity_per_shard=64, l_max=3)
+    x = rng.standard_normal((160, 16)).astype(np.float32)
+    index.insert(list(range(160)), x)
+
+    q = x[:8] + 0.01
+    dists, ids = index.search_batch(q, k=5, ef=40)
+    assert (ids[np.arange(8), 0] == np.arange(8)).mean() >= 0.9
+    d_all = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d_all, axis=1)[:, :5]
+    recall = np.mean([len(set(ids[i].tolist()) & set(gt[i].tolist())) / 5
+                      for i in range(8)])
+    assert recall >= 0.8

@@ -42,19 +42,34 @@ Axis = SHARD_AXIS
 # sharded exact search
 # ======================================================================
 
-def _merge_gathered(local_d, local_gslots, k):
-    """all_gather both, reshape [S, B, k] -> [B, S*k], global top-k."""
-    all_d = jax.lax.all_gather(local_d, Axis)      # [S, B, k]
-    all_s = jax.lax.all_gather(local_gslots, Axis)  # [S, B, k]
+def _merge_gathered(local_d, local_gslots, k, axes=(Axis,)):
+    """Hierarchical all_gather + top-k merge, innermost axis first.
+
+    For a 1-D ("shard",) mesh this is one ICI all_gather + top-k. For a
+    2-D ("slice", "shard") multi-slice mesh, the merge runs per axis from
+    innermost (ICI, within a slice) outward (DCN, across slices): each
+    stage gathers only the previous stage's [B, k] winners, so the slow
+    DCN hop carries B·k pairs instead of B·k·shards_per_slice.
+    """
     b = local_d.shape[0]
-    all_d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, -1)
-    all_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, -1)
-    return masked_top_k_smallest(all_d, all_s, k)
+    for a in reversed(axes):
+        all_d = jax.lax.all_gather(local_d, a)      # [S_a, B, k]
+        all_s = jax.lax.all_gather(local_gslots, a)  # [S_a, B, k]
+        d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, -1)
+        s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, -1)
+        local_d, local_gslots = masked_top_k_smallest(d, s, k)
+    return local_d, local_gslots
 
 
-def _globalize(slots: jnp.ndarray, cap: int) -> jnp.ndarray:
-    shard = jax.lax.axis_index(Axis)
-    return jnp.where(slots >= 0, slots + shard * cap, -1)
+def _globalize(slots: jnp.ndarray, cap: int, axes=(Axis,),
+               sizes=None) -> jnp.ndarray:
+    """Local slot -> global slot: linear device index (row-major over the
+    mesh axes) × cap + slot."""
+    idx = jax.lax.axis_index(axes[0])
+    if len(axes) > 1:
+        for a, size in zip(axes[1:], sizes[1:]):
+            idx = idx * size + jax.lax.axis_index(a)
+    return jnp.where(slots >= 0, slots + idx * cap, -1)
 
 
 class ShardedFlatIndex:
@@ -64,11 +79,17 @@ class ShardedFlatIndex:
     def __init__(self, mesh: Optional[Mesh] = None, dim: int = 384,
                  capacity_per_shard: int = 4096) -> None:
         self.mesh = mesh or make_mesh()
+        # row-sharding over EVERY mesh axis: a 1-D ("shard",) mesh splits
+        # over ICI; a 2-D ("slice", "shard") mesh splits over slices too,
+        # and merges ride the right fabric per axis (see _merge_gathered)
+        axes = tuple(self.mesh.axis_names)
+        sizes = tuple(self.mesh.shape[a] for a in axes)
+        self._axes, self._axis_sizes = axes, sizes
         self.n_shards = self.mesh.devices.size
         self.cap = int(capacity_per_shard)
         self.dim = int(dim)
         total = self.n_shards * self.cap
-        sh = NamedSharding(self.mesh, P(Axis))
+        sh = NamedSharding(self.mesh, P(axes))
         self._emb = jax.device_put(jnp.zeros((total, self.dim), jnp.float32), sh)
         self._valid = jax.device_put(jnp.zeros((total,), bool), sh)
         self._id_of_gslot = np.full((total,), -1, np.int64)
@@ -85,11 +106,12 @@ class ShardedFlatIndex:
                 d = jnp.where(valid_s[None, :], d, BIG)
                 ids = jnp.arange(emb_s.shape[0], dtype=jnp.int32)
                 ld, ls = masked_top_k_smallest(d, ids, min(k, emb_s.shape[0]))
-                return _merge_gathered(ld, _globalize(ls, self.cap), k)
+                return _merge_gathered(
+                    ld, _globalize(ls, self.cap, axes, sizes), k, axes)
 
             return jax.shard_map(
                 per_shard, mesh=self.mesh,
-                in_specs=(P(Axis), P(Axis), P()),
+                in_specs=(P(axes), P(axes), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
             )(emb, valid, queries)
@@ -184,6 +206,8 @@ class ShardedHNSW:
         seed: int = 42,
     ) -> None:
         self.mesh = mesh or make_mesh()
+        self._axes = tuple(self.mesh.axis_names)
+        self._axis_sizes = tuple(self.mesh.shape[a] for a in self._axes)
         self.n_shards = int(self.mesh.devices.size)
         self.M = int(M)
         self.efc = int(ef_construction)
@@ -195,7 +219,7 @@ class ShardedHNSW:
 
         total = self.n_shards * self.cap
         ncols = K.ncols(self.M, self.l_max)
-        shr = NamedSharding(self.mesh, P(Axis))
+        shr = NamedSharding(self.mesh, P(self._axes))
         self._neighbors = jax.device_put(
             jnp.full((total, ncols), -1, jnp.int32), shr
         )
@@ -275,7 +299,7 @@ class ShardedHNSW:
                 graph.entry_level[None], emb, has_emb,
             )
 
-        spec = P(Axis)
+        spec = P(self._axes)
 
         @jax.jit
         def _insert(neighbors, levels, entry, entry_level, emb, has_emb,
@@ -293,6 +317,7 @@ class ShardedHNSW:
     def _build_search_fn(self):
         M, l_max, cap = self.M, self.l_max, self.cap
         mesh = self.mesh
+        axes, sizes = self._axes, self._axis_sizes
 
         @functools.partial(jax.jit, static_argnames=("ef", "k", "use_filter"))
         def _search(neighbors, levels, entry, entry_level, emb, has_emb,
@@ -307,9 +332,10 @@ class ShardedHNSW:
                     M=M, l_max=l_max, ef=ef, k=k,
                     max_steps=max_steps, use_filter=use_filter,
                 )
-                return _merge_gathered(ld, _globalize(ls, cap), k)
+                return _merge_gathered(
+                    ld, _globalize(ls, cap, axes, sizes), k, axes)
 
-            spec = P(Axis)
+            spec = P(self._axes)
             return jax.shard_map(
                 per_shard, mesh=mesh,
                 in_specs=(spec,) * 6 + (P(), spec),
@@ -362,7 +388,7 @@ class ShardedHNSW:
             lv = jnp.where(has_emb, levels_local, -1)
             return neighbors, lv, entry[None], entry_level[None]
 
-        spec = P(Axis)
+        spec = P(self._axes)
 
         @jax.jit
         def _bulk(emb, has_emb, levels_local):
@@ -441,7 +467,7 @@ class ShardedHNSW:
             )
             level_sizes.append(p)
 
-        shr = NamedSharding(self.mesh, P(Axis))
+        shr = NamedSharding(self.mesh, P(self._axes))
         self._emb = jax.device_put(
             jnp.asarray(emb_np.reshape(-1, self.dim)), shr
         )
@@ -500,7 +526,7 @@ class ShardedHNSW:
                 if g is not None:
                     mask[g] = True
         fmask = jax.device_put(
-            jnp.asarray(mask), NamedSharding(self.mesh, P(Axis))
+            jnp.asarray(mask), NamedSharding(self.mesh, P(self._axes))
         )
         d_sq, gslots = self._search_fn(
             self._neighbors, self._levels, self._entry, self._entry_level,
@@ -545,7 +571,7 @@ class ShardedHNSW:
             )
             return neighbors, levels, e2[None], el2[None], has_emb
 
-        spec = P(Axis)
+        spec = P(self._axes)
 
         @jax.jit
         def _delete(neighbors, levels, entry, entry_level, has_emb, slots):
@@ -584,7 +610,7 @@ class ShardedHNSW:
             self._neighbors, self._levels, self._entry, self._entry_level,
             self._has_emb,
             jax.device_put(jnp.asarray(slots.reshape(-1)),
-                           NamedSharding(self.mesh, P(Axis))),
+                           NamedSharding(self.mesh, P(self._axes))),
         )
         # freed local slots are NOT recycled: routing appends monotonically
         # per shard, so stale references (already cleared above) and id
@@ -617,7 +643,7 @@ class ShardedHNSW:
         )
 
     def load_index(self, path) -> None:
-        shr = NamedSharding(self.mesh, P(Axis))
+        shr = NamedSharding(self.mesh, P(self._axes))
         with np.load(path) as z:
             if int(z["n_shards"]) != self.n_shards or int(z["cap"]) != self.cap:
                 raise ValueError(
