@@ -139,7 +139,9 @@ def main():
     ivf.search_batch(q[:8], n_probe=8, top_k=K, rp=True)
     log(f"enable_rp: {time.perf_counter() - t0:.0f}s")
     results["ivf_rp"] = []
-    for n_probe, fetch in [(8, 128), (16, 128), (32, 128), (64, 256)]:
+    # small n_probe = latency-mode probes (per-query gathers); n_probe=k
+    # routes to the tiled full-scan kernel (batch-throughput mode)
+    for n_probe, fetch in [(8, 128), (32, 128), (k_cells, 256)]:
         def run(v, n_probe=n_probe, fetch=fetch):
             return ivf.search_batch(np.asarray(v), n_probe=n_probe,
                                     top_k=K, rp=True, fetch=fetch)[0]
@@ -157,6 +159,9 @@ def main():
     # single-assignment index (one code per slot).
     if spill > 1:
         log("rebuilding single-assignment index for residual PQ...")
+        del ivf  # free the spilled index's HBM tables first (emb + rp
+        import gc
+        gc.collect()  # blocks + lists don't fit twice at 1M)
         ivf2 = IvfIndex(k=k_cells)
         ivf2.build_arrays(range(N), x, seed=0, iters=20, spill=1,
                           list_cap_alpha=2.0)
@@ -167,7 +172,7 @@ def main():
     ivf2.search_batch(q[:8], n_probe=8, top_k=K, pq=True)
     log(f"enable_pq(residual m=16): {time.perf_counter() - t0:.0f}s")
     results["ivf_pq_residual"] = []
-    for n_probe, fetch, kk in [(16, 128, 10), (32, 128, 10), (16, 256, 100)]:
+    for n_probe, fetch, kk in [(16, 128, 10), (16, 256, 100)]:
         def run(v, n_probe=n_probe, fetch=fetch, kk=kk):
             return ivf2.search_batch(np.asarray(v), n_probe=n_probe,
                                      top_k=kk, pq=True, fetch=fetch)[0]

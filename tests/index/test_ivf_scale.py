@@ -277,3 +277,26 @@ def test_residual_pq_rejects_spill():
     with pytest.raises(ValueError, match="spill"):
         ivf.enable_pq(chunks=4, ksub=32, residual=True)
     ivf.enable_pq(chunks=4, ksub=32, residual=False)  # raw PQ is fine
+
+
+def test_rp_scan_mode_full_probe():
+    """n_probe >= k routes to the tiled full-scan kernel (probe ceiling
+    1.0 by construction) and must match exact search after rerank."""
+    data = _lowrank_corpus(4096 + 32, seed=7)
+    x, q = data[:4096], data[4096:]
+    gt = np.argsort(((x[None, :, :] - q[:, None, :]) ** 2).sum(-1),
+                    axis=1)[:, :10]
+    for spill in (1, 2):
+        ivf = IvfIndex(k=32)
+        ivf.build_arrays(range(4096), x, seed=0, iters=15, spill=spill)
+        ivf.enable_rp(dims=16)
+        _, ids = ivf.search_batch(q, n_probe=32, top_k=10, rp=True,
+                                  fetch=64)
+        rec = np.mean([len(set(ids[i].tolist()) & set(gt[i].tolist())) / 10
+                       for i in range(32)])
+        assert rec >= 0.97, (spill, rec)
+        # no duplicate ids even with spilled copies
+        assert all(
+            len(set(ids[i][ids[i] >= 0].tolist()))
+            == int((ids[i] >= 0).sum()) for i in range(32)
+        )

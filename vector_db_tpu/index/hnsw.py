@@ -28,13 +28,12 @@ from __future__ import annotations
 import math
 import random
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
+from typing import List, Optional, Sequence, Set, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
 
 from vector_db_tpu.index import hnsw_kernels as K
-from vector_db_tpu.ops.distance import BIG, l2_sq_pairwise
 from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
 from vector_db_tpu.storage.device_store import DeviceVectorStore
 from vector_db_tpu.types import Node

@@ -31,7 +31,7 @@ import numpy as np
 
 from vector_db_tpu.ops.distance import BIG, gather_l2_sq, l2_sq_pairwise
 from vector_db_tpu.ops.kmeans import kmeans
-from vector_db_tpu.ops.topk import masked_top_k_smallest
+from vector_db_tpu.ops.topk import masked_top_k_smallest, merge_top_k
 from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
 from vector_db_tpu.storage.device_store import DeviceVectorStore
 from vector_db_tpu.types import Node
@@ -216,20 +216,25 @@ def _ivf_rp_probe_cells(
     Classic IVFADC scores candidates through per-element LUT gathers —
     scalar addressing the TPU VPU executes at issue rate, not bandwidth
     (measured: the ADC probe path is gather-op bound). This mode instead
-    keeps a PCA-projected bf16 mirror ``x̂ = R^T x`` and scores with one
-    MXU matvec per cell block:
+    keeps PCA-projected RESIDUAL blocks ``r̂ = R^T(x) − R^T(c)`` per
+    (cell, member) and scores with one MXU matvec per cell block:
 
-        d(q, x) ≈ (‖q−c‖² − ‖c‖² + 2 q̂·ĉ) + ‖x‖² − 2 q̂·x̂
+        d(q, x) ≈ (‖q−c‖² − ‖c‖²) − 2 (q̂−ĉ)·r̂ + (‖x‖² − 2 ĉ·r̂)
 
-    i.e. q·x is approximated by q·c + q̂·(x̂ − ĉ): the coarse centroid
-    carries the full-space component, the projection carries the residual.
-    With the TRUE ‖x‖² stored per row, the only estimation error is the
-    zero-mean cross term 2 q_⊥·(x−c)_⊥ — no norm bias when residual
-    energy falls outside the projection. Per-candidate work is a
-    contiguous [L, dp] bf16 block read + dot product: HBM streams +
-    systolic array, no scalar gathers anywhere. Because x̂ and ‖x‖² are
-    cell-independent the same row serves spilled (multi-assigned) copies;
-    ``dedup`` masks duplicate slots inside the rerank window.
+    i.e. q·x is approximated by q·c + q̂·r̂: the coarse centroid carries
+    the full-space component, the projection carries the residual. The
+    three bracketed terms are per-(query, cell), per-candidate-MXU, and
+    per-(cell, member)-stored respectively. With the TRUE ‖x‖² folded
+    into the stored scalar, the only estimation errors are the zero-mean
+    cross term 2 q_⊥·(x−c)_⊥ and bf16 noise at RESIDUAL scale — both
+    operands of the einsum are centered, so the multiply noise stays
+    below neighbor gaps even on unnormalized corpora (storing full-
+    magnitude x̂ in bf16 sank recall at 1M on SIFT-shaped data). Per-
+    candidate work is a contiguous [L, dp] bf16 block read + dot product:
+    HBM streams + systolic array, no scalar gathers anywhere. Blocks are
+    per-(cell, member), so spilled (multi-assigned) copies each carry
+    their own cell's residual; ``dedup`` masks duplicate slots inside the
+    rerank window.
 
     Queries run in ``qblock`` chunks under ``lax.map`` and cells stream
     under ``lax.scan`` so peak memory is O(qblock · L · dp), independent
@@ -248,30 +253,30 @@ def _ivf_rp_probe_cells(
                  preferred_element_type=jnp.float32)
     cdp = jnp.take_along_axis(cd, probe, axis=1)             # [B, n_probe]
     csq = jnp.sum(centroids * centroids, axis=-1)[probe]     # [B, n_probe]
-    cp = cent_proj[probe]                                    # [B, n_probe, dp]
-    qpc = jnp.einsum("bpd,bd->bp", cp, qp,
-                     precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)     # q̂·ĉ
-    corr = cdp - csq + 2.0 * qpc                             # [B, n_probe]
+    corr = cdp - csq                                         # [B, n_probe]
+    # CENTERED queries per probed cell: both einsum operands are then
+    # residual-scale, so the bf16 multiply noise stays below neighbor
+    # gaps even on unnormalized corpora
+    qr = qp[:, None, :] - cent_proj[probe]                   # [B,n_probe,dp]
 
     padq = (-b) % qblock
     if padq:
         qz = jnp.zeros((padq, d), queries.dtype)
         queries_p = jnp.concatenate([queries, qz])
-        qp_p = jnp.concatenate([qp, jnp.zeros((padq, qp.shape[1]))])
+        qr_p = jnp.concatenate(
+            [qr, jnp.zeros((padq,) + qr.shape[1:])])
         probe_p = jnp.concatenate(
             [probe, jnp.zeros((padq, n_probe), probe.dtype)])
         corr_p = jnp.concatenate([corr, jnp.zeros((padq, n_probe))])
     else:
-        queries_p, qp_p, probe_p, corr_p = queries, qp, probe, corr
+        queries_p, qr_p, probe_p, corr_p = queries, qr, probe, corr
     nblk = queries_p.shape[0] // qblock
 
     def reshape_blk(a):
         return a.reshape((nblk, qblock) + a.shape[1:])
 
     def block_fn(args):
-        q_b, qp_b, probe_b, corr_b = args  # [Q, ...]
-        qp16 = qp_b.astype(jnp.bfloat16)
+        q_b, qr_b, probe_b, corr_b = args  # [Q, ...]
 
         def pstep(_, pi):
             cells = probe_b[:, pi]                  # [Q]
@@ -279,7 +284,7 @@ def _ivf_rp_probe_cells(
             xsq = cell_xsq[cells]                   # [Q, L]
             slots = cell_slots[cells]               # [Q, L]
             dots = jnp.einsum(
-                "qld,qd->ql", blk, qp16,
+                "qld,qd->ql", blk, qr_b[:, pi].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
             score = corr_b[:, pi][:, None] - 2.0 * dots + xsq
@@ -321,12 +326,129 @@ def _ivf_rp_probe_cells(
 
     dd, ii = jax.lax.map(
         block_fn,
-        (reshape_blk(queries_p), reshape_blk(qp_p),
+        (reshape_blk(queries_p), reshape_blk(qr_p),
          reshape_blk(probe_p), reshape_blk(corr_p)),
     )
     dd = dd.reshape(-1, top_k)[:b]
     ii = ii.reshape(-1, top_k)[:b]
     return dd, ii
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "fetch", "rerank", "dedup", "ctile", "qblock"),
+)
+def _ivf_rp_scan_cells(
+    centroids: jnp.ndarray,    # f32[k, d]
+    cell_slots: jnp.ndarray,   # int32[k, L] slot ids, -1 padded
+    cell_rp: jnp.ndarray,      # bf16[k, L, dp] residual blocks
+    cell_t: jnp.ndarray,       # f32[k, L] stored scalars ‖x‖² − 2ĉ·r̂
+    emb: jnp.ndarray,          # f32[capacity, d] (exact rerank source)
+    has_emb: jnp.ndarray,      # bool[capacity]
+    queries: jnp.ndarray,      # f32[B, d]
+    proj: jnp.ndarray,         # f32[d, dp]
+    top_k: int,
+    fetch: int,
+    rerank: bool,
+    dedup: bool,
+    ctile: int = 64,
+    qblock: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-scan residual-projection search: the batched-throughput mode.
+
+    Per-query cell gathers cannot amortize across a batch — every query
+    pays its own HBM reads — while a full scan reads each byte once per
+    BATCH. This kernel scores *all* cells for the whole batch by slicing
+    the cell-blocked residual corpus tile-by-tile (contiguous, no gathers
+    anywhere) with one bf16 matmul per tile:
+
+        score[b, c, l] = (‖q‖² − 2 q·c) − 2 q̂·r̂[c, l] + t[c, l]
+
+    The per-(query, cell) coarse term needs no gather because cells are
+    the tile axis (broadcast), and the ‖c‖² halves of cd cancel against
+    corr. Coarse recall is 1.0 by construction (every cell is scored);
+    accuracy is residual-bf16 + projection, recovered by the exact
+    rerank. Compared to a full bf16 scan of the raw vectors this reads
+    dp/dim of the bytes at *better* effective precision (residual
+    centering), so it dominates at batch-throughput — the classic IVF
+    n_probe story is kept for latency-bound single queries.
+    """
+    b, d = queries.shape
+    k_cells, max_l = cell_slots.shape
+    dp = cell_rp.shape[-1]
+    assert k_cells % ctile == 0, "k_cells must be a multiple of ctile"
+    p_tile = ctile * max_l
+    fetch = max(top_k, min(fetch, k_cells * max_l))
+
+    corr = (jnp.sum(queries * queries, axis=-1)[:, None]
+            - 2.0 * jnp.dot(queries, centroids.T,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32))  # [B, k]
+    qp16 = jnp.dot(queries, proj, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    padq = (-b) % qblock
+    if padq:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((padq, d), queries.dtype)])
+        corr = jnp.concatenate([corr, jnp.zeros((padq, k_cells))])
+        qp16 = jnp.concatenate(
+            [qp16, jnp.zeros((padq, dp), qp16.dtype)])
+    nblk = queries.shape[0] // qblock
+    n_tiles = k_cells // ctile
+    slot_ok = (cell_slots >= 0) & has_emb[jnp.maximum(cell_slots, 0)]
+
+    def block_fn(args):
+        q_b, corr_b, qp_b = args   # [Q, ...]
+
+        init = (jnp.full((qblock, fetch), BIG, jnp.float32),
+                jnp.full((qblock, fetch), -1, jnp.int32))
+
+        def tstep(carry, ti):
+            best_d, best_i = carry
+            c0 = ti * ctile
+            blk = jax.lax.dynamic_slice(
+                cell_rp, (c0, 0, 0), (ctile, max_l, dp))
+            t = jax.lax.dynamic_slice(cell_t, (c0, 0), (ctile, max_l))
+            slots = jax.lax.dynamic_slice(
+                cell_slots, (c0, 0), (ctile, max_l))
+            ok = jax.lax.dynamic_slice(slot_ok, (c0, 0), (ctile, max_l))
+            corr_t = jax.lax.dynamic_slice(
+                corr_b, (0, c0), (qblock, ctile))
+            dots = jnp.einsum("cld,bd->bcl", blk, qp_b,
+                              preferred_element_type=jnp.float32)
+            score = corr_t[:, :, None] - 2.0 * dots + t[None]
+            score = jnp.where(ok[None], score, BIG)
+            score = score.reshape(qblock, p_tile)
+            nd, pos = jax.lax.approx_min_k(
+                score, min(fetch, p_tile), recall_target=0.95)
+            si = slots.reshape(p_tile)[pos]
+            si = jnp.where(nd >= 1e37, -1, si)
+            return merge_top_k(best_d, best_i, nd, si, fetch), None
+
+        (fd, fi), _ = jax.lax.scan(
+            tstep, init, jnp.arange(n_tiles, dtype=jnp.int32))
+        if not rerank:
+            return fd[:, :top_k], fi[:, :top_k]
+
+        def one(qv, dv, iv):
+            if dedup:
+                eq = (iv[:, None] == iv[None, :]) & (iv[:, None] >= 0)
+                first = jnp.tril(eq, k=-1).any(axis=1)
+                iv = jnp.where(first, -1, iv)
+            rd = gather_l2_sq(qv, emb, iv, iv >= 0)
+            return masked_top_k_smallest(rd, iv, top_k)
+
+        return jax.vmap(one)(q_b, fd, fi)
+
+    def reshape_blk(a):
+        return a.reshape((nblk, qblock) + a.shape[1:])
+
+    dd, ii = jax.lax.map(
+        block_fn, (reshape_blk(queries), reshape_blk(corr),
+                   reshape_blk(qp16)),
+    )
+    return dd.reshape(-1, top_k)[:b], ii.reshape(-1, top_k)[:b]
 
 
 class IvfIndex:
@@ -435,12 +557,22 @@ class IvfIndex:
         rp = getattr(self, "_rp_np", None)
         if rp is not None:
             safe = np.maximum(table, 0)
-            blocks = np.ascontiguousarray(rp[safe])   # [k, L, dp] bf16
-            blocks[table < 0] = 0
-            self._cells_rp_dev = jnp.asarray(blocks)
-            xsq = self._rp_xsq_np[safe].astype(np.float32)
-            xsq[table < 0] = 0.0
-            self._cells_xsq_dev = jnp.asarray(xsq)
+            # per-(cell, member) RESIDUAL blocks r̂ = x̂ − ĉ, bf16 only
+            # AFTER the subtraction: residual magnitudes are intra-cell
+            # deviations, so bf16's 8 mantissa bits land below neighbor
+            # gaps even on unnormalized corpora (storing x̂ itself put the
+            # full-vector magnitude into bf16 and sank recall at scale)
+            cent_p = self.centroids.astype(np.float32) @ self._rp_proj
+            res = rp[safe].astype(np.float32) - cent_p[:, None, :]
+            res[table < 0] = 0.0
+            self._cells_rp_dev = jnp.asarray(res.astype(jnp.bfloat16))
+            # t = ‖x‖² − 2·ĉ·r̂ (f32): folds the cell cross-term so the
+            # kernel dots CENTERED queries against residual blocks
+            # (d̂ = cd − ‖c‖² − 2(q̂−ĉ)·r̂ + t)
+            t = (self._rp_xsq_np[safe]
+                 - 2.0 * np.einsum("kld,kd->kl", res, cent_p))
+            t[table < 0] = 0.0
+            self._cells_xsq_dev = jnp.asarray(t.astype(np.float32))
         else:
             self._cells_rp_dev = None
             self._cells_xsq_dev = None
@@ -874,7 +1006,9 @@ class IvfIndex:
         # energy falls outside span(R) (see _ivf_rp_probe_cells)
         self._rp_xsq_np = np.sum(
             emb_np.astype(np.float32) ** 2, axis=-1).astype(np.float32)
-        self._rp_np = xh.astype(jnp.bfloat16)  # ml_dtypes bf16 numpy array
+        # per-slot x̂ stays f32 on host; quantization to bf16 happens only
+        # AFTER the per-cell centroid subtraction in the block rebuild
+        self._rp_np = xh.astype(np.float32)
         self._lists_dirty = True  # rp cell blocks must rebuild
 
     def search_batch(
@@ -909,13 +1043,30 @@ class IvfIndex:
                 raise ValueError("call enable_rp() first")
             if self._lists_dirty or self._cells_rp_dev is None:
                 self._rebuild_device_tables()
-            d_sq, slots = _ivf_rp_probe_cells(
-                self._centroids_dev, self._cent_proj_dev, self._lists_dev,
-                self._cells_rp_dev, self._cells_xsq_dev, self._emb,
-                self._has_emb, q, self._rp_proj_dev,
-                n_probe=int(n_probe), top_k=int(top_k), fetch=int(fetch),
-                rerank=rerank, dedup=spilled,
-            )
+            if int(n_probe) >= self.k:
+                # probing everything: the tiled full-scan kernel reads
+                # each residual byte once per BATCH (no per-query
+                # gathers) — the batched-throughput mode
+                import math as _math
+
+                ctile = _math.gcd(self.k, 64)
+                qblock = min(256, 1 << (max(1, q.shape[0]) - 1).bit_length())
+                d_sq, slots = _ivf_rp_scan_cells(
+                    self._centroids_dev, self._lists_dev,
+                    self._cells_rp_dev, self._cells_xsq_dev, self._emb,
+                    self._has_emb, q, self._rp_proj_dev,
+                    top_k=int(top_k), fetch=int(fetch), rerank=rerank,
+                    dedup=spilled, ctile=ctile, qblock=qblock,
+                )
+            else:
+                d_sq, slots = _ivf_rp_probe_cells(
+                    self._centroids_dev, self._cent_proj_dev,
+                    self._lists_dev, self._cells_rp_dev,
+                    self._cells_xsq_dev, self._emb, self._has_emb, q,
+                    self._rp_proj_dev,
+                    n_probe=int(n_probe), top_k=int(top_k),
+                    fetch=int(fetch), rerank=rerank, dedup=spilled,
+                )
         elif pq:
             if getattr(self, "_pq", None) is None:
                 raise ValueError("call enable_pq() first")
