@@ -133,9 +133,15 @@ def main():
         results["probe_ceiling"][n_probe] = ceil
         log(f"probe ceiling n_probe={n_probe}: {ceil:.4f}")
 
-    # IVF-RP
+    # IVF-RP. dims defaults to FULL dim here: sift-shaped residuals carry
+    # large isotropic energy in every dimension, so truncating the
+    # projection injects cross-term noise above neighbor gaps at 1M
+    # (measured: dims=64 -> recall 0.15 vs a 0.999 probe ceiling). At
+    # full dims RP is a residual-centered bf16 scan — same bytes as the
+    # raw bf16 scan, strictly better precision. The compression win
+    # (dims << dim) belongs to low-intrinsic-rank corpora (see bench_1m).
     t0 = time.perf_counter()
-    ivf.enable_rp(dims=int(os.environ.get("BENCH_RP_DIMS", 64)))
+    ivf.enable_rp(dims=int(os.environ.get("BENCH_RP_DIMS", DIM)))
     ivf.search_batch(q[:8], n_probe=8, top_k=K, rp=True)
     log(f"enable_rp: {time.perf_counter() - t0:.0f}s")
     results["ivf_rp"] = []

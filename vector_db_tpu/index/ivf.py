@@ -451,6 +451,26 @@ def _ivf_rp_scan_cells(
     return dd.reshape(-1, top_k)[:b], ii.reshape(-1, top_k)[:b]
 
 
+@jax.jit
+def _build_rp_blocks(
+    table: jnp.ndarray,     # int32[k, L] slot ids, -1 padded
+    rp: jnp.ndarray,        # f32[capacity, dp] per-slot x̂
+    xsq: jnp.ndarray,       # f32[capacity] full-space ‖x‖²
+    cent_proj: jnp.ndarray,  # f32[k, dp]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side rebuild of the RP cell blocks: residuals r̂ = x̂ − ĉ
+    (bf16 after subtraction) and stored scalars t = ‖x‖² − 2ĉ·r̂."""
+    safe = jnp.maximum(table, 0)
+    ok = table >= 0
+    res = rp[safe] - cent_proj[:, None, :]            # [k, L, dp] f32
+    res = jnp.where(ok[..., None], res, 0.0)
+    t = xsq[safe] - 2.0 * jnp.einsum(
+        "kld,kd->kl", res, cent_proj,
+        preferred_element_type=jnp.float32)
+    t = jnp.where(ok, t, 0.0)
+    return res.astype(jnp.bfloat16), t
+
+
 class IvfIndex:
     def __init__(
         self,
@@ -554,25 +574,18 @@ class IvfIndex:
         else:
             self._cells_codes_dev = None
             self._cells_s_dev = None
-        rp = getattr(self, "_rp_np", None)
-        if rp is not None:
-            safe = np.maximum(table, 0)
+        if getattr(self, "_rp_dev", None) is not None:
             # per-(cell, member) RESIDUAL blocks r̂ = x̂ − ĉ, bf16 only
             # AFTER the subtraction: residual magnitudes are intra-cell
             # deviations, so bf16's 8 mantissa bits land below neighbor
             # gaps even on unnormalized corpora (storing x̂ itself put the
-            # full-vector magnitude into bf16 and sank recall at scale)
-            cent_p = self.centroids.astype(np.float32) @ self._rp_proj
-            res = rp[safe].astype(np.float32) - cent_p[:, None, :]
-            res[table < 0] = 0.0
-            self._cells_rp_dev = jnp.asarray(res.astype(jnp.bfloat16))
-            # t = ‖x‖² − 2·ĉ·r̂ (f32): folds the cell cross-term so the
-            # kernel dots CENTERED queries against residual blocks
-            # (d̂ = cd − ‖c‖² − 2(q̂−ĉ)·r̂ + t)
-            t = (self._rp_xsq_np[safe]
-                 - 2.0 * np.einsum("kld,kd->kl", res, cent_p))
-            t[table < 0] = 0.0
-            self._cells_xsq_dev = jnp.asarray(t.astype(np.float32))
+            # full-vector magnitude into bf16 and sank recall at scale).
+            # Built ON DEVICE — a host round-trip of GB-scale tables costs
+            # minutes over a remote TPU relay.
+            self._cells_rp_dev, self._cells_xsq_dev = _build_rp_blocks(
+                self._lists_dev, self._rp_dev, self._rp_xsq_dev,
+                self._cent_proj_dev,
+            )
         else:
             self._cells_rp_dev = None
             self._cells_xsq_dev = None
@@ -596,13 +609,13 @@ class IvfIndex:
         return codes_np
 
     def _ensure_rp_capacity(self) -> None:
-        rp = getattr(self, "_rp_np", None)
+        rp = getattr(self, "_rp_dev", None)
         if rp is not None and rp.shape[0] < self._capacity:
             grow = self._capacity - rp.shape[0]
-            self._rp_np = np.concatenate(
-                [rp, np.zeros((grow, rp.shape[1]), rp.dtype)])
-            self._rp_xsq_np = np.concatenate(
-                [self._rp_xsq_np, np.zeros((grow,), np.float32)])
+            self._rp_dev = jnp.concatenate(
+                [rp, jnp.zeros((grow, rp.shape[1]), rp.dtype)])
+            self._rp_xsq_dev = jnp.concatenate(
+                [self._rp_xsq_dev, jnp.zeros((grow,), jnp.float32)])
 
     def _device_lists(self) -> jnp.ndarray:
         if self._lists_dirty or self._lists_dev is None:
@@ -821,11 +834,12 @@ class IvfIndex:
         spill = max(1, getattr(self, "_spill", 1))
         for c in np.argsort(distances)[:spill]:
             self.inverted_lists[int(c)].append(node.id)
-        if getattr(self, "_rp_np", None) is not None:
+        if getattr(self, "_rp_dev", None) is not None:
             xh = (embedding @ self._rp_proj).astype(np.float32)
             self._ensure_rp_capacity()
-            self._rp_xsq_np[slot] = float(np.sum(embedding * embedding))
-            self._rp_np[slot] = xh.astype(self._rp_np.dtype)
+            self._rp_xsq_dev = self._rp_xsq_dev.at[slot].set(
+                float(np.sum(embedding * embedding)))
+            self._rp_dev = self._rp_dev.at[slot].set(jnp.asarray(xh))
         if self._ensure_codes_capacity() is not None:
             # keep the PQ code row current so the cell rebuild stays valid
             vec = embedding[None, :]
@@ -985,7 +999,6 @@ class IvfIndex:
         dims = int(min(dims, self._dim))
         if dims <= 0:
             raise ValueError("dims must be positive")
-        emb_np = np.asarray(self._emb)
         slot_cell = self._slot_cell_table()
         live = np.asarray(self._has_emb) & (slot_cell >= 0)
         rows = np.flatnonzero(live)
@@ -994,21 +1007,28 @@ class IvfIndex:
         if rows.shape[0] > train_sample:
             rows = np.random.default_rng(seed).choice(
                 rows, train_sample, replace=False)
-        res = emb_np[rows] - self.centroids[slot_cell[rows]]
-        cov = (res.T @ res) / max(1, res.shape[0])
+        # PCA train: covariance accumulates ON DEVICE (one matmul over the
+        # sampled rows); only the [d, d] matrix crosses to host. At 1M a
+        # host round-trip of the full table costs minutes over a remote
+        # TPU relay.
+        rows_dev = jnp.asarray(rows.astype(np.int32))
+        cells_dev = jnp.asarray(slot_cell[rows].astype(np.int32))
+        res_dev = (self._emb[rows_dev]
+                   - jnp.asarray(self.centroids)[cells_dev])
+        cov = np.asarray(jnp.dot(
+            res_dev.T, res_dev, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)) / max(1, rows.shape[0])
         w, v = np.linalg.eigh(cov.astype(np.float64))
         proj = v[:, ::-1][:, :dims].astype(np.float32)     # [dim, dims]
         self._rp_proj = proj
         self._rp_proj_dev = jnp.asarray(proj)
         self._cent_proj_dev = jnp.asarray(self.centroids @ proj)
-        xh = emb_np @ proj                                  # [capacity, dims]
-        # TRUE full-space norms: keeps the estimator unbiased when residual
-        # energy falls outside span(R) (see _ivf_rp_probe_cells)
-        self._rp_xsq_np = np.sum(
-            emb_np.astype(np.float32) ** 2, axis=-1).astype(np.float32)
-        # per-slot x̂ stays f32 on host; quantization to bf16 happens only
-        # AFTER the per-cell centroid subtraction in the block rebuild
-        self._rp_np = xh.astype(np.float32)
+        # per-slot x̂ (f32) + TRUE full-space norms, both computed and kept
+        # on device; bf16 quantization happens only AFTER the per-cell
+        # centroid subtraction in the block rebuild
+        self._rp_dev = jnp.dot(self._emb, self._rp_proj_dev,
+                               preferred_element_type=jnp.float32)
+        self._rp_xsq_dev = jnp.sum(self._emb * self._emb, axis=-1)
         self._lists_dirty = True  # rp cell blocks must rebuild
 
     def search_batch(
@@ -1039,7 +1059,7 @@ class IvfIndex:
         if fetch is None:
             fetch = max(4 * int(top_k), 100)
         if rp:
-            if getattr(self, "_rp_np", None) is None:
+            if getattr(self, "_rp_dev", None) is None:
                 raise ValueError("call enable_rp() first")
             if self._lists_dirty or self._cells_rp_dev is None:
                 self._rebuild_device_tables()
