@@ -297,3 +297,27 @@ def test_ivf_rp_via_config(tmp_path, rng):
     fres = svc.search(nodes[8].embedding, k=5,
                       filter_ids={n.id for n in nodes if n.id % 2 == 0})
     assert all(n.id % 2 == 0 for n, _ in fres)
+
+
+def test_hnsw_rp_via_config(tmp_path, rng):
+    """index.type: hnsw + index.rp activates projected traversal; the
+    mirror re-projects lazily so post-activation inserts are findable."""
+    cfg = make_config(tmp_path, "hnsw", rp={"dims": 8, "min_size": 16})
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 48)
+    svc.insert_nodes(nodes)
+    res = svc.search(nodes[11].embedding, k=3, ef=40)
+    assert svc._rp_active
+    assert res[0][0].id == 11
+
+    late = Node(id=777, embedding=rng.standard_normal(16).astype(np.float32),
+                metadata={})
+    svc.insert_nodes([late])
+    res = svc.search(late.embedding, k=1, ef=40)
+    assert res[0][0].id == 777
+
+    # filters fall back to the full-precision masked beam
+    fres = svc.search(nodes[4].embedding, k=5,
+                      filter_ids={n.id for n in nodes if n.id % 2 == 0})
+    assert all(n.id % 2 == 0 for n, _ in fres)

@@ -274,6 +274,21 @@ class IndexingService:
                     self._rp_active = True
         return self._rp_active
 
+    def _maybe_enable_hnsw_rp(self) -> bool:
+        """Activate projected traversal for index.type: hnsw when
+        index.rp is configured (the PCA mirror re-projects lazily on
+        table change, so later inserts stay current)."""
+        if self.index_type != "hnsw" or self._rp_dims <= 0:
+            return False
+        if not self._rp_active:
+            if self.index.size < self._rp_min_size:
+                return False
+            with self._lock:
+                if not self._rp_active:
+                    self.index.enable_rp(dims=self._rp_dims)
+                    self._rp_active = True
+        return self._rp_active
+
     def search(
         self, query: np.ndarray, k: int, **kwargs: Any
     ) -> List[Tuple[Node, float]]:
@@ -281,6 +296,13 @@ class IndexingService:
             return self._ivf_search(query, k, **kwargs)
         if self.index_type == "sharded-hnsw":
             return self._sharded_search(query, k, **kwargs)
+        if kwargs.get("filter_ids") is None and self._maybe_enable_hnsw_rp():
+            ef = int(kwargs.get("ef", 50) or 50)
+            dists, ids = self.index.search_batch_rp(
+                np.asarray(query, np.float32)[None, :], k, ef=max(ef, k),
+                expand=4,
+            )
+            return self._resolve(dists, ids, k)
         if (
             kwargs.get("filter_ids") is None
             and self._maybe_enable_pq(kwargs.get("pq_chunks"))
@@ -290,15 +312,18 @@ class IndexingService:
                 np.asarray(query, np.float32)[None, :], k, ef=max(ef, k),
                 expand=4,
             )
-            out = []
-            for nid, d in zip(ids[0], dists[0]):
-                if nid < 0:
-                    continue
-                node = self.index.storage.get(int(nid))
-                if node is not None:
-                    out.append((node, float(d)))
-            return out
+            return self._resolve(dists, ids, k)
         return self.index.search(query, k=k, **kwargs)
+
+    def _resolve(self, dists, ids, k):
+        out = []
+        for nid, d in zip(ids[0], dists[0]):
+            if nid < 0:
+                continue
+            node = self.index.storage.get(int(nid))
+            if node is not None:
+                out.append((node, float(d)))
+        return out[:k]
 
     def _sharded_search(self, query, k, **kwargs):
         filter_ids = kwargs.get("filter_ids")
