@@ -451,6 +451,134 @@ def _ivf_rp_scan_cells(
     return dd.reshape(-1, top_k)[:b], ii.reshape(-1, top_k)[:b]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "fetch", "rerank", "residual", "dedup",
+                     "ctile", "qblock"),
+)
+def _ivf_pq_scan_cells(
+    centroids: jnp.ndarray,    # f32[k, d]
+    cell_slots: jnp.ndarray,   # int32[k, L] slot ids, -1 padded
+    cell_codes: jnp.ndarray,   # uint8[k, L, m] PQ codes, cell-contiguous
+    cell_s: jnp.ndarray,       # f32[k, L] residual correction scalars
+    codebooks: jnp.ndarray,    # f32[m, ksub, subdim]
+    emb: jnp.ndarray,          # f32[capacity, d] (exact rerank source)
+    has_emb: jnp.ndarray,      # bool[capacity]
+    queries: jnp.ndarray,      # f32[B, d]
+    queries_rot: jnp.ndarray,  # f32[B, d] in code space (OPQ)
+    top_k: int,
+    fetch: int,
+    rerank: bool,
+    residual: bool,
+    dedup: bool,
+    ctile: int = 16,
+    qblock: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-scan ADC: LUT scoring as one-hot MXU matmuls over cell tiles.
+
+    The per-element LUT gather of the probe kernel runs at the VPU's
+    scalar-issue rate (measured 34 qps at 1M) — but scanning ALL cells
+    lets the "gather" become systolic-array work shared by the whole
+    batch: per tile, one-hot the codes per subspace group and matmul
+    against the flattened query LUTs. B·N·m·ksub MACs total — at m=16,
+    ksub=256 that is ~4k MACs per (query, vector), a few hundred ms per
+    1k-query batch on the MXU vs ~30 s for the gather formulation, while
+    candidate bytes stay at m per vector (16 B: the memory-tight mode).
+    Residual scoring adds only the stored scalar + coarse term, exactly
+    as in the probe kernel.
+    """
+    b, d = queries.shape
+    k_cells, max_l, m = cell_codes.shape
+    ksub = codebooks.shape[1]
+    assert k_cells % ctile == 0, "k_cells must be a multiple of ctile"
+    p_tile = ctile * max_l
+    fetch = max(top_k, min(fetch, k_cells * max_l))
+    from vector_db_tpu.index.pq import _adc_lut
+
+    lut = _adc_lut(queries_rot, codebooks)            # [B, m, ksub]
+    lut_flat = lut.reshape(b, m * ksub)
+    if residual:
+        cd = l2_sq_pairwise(queries, centroids,
+                            precision=jax.lax.Precision.HIGHEST)
+        q_sq = jnp.sum(queries_rot * queries_rot, axis=-1)
+        corr = cd - q_sq[:, None]                      # [B, k]
+    else:
+        corr = jnp.zeros((b, k_cells), jnp.float32)
+
+    padq = (-b) % qblock
+    if padq:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((padq, d), queries.dtype)])
+        lut_flat = jnp.concatenate(
+            [lut_flat, jnp.zeros((padq, m * ksub), lut_flat.dtype)])
+        corr = jnp.concatenate([corr, jnp.zeros((padq, k_cells))])
+    nblk = queries.shape[0] // qblock
+    n_tiles = k_cells // ctile
+    slot_ok = (cell_slots >= 0) & has_emb[jnp.maximum(cell_slots, 0)]
+    gsz = 4 if m % 4 == 0 else 1                      # subspace group size
+
+    def block_fn(args):
+        q_b, lut_b, corr_b = args                      # [Q, ...]
+        lut16 = lut_b.astype(jnp.bfloat16)             # [Q, m*ksub]
+
+        init = (jnp.full((qblock, fetch), BIG, jnp.float32),
+                jnp.full((qblock, fetch), -1, jnp.int32))
+
+        def tstep(carry, ti):
+            best_d, best_i = carry
+            c0 = ti * ctile
+            codes_t = jax.lax.dynamic_slice(
+                cell_codes, (c0, 0, 0), (ctile, max_l, m))
+            s_t = jax.lax.dynamic_slice(cell_s, (c0, 0), (ctile, max_l))
+            slots = jax.lax.dynamic_slice(
+                cell_slots, (c0, 0), (ctile, max_l))
+            ok = jax.lax.dynamic_slice(slot_ok, (c0, 0), (ctile, max_l))
+            corr_t = jax.lax.dynamic_slice(
+                corr_b, (0, c0), (qblock, ctile))
+            flat = codes_t.reshape(p_tile, m).astype(jnp.int32)
+            acc = jnp.zeros((qblock, p_tile), jnp.float32)
+            for j0 in range(0, m, gsz):
+                oh = jax.nn.one_hot(
+                    flat[:, j0:j0 + gsz], ksub, dtype=jnp.bfloat16
+                ).reshape(p_tile, gsz * ksub)
+                acc = acc + jnp.dot(
+                    lut16[:, j0 * ksub:(j0 + gsz) * ksub], oh.T,
+                    preferred_element_type=jnp.float32)
+            score = acc + s_t.reshape(p_tile)[None]
+            if residual:
+                score = score + jnp.repeat(corr_t, max_l, axis=1)
+            score = jnp.where(ok.reshape(p_tile)[None], score, BIG)
+            nd, pos = jax.lax.approx_min_k(
+                score, min(fetch, p_tile), recall_target=0.95)
+            si = slots.reshape(p_tile)[pos]
+            si = jnp.where(nd >= 1e37, -1, si)
+            return merge_top_k(best_d, best_i, nd, si, fetch), None
+
+        (fd, fi), _ = jax.lax.scan(
+            tstep, init, jnp.arange(n_tiles, dtype=jnp.int32))
+        if not rerank:
+            return fd[:, :top_k], fi[:, :top_k]
+
+        def one(qv, dv, iv):
+            if dedup:
+                eq = (iv[:, None] == iv[None, :]) & (iv[:, None] >= 0)
+                first = jnp.tril(eq, k=-1).any(axis=1)
+                iv = jnp.where(first, -1, iv)
+            rd = gather_l2_sq(qv, emb, iv, iv >= 0)
+            return masked_top_k_smallest(rd, iv, top_k)
+
+        return jax.vmap(one)(q_b, fd, fi)
+
+    def reshape_blk(a):
+        return a.reshape((nblk, qblock) + a.shape[1:])
+
+    dd, ii = jax.lax.map(
+        block_fn,
+        (reshape_blk(queries), reshape_blk(lut_flat), reshape_blk(corr)),
+    )
+    return dd.reshape(-1, top_k)[:b], ii.reshape(-1, top_k)[:b]
+
+
 @jax.jit
 def _build_rp_blocks(
     table: jnp.ndarray,     # int32[k, L] slot ids, -1 padded
@@ -675,7 +803,7 @@ class IvfIndex:
         seed: int = 0,
         iters: int = 25,
         train_sample: Optional[int] = None,
-        assign_candidates: int = 4,
+        assign_candidates: int = 8,
         list_cap_alpha: float = 4.0,
         spill: int = 1,
     ) -> None:
@@ -786,28 +914,41 @@ class IvfIndex:
 
         cand: int32[N, C] per-row nearest centroids, best first. Each row
         takes its best candidate whose cell is under ``cap = alpha * N / k``;
-        rows exhausting all C candidates fall back to their first choice
-        (cap waived — correctness over balance)."""
+        rows exhausting all C candidates go to their LEAST-LOADED candidate
+        (never back to an over-full first choice: on heavy-tailed corpora
+        the old cap waiver grew cells to ~20x cap, and every padded
+        [k, L, ...] device tensor scales with the max cell — measured 19 GB
+        at 1M on log-normal cluster sizes)."""
         n, n_cand = cand.shape
         cap = max(1, int(np.ceil(alpha * n / self.k)))
         chosen = np.full(n, -1, np.int64)
         counts = np.zeros(self.k, np.int64)
-        for c in range(n_cand):
-            todo = np.flatnonzero(chosen < 0)
-            if todo.size == 0:
-                break
-            want = cand[todo, c].astype(np.int64)
-            order = np.argsort(want, kind="stable")
-            sw = want[order]
-            # rank of each row within its cluster group this round
-            group_start = np.searchsorted(sw, np.arange(self.k))
-            rank = np.arange(todo.size) - group_start[sw]
-            accept = rank < (cap - counts[sw])
-            taken = order[accept]
-            chosen[todo[taken]] = sw[accept]
-            counts += np.bincount(sw[accept], minlength=self.k)
-        left = chosen < 0
-        if left.any():
+
+        def accept_rounds(limit: int) -> None:
+            nonlocal counts
+            for c in range(n_cand):
+                todo = np.flatnonzero(chosen < 0)
+                if todo.size == 0:
+                    return
+                want = cand[todo, c].astype(np.int64)
+                order = np.argsort(want, kind="stable")
+                sw = want[order]
+                # rank of each row within its cluster group this round
+                group_start = np.searchsorted(sw, np.arange(self.k))
+                rank = np.arange(todo.size) - group_start[sw]
+                accept = rank < (limit - counts[sw])
+                taken = order[accept]
+                chosen[todo[taken]] = sw[accept]
+                counts += np.bincount(sw[accept], minlength=self.k)
+
+        # distance-ordered under cap, then doubling relaxed caps for the
+        # stragglers (dense-region rows whose every candidate filled)
+        limit = cap
+        while (chosen < 0).any() and limit < 2 * n:
+            accept_rounds(limit)
+            limit *= 2
+        left = np.flatnonzero(chosen < 0)
+        if left.size:  # unreachable in practice; keep total = n invariant
             chosen[left] = cand[left, 0]
         return chosen
 
@@ -1091,14 +1232,31 @@ class IvfIndex:
             if getattr(self, "_pq", None) is None:
                 raise ValueError("call enable_pq() first")
             cell_slots, cell_codes, cell_s = self._device_cells()
-            d_sq, slots = _ivf_pq_probe_cells(
-                self._centroids_dev, cell_slots, cell_codes, cell_s,
-                self._pq.codebooks, self._emb, self._has_emb, q,
-                self._pq.rotate_queries(q),
-                n_probe=int(n_probe), top_k=int(top_k), fetch=int(fetch),
-                rerank=rerank,
-                residual=getattr(self, "_pq_residual", False),
-            )
+            if int(n_probe) >= self.k:
+                # scanning everything: one-hot MXU scoring shared by the
+                # whole batch instead of per-element LUT gathers
+                import math as _math
+
+                ctile = _math.gcd(self.k, 16)
+                qblock = min(128,
+                             1 << (max(1, q.shape[0]) - 1).bit_length())
+                d_sq, slots = _ivf_pq_scan_cells(
+                    self._centroids_dev, cell_slots, cell_codes, cell_s,
+                    self._pq.codebooks, self._emb, self._has_emb, q,
+                    self._pq.rotate_queries(q),
+                    top_k=int(top_k), fetch=int(fetch), rerank=rerank,
+                    residual=getattr(self, "_pq_residual", False),
+                    dedup=spilled, ctile=ctile, qblock=qblock,
+                )
+            else:
+                d_sq, slots = _ivf_pq_probe_cells(
+                    self._centroids_dev, cell_slots, cell_codes, cell_s,
+                    self._pq.codebooks, self._emb, self._has_emb, q,
+                    self._pq.rotate_queries(q),
+                    n_probe=int(n_probe), top_k=int(top_k),
+                    fetch=int(fetch), rerank=rerank,
+                    residual=getattr(self, "_pq_residual", False),
+                )
         else:
             d_sq, slots = _ivf_search_batch(
                 self._centroids_dev, self._device_lists(), self._emb,
