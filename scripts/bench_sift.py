@@ -178,7 +178,9 @@ def main():
     ivf2.search_batch(q[:8], n_probe=8, top_k=K, pq=True)
     log(f"enable_pq(residual m=16): {time.perf_counter() - t0:.0f}s")
     results["ivf_pq_residual"] = []
-    for n_probe, fetch, kk in [(16, 128, 10), (16, 256, 100)]:
+    # n_probe=k routes through the one-hot-matmul full-scan ADC kernel
+    for n_probe, fetch, kk in [(16, 128, 10), (k_cells, 128, 10),
+                               (16, 256, 100)]:
         def run(v, n_probe=n_probe, fetch=fetch, kk=kk):
             return ivf2.search_batch(np.asarray(v), n_probe=n_probe,
                                      top_k=kk, pq=True, fetch=fetch)[0]
