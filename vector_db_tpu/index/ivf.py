@@ -196,7 +196,7 @@ def _ivf_pq_probe_cells(
 )
 def _ivf_rp_probe_cells(
     centroids: jnp.ndarray,    # f32[k, d]
-    cent_proj: jnp.ndarray,    # f32[k, dp] projected centroids
+    mu_proj: jnp.ndarray,      # f32[dp] projected global data mean
     cell_slots: jnp.ndarray,   # int32[k, L] slot ids, -1 padded
     cell_rp: jnp.ndarray,      # bf16[k, L, dp] projected rows, cell blocks
     cell_xsq: jnp.ndarray,     # f32[k, L] full-space ‖x‖² per member
@@ -254,10 +254,11 @@ def _ivf_rp_probe_cells(
     cdp = jnp.take_along_axis(cd, probe, axis=1)             # [B, n_probe]
     csq = jnp.sum(centroids * centroids, axis=-1)[probe]     # [B, n_probe]
     corr = cdp - csq                                         # [B, n_probe]
-    # CENTERED queries per probed cell: both einsum operands are then
-    # residual-scale, so the bf16 multiply noise stays below neighbor
-    # gaps even on unnormalized corpora
-    qr = qp[:, None, :] - cent_proj[probe]                   # [B,n_probe,dp]
+    # μ̂-CENTERED queries (the stored scalar folds −2μ̂·r̂, see
+    # _build_rp_blocks): both einsum operands are deviation-scale, so the
+    # bf16 multiply noise stays below neighbor gaps even on unnormalized
+    # corpora
+    qr = (qp - mu_proj[None, :]).astype(jnp.bfloat16)        # [B, dp]
 
     padq = (-b) % qblock
     if padq:
@@ -284,7 +285,7 @@ def _ivf_rp_probe_cells(
             xsq = cell_xsq[cells]                   # [Q, L]
             slots = cell_slots[cells]               # [Q, L]
             dots = jnp.einsum(
-                "qld,qd->ql", blk, qr_b[:, pi].astype(jnp.bfloat16),
+                "qld,qd->ql", blk, qr_b,
                 preferred_element_type=jnp.float32,
             )
             score = corr_b[:, pi][:, None] - 2.0 * dots + xsq
@@ -342,11 +343,12 @@ def _ivf_rp_scan_cells(
     centroids: jnp.ndarray,    # f32[k, d]
     cell_slots: jnp.ndarray,   # int32[k, L] slot ids, -1 padded
     cell_rp: jnp.ndarray,      # bf16[k, L, dp] residual blocks
-    cell_t: jnp.ndarray,       # f32[k, L] stored scalars ‖x‖² − 2ĉ·r̂
+    cell_t: jnp.ndarray,       # f32[k, L] stored scalars ‖x‖² − 2μ̂·r̂
     emb: jnp.ndarray,          # f32[capacity, d] (exact rerank source)
     has_emb: jnp.ndarray,      # bool[capacity]
     queries: jnp.ndarray,      # f32[B, d]
     proj: jnp.ndarray,         # f32[d, dp]
+    mu_proj: jnp.ndarray,      # f32[dp] projected global data mean
     top_k: int,
     fetch: int,
     rerank: bool,
@@ -384,8 +386,11 @@ def _ivf_rp_scan_cells(
             - 2.0 * jnp.dot(queries, centroids.T,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32))  # [B, k]
-    qp16 = jnp.dot(queries, proj, precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    # μ̂-centering before the bf16 cast: the stored scalar folds −2μ̂·r̂
+    # (see _build_rp_blocks), so both matmul operands are deviation-scale
+    qp16 = (jnp.dot(queries, proj, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            - mu_proj[None, :]).astype(jnp.bfloat16)
 
     padq = (-b) % qblock
     if padq:
@@ -420,8 +425,13 @@ def _ivf_rp_scan_cells(
             score = corr_t[:, :, None] - 2.0 * dots + t[None]
             score = jnp.where(ok[None], score, BIG)
             score = score.reshape(qblock, p_tile)
+            # per-tile extraction caps at fetch/min(4, n_tiles): one tile
+            # of many rarely holds more of the global front, and
+            # approx_min_k cost grows steeply with k (with few tiles the
+            # cap must not cut below the requested fetch)
+            per_tile = min(max(top_k, fetch // min(4, n_tiles)), p_tile)
             nd, pos = jax.lax.approx_min_k(
-                score, min(fetch, p_tile), recall_target=0.95)
+                score, per_tile, recall_target=0.95)
             si = slots.reshape(p_tile)[pos]
             si = jnp.where(nd >= 1e37, -1, si)
             return merge_top_k(best_d, best_i, nd, si, fetch), None
@@ -585,15 +595,23 @@ def _build_rp_blocks(
     rp: jnp.ndarray,        # f32[capacity, dp] per-slot x̂
     xsq: jnp.ndarray,       # f32[capacity] full-space ‖x‖²
     cent_proj: jnp.ndarray,  # f32[k, dp]
+    mu_proj: jnp.ndarray,   # f32[dp] projected global data mean
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Device-side rebuild of the RP cell blocks: residuals r̂ = x̂ − ĉ
-    (bf16 after subtraction) and stored scalars t = ‖x‖² − 2ĉ·r̂."""
+    (bf16 after subtraction) and stored scalars t = ‖x‖² − 2μ̂·r̂.
+
+    Folding the GLOBAL-mean cross term (rather than the per-cell one)
+    lets every kernel dot the same centered query (q̂ − μ̂) against r̂:
+    −2q̂·r̂ = −2(q̂−μ̂)·r̂ − 2μ̂·r̂, so the estimator is exact for any μ̂,
+    and with μ̂ ≈ data mean both einsum operands are deviation-scale —
+    the bf16 cast of a full-magnitude q̂ was burying neighbor gaps on
+    unnormalized corpora (measured: scan-mode ADC-only recall 0.015)."""
     safe = jnp.maximum(table, 0)
     ok = table >= 0
     res = rp[safe] - cent_proj[:, None, :]            # [k, L, dp] f32
     res = jnp.where(ok[..., None], res, 0.0)
     t = xsq[safe] - 2.0 * jnp.einsum(
-        "kld,kd->kl", res, cent_proj,
+        "kld,d->kl", res, mu_proj,
         preferred_element_type=jnp.float32)
     t = jnp.where(ok, t, 0.0)
     return res.astype(jnp.bfloat16), t
@@ -712,7 +730,7 @@ class IvfIndex:
             # minutes over a remote TPU relay.
             self._cells_rp_dev, self._cells_xsq_dev = _build_rp_blocks(
                 self._lists_dev, self._rp_dev, self._rp_xsq_dev,
-                self._cent_proj_dev,
+                self._cent_proj_dev, self._rp_mu_dev,
             )
         else:
             self._cells_rp_dev = None
@@ -1170,6 +1188,11 @@ class IvfIndex:
         self._rp_dev = jnp.dot(self._emb, self._rp_proj_dev,
                                preferred_element_type=jnp.float32)
         self._rp_xsq_dev = jnp.sum(self._emb * self._emb, axis=-1)
+        # projected global data mean (from the PCA sample): the shared
+        # centering vector for every scoring kernel (see _build_rp_blocks)
+        self._rp_mu_dev = jnp.dot(
+            jnp.mean(self._emb[rows_dev], axis=0), self._rp_proj_dev,
+            preferred_element_type=jnp.float32)
         self._lists_dirty = True  # rp cell blocks must rebuild
 
     def search_batch(
@@ -1215,13 +1238,13 @@ class IvfIndex:
                 d_sq, slots = _ivf_rp_scan_cells(
                     self._centroids_dev, self._lists_dev,
                     self._cells_rp_dev, self._cells_xsq_dev, self._emb,
-                    self._has_emb, q, self._rp_proj_dev,
+                    self._has_emb, q, self._rp_proj_dev, self._rp_mu_dev,
                     top_k=int(top_k), fetch=int(fetch), rerank=rerank,
                     dedup=spilled, ctile=ctile, qblock=qblock,
                 )
             else:
                 d_sq, slots = _ivf_rp_probe_cells(
-                    self._centroids_dev, self._cent_proj_dev,
+                    self._centroids_dev, self._rp_mu_dev,
                     self._lists_dev, self._cells_rp_dev,
                     self._cells_xsq_dev, self._emb, self._has_emb, q,
                     self._rp_proj_dev,
