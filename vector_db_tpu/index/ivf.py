@@ -1230,11 +1230,23 @@ class IvfIndex:
             if int(n_probe) >= self.k:
                 # probing everything: the tiled full-scan kernel reads
                 # each residual byte once per BATCH (no per-query
-                # gathers) — the batched-throughput mode
-                import math as _math
-
-                ctile = _math.gcd(self.k, 64)
-                qblock = min(256, 1 << (max(1, q.shape[0]) - 1).bit_length())
+                # gathers) — the batched-throughput mode. Geometry aims
+                # for FEW, BIG steps (scan-step overhead dominates small
+                # tiles: 256 steps ran 19x slower than an 8-step raw
+                # scan): grow ctile until p_tile ~ 128k, bound the score
+                # tensor at ~256 MB.
+                max_l = self._lists_dev.shape[1]
+                ctile = 1
+                for cand_t in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+                    if self.k % cand_t == 0 and cand_t * max_l <= 131072:
+                        ctile = cand_t
+                        break
+                else:
+                    import math as _math
+                    ctile = _math.gcd(self.k, 64)
+                qblock = 1 << (max(1, min(q.shape[0], 512)) - 1).bit_length()
+                while qblock > 8 and qblock * ctile * max_l * 4 > 268_435_456:
+                    qblock //= 2
                 d_sq, slots = _ivf_rp_scan_cells(
                     self._centroids_dev, self._lists_dev,
                     self._cells_rp_dev, self._cells_xsq_dev, self._emb,
