@@ -754,6 +754,24 @@ class IvfIndex:
                 )
         return codes_np
 
+    def _rp_flat_tables(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compact flat-scan mirror: ((x̂−μ̂) bf16[capacity, dp],
+        u = ‖x‖² − 2μ̂·x̂ f32[capacity]) — identity-tracked lazy rebuild.
+
+        Ranking identity: ‖q−x‖² ≈ ‖q̂−μ̂‖² − 2(q̂−μ̂)·(x̂−μ̂) + u + const(q),
+        so :func:`ops.exact.approx_search_tiled` runs it unchanged with
+        the centered mirror as the table and u as the norm cache — an
+        UNPADDED projected scan (the padded cell-block scan carries 2-4x
+        score-tensor traffic from cell padding)."""
+        src = self._rp_dev
+        if getattr(self, "_rp_flat_src", None) is not src:
+            mu = self._rp_mu_dev
+            self._rp_flat_dev = (src - mu[None, :]).astype(jnp.bfloat16)
+            self._rp_u_dev = self._rp_xsq_dev - 2.0 * jnp.dot(
+                src, mu, preferred_element_type=jnp.float32)
+            self._rp_flat_src = src
+        return self._rp_flat_dev, self._rp_u_dev
+
     def _ensure_rp_capacity(self) -> None:
         rp = getattr(self, "_rp_dev", None)
         if rp is not None and rp.shape[0] < self._capacity:
@@ -1193,6 +1211,15 @@ class IvfIndex:
         self._rp_mu_dev = jnp.dot(
             jnp.mean(self._emb[rows_dev], axis=0), self._rp_proj_dev,
             preferred_element_type=jnp.float32)
+        self._rp_flat_src = None  # compact flat-scan mirror (lazy)
+        # cell-vs-flat scan heuristic: how much of the deviation energy
+        # the coarse centroids absorb. Strongly clustered corpora keep
+        # the padded cell-block scan (residual centering matters);
+        # weakly clustered ones use the compact unpadded mirror.
+        res_e = float(jnp.mean(jnp.sum(res_dev * res_dev, axis=-1)))
+        dev = self._emb[rows_dev] - jnp.mean(self._emb[rows_dev], axis=0)
+        dev_e = float(jnp.mean(jnp.sum(dev * dev, axis=-1)))
+        self._rp_res_ratio = res_e / max(dev_e, 1e-30)
         self._lists_dirty = True  # rp cell blocks must rebuild
 
     def search_batch(
@@ -1227,7 +1254,36 @@ class IvfIndex:
                 raise ValueError("call enable_rp() first")
             if self._lists_dirty or self._cells_rp_dev is None:
                 self._rebuild_device_tables()
-            if int(n_probe) >= self.k:
+            if (int(n_probe) >= self.k
+                    and getattr(self, "_rp_res_ratio", 1.0) > 0.5):
+                # weakly clustered corpus: cells absorb little deviation
+                # energy, so full-scan goes through the compact UNPADDED
+                # projected mirror — ops.exact.approx_search_tiled runs
+                # it directly (see _rp_flat_tables), then exact rerank
+                from vector_db_tpu.ops.exact import (
+                    approx_search_tiled, rescore_exact,
+                )
+
+                flat, u = self._rp_flat_tables()
+                qp = jnp.dot(q, self._rp_proj_dev,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+                qc = qp - self._rp_mu_dev[None, :]
+                tile = min(flat.shape[0], 131072)
+                fd, fi = approx_search_tiled(
+                    qc, flat, self._has_emb, int(fetch), tile=tile, x_sq=u)
+                if rerank:
+                    d_sq, slots = rescore_exact(q, self._emb, fi)
+                    d_sq = d_sq[:, :int(top_k)]
+                    slots = slots[:, :int(top_k)]
+                else:
+                    # computed score is offset per query by
+                    # ‖q‖² − ‖q̂‖² + ‖μ̂‖² vs the distance estimate
+                    off = (jnp.sum(q * q, -1) - jnp.sum(qp * qp, -1)
+                           + jnp.sum(self._rp_mu_dev ** 2))
+                    d_sq = fd[:, :int(top_k)] + off[:, None]
+                    slots = fi[:, :int(top_k)]
+            elif int(n_probe) >= self.k:
                 # probing everything: the tiled full-scan kernel reads
                 # each residual byte once per BATCH (no per-query
                 # gathers) — the batched-throughput mode. Geometry aims
