@@ -589,6 +589,39 @@ def _ivf_pq_scan_cells(
     return dd.reshape(-1, top_k)[:b], ii.reshape(-1, top_k)[:b]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "fetch", "rerank", "tile"))
+def _rp_flat_search(
+    queries: jnp.ndarray,   # f32[B, d]
+    proj: jnp.ndarray,      # f32[d, dp]
+    mu: jnp.ndarray,        # f32[dp]
+    flat: jnp.ndarray,      # bf16[capacity, dp] centered mirror
+    u: jnp.ndarray,         # f32[capacity] stored scalars
+    valid: jnp.ndarray,     # bool[capacity]
+    emb: jnp.ndarray,       # f32[capacity, d] (exact rerank source)
+    top_k: int,
+    fetch: int,
+    rerank: bool,
+    tile: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-program flat projected scan: projection, centering, tiled
+    approximate scan and exact rerank fused into a single dispatch —
+    eager per-op dispatches cost ~15 ms each through a remote TPU relay,
+    which dominated this path (measured 7.6k qps un-fused)."""
+    from vector_db_tpu.ops.exact import approx_search_tiled, rescore_exact
+
+    qp = jnp.dot(queries, proj, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    qc = qp - mu[None, :]
+    fd, fi = approx_search_tiled(qc, flat, valid, fetch, tile=tile, x_sq=u)
+    if rerank:
+        d_sq, slots = rescore_exact(queries, emb, fi)
+        return d_sq[:, :top_k], slots[:, :top_k]
+    off = (jnp.sum(queries * queries, -1) - jnp.sum(qp * qp, -1)
+           + jnp.sum(mu * mu))
+    return fd[:, :top_k] + off[:, None], fi[:, :top_k]
+
+
 @jax.jit
 def _build_rp_blocks(
     table: jnp.ndarray,     # int32[k, L] slot ids, -1 padded
@@ -1260,29 +1293,13 @@ class IvfIndex:
                 # energy, so full-scan goes through the compact UNPADDED
                 # projected mirror — ops.exact.approx_search_tiled runs
                 # it directly (see _rp_flat_tables), then exact rerank
-                from vector_db_tpu.ops.exact import (
-                    approx_search_tiled, rescore_exact,
-                )
-
                 flat, u = self._rp_flat_tables()
-                qp = jnp.dot(q, self._rp_proj_dev,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-                qc = qp - self._rp_mu_dev[None, :]
-                tile = min(flat.shape[0], 131072)
-                fd, fi = approx_search_tiled(
-                    qc, flat, self._has_emb, int(fetch), tile=tile, x_sq=u)
-                if rerank:
-                    d_sq, slots = rescore_exact(q, self._emb, fi)
-                    d_sq = d_sq[:, :int(top_k)]
-                    slots = slots[:, :int(top_k)]
-                else:
-                    # computed score is offset per query by
-                    # ‖q‖² − ‖q̂‖² + ‖μ̂‖² vs the distance estimate
-                    off = (jnp.sum(q * q, -1) - jnp.sum(qp * qp, -1)
-                           + jnp.sum(self._rp_mu_dev ** 2))
-                    d_sq = fd[:, :int(top_k)] + off[:, None]
-                    slots = fi[:, :int(top_k)]
+                d_sq, slots = _rp_flat_search(
+                    q, self._rp_proj_dev, self._rp_mu_dev, flat, u,
+                    self._has_emb, self._emb,
+                    top_k=int(top_k), fetch=int(fetch), rerank=rerank,
+                    tile=min(flat.shape[0], 131072),
+                )
             elif int(n_probe) >= self.k:
                 # probing everything: the tiled full-scan kernel reads
                 # each residual byte once per BATCH (no per-query
