@@ -329,3 +329,37 @@ def test_pq_scan_mode_full_probe():
 
     assert rec(ids_scan) >= rec(ids_probe) - 0.02
     assert rec(ids_scan) >= 0.9  # rerank recovers ADC coarseness
+
+
+def test_persistence_restores_rp_and_pq(tmp_path):
+    """save_index/load_index round-trips the trained projection and PQ
+    codebooks: a reopened index serves rp/pq searches with NO retraining
+    (mirrors/codes regenerate from storage in streaming device programs).
+    Reference persistence is lists+centroids only (ivf.py:210-241)."""
+    from vector_db_tpu.storage import InMemoryNodeStorage
+    from vector_db_tpu.types import Node
+
+    x = _corpus(n=2048, dim=32, seed=31)
+    storage = InMemoryNodeStorage()
+    path = tmp_path / "ivf.npz"
+    ivf = IvfIndex(k=16, storage=storage, index_file=path)
+    ivf.autosave = False
+    for i in range(2048):
+        storage.save(Node(id=i, embedding=x[i], metadata={}))
+    ivf.build_arrays(range(2048), x, seed=0, iters=10)
+    ivf.enable_pq(chunks=4, ksub=32, residual=True, opq_iters=2)
+    ivf.enable_rp(dims=16)
+    ivf.save_index()
+
+    q = x[:16] + 0.01
+    _, want_pq = ivf.search_batch(q, n_probe=8, top_k=5, pq=True)
+    _, want_rp = ivf.search_batch(q, n_probe=8, top_k=5, rp=True)
+
+    ivf2 = IvfIndex(k=16, storage=storage, index_file=path)
+    assert getattr(ivf2, "_pq", None) is not None
+    assert getattr(ivf2, "_rp_proj", None) is not None
+    _, got_pq = ivf2.search_batch(q, n_probe=8, top_k=5, pq=True)
+    _, got_rp = ivf2.search_batch(q, n_probe=8, top_k=5, rp=True)
+    # same codebooks + same corpus -> identical candidates
+    assert np.array_equal(want_pq, got_pq)
+    assert np.array_equal(want_rp, got_rp)

@@ -1403,6 +1403,23 @@ class IvfIndex:
         if self.index_file is None or self.centroids is None:
             return
         self.index_file.parent.mkdir(parents=True, exist_ok=True)
+        extra = {}
+        # persist trained auxiliary state so reopen skips retraining:
+        # PCA projection (+mean) for RP, PQ codebooks (+OPQ rotation) for
+        # ADC. Mirrors/codes regenerate from the embedding table in one
+        # streaming device program at load.
+        if getattr(self, "_rp_proj", None) is not None:
+            extra["rp_proj"] = self._rp_proj
+            extra["rp_mu"] = np.asarray(self._rp_mu_dev, np.float32)
+        pq = getattr(self, "_pq", None)
+        if pq is not None and pq.codebooks is not None:
+            extra["pq_codebooks"] = np.asarray(pq.codebooks, np.float32)
+            extra["pq_residual"] = np.asarray(
+                getattr(self, "_pq_residual", False))
+            if pq.rotation is not None:
+                extra["pq_rotation"] = np.asarray(pq.rotation, np.float32)
+        if getattr(self, "_spill", 1) > 1:
+            extra["spill"] = np.asarray(self._spill)
         np.savez_compressed(
             self.index_file,
             k=self.k,
@@ -1413,6 +1430,7 @@ class IvfIndex:
             list_sizes=np.asarray(
                 [len(l) for l in self.inverted_lists], np.int64
             ),
+            **extra,
         )
 
     def load_index(self) -> None:
@@ -1423,6 +1441,9 @@ class IvfIndex:
             self.centroids = np.asarray(z["centroids"])
             sizes = np.asarray(z["list_sizes"])
             flat = np.asarray(z["list_ids"])
+            aux = {name: np.asarray(z[name]) for name in
+                   ("rp_proj", "rp_mu", "pq_codebooks", "pq_rotation",
+                    "pq_residual", "spill") if name in z}
         self._centroids_dev = jnp.asarray(self.centroids)
         self.inverted_lists = []
         off = 0
@@ -1430,8 +1451,12 @@ class IvfIndex:
             self.inverted_lists.append([int(x) for x in flat[off : off + s]])
             off += int(s)
         self._lists_dirty = True
-        # hydrate embeddings from storage in one bulk read
-        all_ids = [nid for lst in self.inverted_lists for nid in lst]
+        if "spill" in aux:
+            self._spill = int(aux["spill"])
+        # hydrate embeddings from storage in one bulk read (spilled ids
+        # appear in several lists; dedupe preserving first occurrence)
+        all_ids = list(dict.fromkeys(
+            nid for lst in self.inverted_lists for nid in lst))
         if all_ids:
             dim = self.centroids.shape[1]
             self._ensure_capacity(len(all_ids), dim)
@@ -1443,3 +1468,57 @@ class IvfIndex:
                     for nid, f in zip(all_ids, found) if f
                 ], np.int32)
                 self._store.write(slots, rows[found])
+        # rebuild trained auxiliary state without retraining
+        if "rp_proj" in aux and all_ids:
+            self._rp_proj = aux["rp_proj"].astype(np.float32)
+            self._rp_proj_dev = jnp.asarray(self._rp_proj)
+            self._cent_proj_dev = jnp.asarray(self.centroids @ self._rp_proj)
+            self._rp_mu_dev = jnp.asarray(aux["rp_mu"].astype(np.float32))
+            self._rp_dev = jnp.dot(self._emb, self._rp_proj_dev,
+                                   preferred_element_type=jnp.float32)
+            self._rp_xsq_dev = jnp.sum(self._emb * self._emb, axis=-1)
+            self._rp_flat_src = None
+            if not hasattr(self, "_rp_res_ratio"):
+                self._rp_res_ratio = 1.0  # conservative: cell-block scan
+        if "pq_codebooks" in aux and all_ids:
+            from vector_db_tpu.index.pq import PQCodec
+
+            cb = aux["pq_codebooks"]
+            self._pq = PQCodec(k=cb.shape[1], chunks=cb.shape[0],
+                               dim=self._dim)
+            self._pq.codebooks = jnp.asarray(cb)
+            if "pq_rotation" in aux:
+                self._pq.rotation = jnp.asarray(aux["pq_rotation"])
+            self._reencode_pq(residual=bool(aux.get("pq_residual", False)))
+
+    def _reencode_pq(self, residual: bool) -> None:
+        """Re-encode the hydrated table with existing codebooks (one
+        streaming device program; no retraining)."""
+        from vector_db_tpu.index.pq import (
+            _encode_residual_scan, _encode_scan,
+        )
+
+        rot = (jnp.asarray(self._pq.rotation)
+               if self._pq.rotation is not None else None)
+        chunk = min(8192, self._capacity)
+        if residual:
+            slot_cell = self._slot_cell_table()
+            cents_d = jnp.asarray(self.centroids, jnp.float32)
+            cent_rot = (jnp.dot(cents_d, rot,
+                                preferred_element_type=jnp.float32)
+                        if rot is not None else cents_d)
+            self._cent_rot = cent_rot
+            codes, sx = _encode_residual_scan(
+                self._emb, jnp.asarray(np.maximum(slot_cell, 0)), cent_rot,
+                self._pq.codebooks, chunk=chunk, rotation=rot,
+            )
+            self._sx_np = np.array(sx, np.float32)
+            enc = np.asarray(codes)
+        else:
+            enc = np.asarray(_encode_scan(
+                self._emb, self._pq.codebooks, chunk=chunk, rotation=rot,
+            ))
+            self._sx_np = None
+        self._pq_residual = bool(residual)
+        self._codes_np = enc.astype(np.uint8)
+        self._lists_dirty = True
