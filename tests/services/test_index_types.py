@@ -321,3 +321,21 @@ def test_hnsw_rp_via_config(tmp_path, rng):
     fres = svc.search(nodes[4].embedding, k=5,
                       filter_ids={n.id for n in nodes if n.id % 2 == 0})
     assert all(n.id % 2 == 0 for n, _ in fres)
+
+
+def test_sharded_hnsw_multislice_config(tmp_path, rng):
+    """index.slices: 2 builds the 2-D ("slice", "shard") mesh; search and
+    insert work end-to-end with hierarchical merges (8 virtual devices)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        import pytest as _pytest
+        _pytest.skip("needs >=4 devices")
+    cfg = make_config(tmp_path, "sharded-hnsw", slices=2)
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    assert len(svc.index.mesh.axis_names) == 2
+    nodes = make_nodes(rng, 40)
+    svc.insert_nodes(nodes)
+    res = svc.search(nodes[13].embedding, k=3, ef=40)
+    assert res[0][0].id == 13

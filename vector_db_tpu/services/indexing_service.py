@@ -120,8 +120,21 @@ class IndexingService:
             import jax as _jax
 
             n_dev = len(_jax.devices())
+            # index.slices > 1 builds the multi-slice ("slice", "shard")
+            # mesh: hierarchical merges keep DCN traffic at B·k pairs
+            n_slices = int(index_config.get("slices", 1) or 1)
+            mesh = None
+            if n_slices > 1:
+                from vector_db_tpu.parallel.mesh import make_mesh_2d
+
+                if n_dev % n_slices:
+                    raise ValueError(
+                        f"index.slices={n_slices} must divide the "
+                        f"{n_dev} visible devices"
+                    )
+                mesh = make_mesh_2d(n_slices, n_dev // n_slices)
             self.index = ShardedHNSW(
-                M=M, ef_construction=ef_construction, dim=dim,
+                M=M, ef_construction=ef_construction, dim=dim, mesh=mesh,
                 capacity_per_shard=max(256, cap_total // n_dev),
             )
             if self.index_file.exists():
