@@ -795,12 +795,13 @@ class HNSW:
             max_steps=max_steps, use_filter=use_filter, pool=max(pool, ef),
             expand=expand,
         )
-        if self.precision == "bf16":
-            # re-score the k survivors from the f32 table so reported
-            # distances are full precision (selection was bf16)
-            from vector_db_tpu.ops.exact import rescore_exact
+        # re-score the k survivors from the f32 table at HIGHEST precision:
+        # traversal scores only SELECT (DEFAULT-precision matvecs — the
+        # 6-pass multiply slowed builds/search 2.7x); reported
+        # order/distances must honor the exactness contract
+        from vector_db_tpu.ops.exact import rescore_exact
 
-            d_sq, slots = rescore_exact(q_dev, self._emb, slots)
+        d_sq, slots = rescore_exact(q_dev, self._emb, slots)
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]
         ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)

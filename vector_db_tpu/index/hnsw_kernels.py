@@ -102,8 +102,11 @@ def _neighbor_slice_dyn(row: jnp.ndarray, level: jnp.ndarray, M: int) -> jnp.nda
 
 def _dist_to(q: jnp.ndarray, emb: jnp.ndarray, idx: jnp.ndarray,
              has_emb: jnp.ndarray) -> jnp.ndarray:
+    """Traversal/construction scoring: DEFAULT-precision matvec — beam
+    steps only SELECT candidates (final results are re-scored exactly);
+    the 6-pass HIGHEST multiply slowed 1M graph builds 2.7x."""
     safe = jnp.maximum(idx, 0)
-    return gather_l2_sq(q, emb, idx, has_emb[safe])
+    return gather_l2_sq(q, emb, idx, has_emb[safe], precision=None)
 
 
 def greedy_descent(
@@ -510,7 +513,9 @@ def search_batch_pq(
             ef=ef, M=M, max_steps=max_steps, expand=expand,
         )
         if rerank:
-            rd = _dist_to(q, emb, rs, has_emb)
+            # exact rerank: HIGHEST matvec (reported order/distances)
+            rd = gather_l2_sq(q, emb, rs,
+                              has_emb[jnp.maximum(rs, 0)])
         return masked_top_k_smallest(rd, rs, k)
 
     return jax.vmap(one)(queries, lut)
@@ -569,7 +574,8 @@ def search_batch_rp(
             active=entry >= 0, level=0,
             ef=ef, M=M, max_steps=max_steps, expand=expand,
         )
-        rd = _dist_to(q, emb, rs, has_emb)
+        # exact rerank: HIGHEST matvec (reported order/distances)
+        rd = gather_l2_sq(q, emb, rs, has_emb[jnp.maximum(rs, 0)])
         return masked_top_k_smallest(rd, rs, k)
 
     return jax.vmap(one)(queries, queries_proj)

@@ -76,7 +76,8 @@ def cosine_distance_pairwise(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_l2_sq(
-    q: jnp.ndarray, emb: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray
+    q: jnp.ndarray, emb: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray,
+    precision="HIGHEST",
 ) -> jnp.ndarray:
     """Distances from one query to a gathered index set, masked.
 
@@ -85,21 +86,26 @@ def gather_l2_sq(
 
     This is the HNSW neighbor-expansion primitive: gather K embedding rows
     from HBM, one (K, d) · (d,) contraction, mask.
+
+    ``precision`` defaults to HIGHEST — this is also the exact-rerank
+    primitive, and TPU DEFAULT-precision matvecs truncate to bf16 and
+    misrank unnormalized corpora. Hot traversal/construction loops that
+    only SELECT candidates (a rerank follows) pass ``None`` (DEFAULT):
+    the 6-pass multiply measurably slowed 1M graph builds 2.7x.
     """
     import jax
 
+    if precision == "HIGHEST":
+        precision = jax.lax.Precision.HIGHEST
     safe = jnp.maximum(idx, 0)
     rows = emb[safe]  # [K, d] gather — traffic at the TABLE's dtype
     if rows.dtype != jnp.float32:
         # bf16 table: gather halves HBM traffic, math still runs f32
         rows = rows.astype(jnp.float32)
     q = q.astype(jnp.float32)
-    # HIGHEST: this is the exact-rerank primitive; TPU DEFAULT-precision
-    # matvecs truncate to bf16 and misrank unnormalized corpora (the
-    # matvec is tiny, so the accurate multi-pass costs nothing)
     diff_sq = (
         jnp.sum(rows * rows, axis=-1)
-        - 2.0 * jnp.dot(rows, q, precision=jax.lax.Precision.HIGHEST,
+        - 2.0 * jnp.dot(rows, q, precision=precision,
                         preferred_element_type=jnp.float32)
         + jnp.dot(q, q, preferred_element_type=jnp.float32)
     )
