@@ -190,7 +190,7 @@ def main():
     results["ivf_rp"] = {"k_cells": n_cells, "spill": spill,
                          "build_s": ivf_build_s,
                          "probe_ceiling": probe_ceiling, "ops": []}
-    for n_probe, fetch in [(64, 128), (256, 256), (n_cells, 256)]:
+    for n_probe, fetch in [(64, 128), (256, 256), (n_cells, 64)]:
         def run(v, n_probe=n_probe, fetch=fetch):
             return ivf.search_batch(np.asarray(v), n_probe=n_probe,
                                     top_k=K, rp=True, fetch=fetch)[0]
