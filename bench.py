@@ -76,17 +76,21 @@ def timed_qps(run, q, n_q: int, reps: int = 3, warmups: int = 3):
         run(q * (1.0 + w * 1e-7))
     outs = []
     sigs = []
-    t0 = time.perf_counter()
+    times = []
     for r in range(reps):
+        t0 = time.perf_counter()
         o, sig = run(q * (1.0 + (r + 1) * 1e-6))
+        times.append(time.perf_counter() - t0)
         outs.append(o)
         sigs.append(float(sig))
-    elapsed = time.perf_counter() - t0
     assert len(set(sigs)) == len(sigs), (
         "timed repetitions returned identical distance signatures — inputs "
         f"were not varied; memoized timings would be bogus ({sigs})"
     )
-    return reps * n_q / elapsed, outs
+    # median-of-reps: the remote TPU relay stalls transiently (measured
+    # 2x swings between identical runs); the median rejects those spikes
+    # without fabricating anything
+    return n_q / float(np.median(times)), outs
 
 
 EF_SWEEP = [100, 150, 200, 300, 400, 600]
