@@ -63,7 +63,11 @@ def recall_at_k(ids: np.ndarray, gt: np.ndarray, k: int) -> float:
     )
 
 
-def timed_qps(run, q, n_q: int, reps: int = 3, warmups: int = 3):
+REP_TIMES: dict = {}  # label -> per-rep wall times (relay forensics)
+
+
+def timed_qps(run, q, n_q: int, reps: int = 3, warmups: int = 3,
+              label: str | None = None):
     """Time `run(query_batch) -> (result, sig)` with warm-up + varied inputs.
 
     ``sig`` must be a float derived from the returned DISTANCES (top-k ids
@@ -71,6 +75,10 @@ def timed_qps(run, q, n_q: int, reps: int = 3, warmups: int = 3):
     not). Asserts the varied reps produced distinct signatures — a
     regression that re-identifies inputs would otherwise let the relay's
     execution memoization silently inflate the numbers.
+
+    Per-rep times are kept in REP_TIMES[label] so BENCH_DETAILS.json can
+    distinguish a degraded-relay session (high variance / uniformly slow
+    reps + slow canary) from a real regression after the fact.
     """
     for w in range(warmups):
         run(q * (1.0 + w * 1e-7))
@@ -87,10 +95,38 @@ def timed_qps(run, q, n_q: int, reps: int = 3, warmups: int = 3):
         "timed repetitions returned identical distance signatures — inputs "
         f"were not varied; memoized timings would be bogus ({sigs})"
     )
+    if label is not None:
+        REP_TIMES[label] = [round(t, 5) for t in times]
     # median-of-reps: the remote TPU relay stalls transiently (measured
     # 2x swings between identical runs); the median rejects those spikes
     # without fabricating anything
     return n_q / float(np.median(times)), outs
+
+
+def relay_canary(reps: int = 5) -> dict:
+    """Fixed tiny-matmul timing: a relay-health reference point.
+
+    The same [1024, 1024] f32 matmul every session — ~2 GFLOP, far below
+    device limits, so its wall time is dominated by relay dispatch. A
+    healthy session measures ~the same canary; a degraded one (slow/laggy
+    tunnel) shows up here and explains a slow headline without a code
+    regression.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1024, 1024)).astype(np.float32))
+    f = jax.jit(lambda a, b: a @ b)
+    jax.block_until_ready(f(a, a))
+    times = []
+    for r in range(reps):
+        b = a * (1.0 + (r + 1) * 1e-6)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(a, b))
+        times.append(time.perf_counter() - t0)
+    return {"matmul_1024_ms": [round(t * 1e3, 3) for t in times],
+            "median_ms": round(float(np.median(times)) * 1e3, 3)}
 
 
 EF_SWEEP = [100, 150, 200, 300, 400, 600]
@@ -124,7 +160,7 @@ def bench_ours(x: np.ndarray, q: np.ndarray, k: int, target: float):
         d = np.asarray(d, np.float64)
         return d, d.sum()
 
-    exact_qps, _ = timed_qps(run_exact, qd, len(q))
+    exact_qps, _ = timed_qps(run_exact, qd, len(q), label=f"exact_n{n}")
 
     chosen = None
     for ef in EF_SWEEP:
@@ -140,7 +176,7 @@ def bench_ours(x: np.ndarray, q: np.ndarray, k: int, target: float):
             sig = dd[dd < 1e37].sum()
             return np.asarray(s), sig
 
-        qps, outs = timed_qps(run, qd, len(q), warmups=2)
+        qps, outs = timed_qps(run, qd, len(q), warmups=2, label=f"hnsw_n{n}_ef{ef}")
         rec = recall_at_k(outs[-1], gt, k)
         log(f"  ours n={n} ef={ef}: recall@{k}={rec:.3f} qps={qps:.0f}")
         chosen = {"ef": ef, "recall": rec, "qps": qps}
@@ -230,7 +266,7 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
         return d, d.sum()
 
     gt = np.asarray(exact_search_tiled(q, x, valid, k, tile=tile)[1])
-    exact_qps, _ = timed_qps(run_exact, q, n_q)
+    exact_qps, _ = timed_qps(run_exact, q, n_q, label=f"headline_exact_{n}")
     log(f"  exact f32 {n // 1000}k x {dim}d: {exact_qps:.0f} qps (recall 1.0)")
 
     def run_bf16(qv):
@@ -239,7 +275,7 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
         sig = float(np.asarray(d, np.float64).sum())
         return np.asarray(i), sig
 
-    bf16_qps, outs = timed_qps(run_bf16, q, n_q)
+    bf16_qps, outs = timed_qps(run_bf16, q, n_q, label=f"headline_bf16_{n}")
     bf16_recall = recall_at_k(outs[-1], gt, k)
     log(f"  bf16+hw-topk {n // 1000}k x {dim}d: {bf16_qps:.0f} qps "
         f"(recall@{k}={bf16_recall:.4f} vs f32 exact)")
@@ -257,6 +293,8 @@ def main() -> None:
     import jax
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    canary = relay_canary()
+    log(f"relay canary: {canary}")
 
     n = int(os.environ.get("BENCH_N", 100_000))
     headline_n = int(os.environ.get("BENCH_HEADLINE_N", 1_000_000))
@@ -304,6 +342,8 @@ def main() -> None:
         "ours_matched": {**ours_small, "best_mode_qps": ours_small_best},
         "reference": ref,
         "vs_baseline": vs_baseline,
+        "relay_canary": canary,
+        "rep_times_s": REP_TIMES,
     }
     Path("BENCH_DETAILS.json").write_text(json.dumps(details, indent=2))
     log(json.dumps(details, indent=2))
