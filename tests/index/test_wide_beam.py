@@ -1,0 +1,90 @@
+"""Wide-beam search correctness (index/wide_beam.py).
+
+Mirrors the reference's recall-vs-brute-force contract
+(reference tests/indexing/test_hnsw.py:127-153) for the TPU-shaped
+frontier-parallel formulation: recall against exact ground truth, exact
+reported distances, no duplicate results, deletion masking.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from vector_db_tpu.index.hnsw import HNSW
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    n, dim = 4000, 48
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    q = rng.normal(size=(50, dim)).astype(np.float32)
+    idx = HNSW(M=8, ef_construction=100, rng=random.Random(42),
+               capacity=n, l_max=4)
+    idx.bulk_build(list(range(n)), x)
+    d = ((q[:, None] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d, 1)[:, :10]
+    return idx, x, q, gt
+
+
+def _recall(ids, gt, k=10):
+    return float(np.mean(
+        [len(set(ids[i].tolist()) & set(gt[i].tolist())) / k
+         for i in range(len(gt))]
+    ))
+
+
+def test_wide_recall_vs_brute_force(built):
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    dists, ids = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                       steps=12)
+    assert _recall(ids, gt) >= 0.9
+
+
+def test_wide_exact_distances_sorted_no_dups(built):
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    dists, ids = idx.search_batch_wide(q, k=10, ef=128, frontier=16,
+                                       steps=10)
+    for i in range(len(q)):
+        valid = ids[i][ids[i] >= 0]
+        assert len(set(valid.tolist())) == len(valid)
+        dref = np.sqrt(((q[i] - x[valid]) ** 2).sum(-1))
+        np.testing.assert_allclose(dists[i][: len(valid)], dref, rtol=1e-4)
+        assert np.all(np.diff(dists[i][: len(valid)]) >= -1e-5)
+
+
+def test_wide_requires_enable(built):
+    idx2 = HNSW(M=8, ef_construction=50, rng=random.Random(1), capacity=256)
+    with pytest.raises(ValueError):
+        idx2.search_batch_wide(np.zeros((1, 8), np.float32), k=5)
+
+
+def test_wide_excludes_deleted(built):
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    # delete the top-1 hit of query 0; mirror must lazily rebuild (the
+    # delete swaps graph arrays) and the node must vanish from results
+    _, ids0 = idx.search_batch_wide(q[:1], k=5, ef=128, frontier=16,
+                                    steps=10)
+    victim = int(ids0[0, 0])
+    idx.delete_node(victim)
+    try:
+        _, ids1 = idx.search_batch_wide(q[:1], k=5, ef=128, frontier=16,
+                                        steps=10)
+        assert victim not in set(ids1[0].tolist())
+    finally:
+        # restore for other tests (module-scoped fixture)
+        from vector_db_tpu.types import Node
+
+        idx.insert_nodes([Node(id=victim, embedding=x[victim],
+                               metadata={}, content=None)])
+
+
+def test_wide_small_batch_padding(built):
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    d1, i1 = idx.search_batch_wide(q[:3], k=7, ef=128, frontier=16, steps=10)
+    assert d1.shape == (3, 7) and i1.shape == (3, 7)

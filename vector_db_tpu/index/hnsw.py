@@ -641,6 +641,105 @@ class HNSW:
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
 
+    # ------------------------------------------------------------------
+    def enable_wide(self, dims: int | None = 128, seeds: int = 4096,
+                    train_sample: int = 131072, seed: int = 0) -> None:
+        """Activate wide-beam search (see index/wide_beam.py): builds the
+        PCA projection for the augmented bf16 scoring mirror and picks the
+        seed set (the highest-level graph nodes — the same navigation
+        hierarchy the reference's greedy descent uses, reference
+        hnsw.py:356-358, scored here in one matmul instead).
+
+        ``dims=None`` mirrors the full embedding (no projection) — exact
+        bf16 traversal scores. The mirror itself rebuilds lazily per
+        search when the table or the graph changed."""
+        if self.graph is None or self.size == 0:
+            raise ValueError("index must contain vectors before enable_wide")
+        if dims is None or dims >= self._dim:
+            self._wb_proj = None
+        else:
+            live = np.asarray(sorted(self._slot_of_id.values()))
+            rng = np.random.default_rng(seed)
+            if live.size > train_sample:
+                live = rng.choice(live, train_sample, replace=False)
+            sample = np.asarray(self._emb[jnp.asarray(live)])
+            cov = (sample.T @ sample) / max(1, sample.shape[0])
+            _, v = np.linalg.eigh(cov.astype(np.float64))
+            self._wb_proj = jnp.asarray(
+                v[:, ::-1][:, : int(dims)].astype(np.float32))
+        self._wb_n_seeds = int(seeds)
+        self._wb_src = None  # force mirror + seed rebuild
+
+    def _wide_tables(self):
+        """(aug mirror, seed slots) — identity-tracked lazy rebuild: any
+        functional update swaps the emb/neighbors array objects, which
+        invalidates the mirror (stale mirrors would score the wrong
+        rows after edges move)."""
+        from vector_db_tpu.index import wide_beam as WB
+
+        src = (self._store.emb, self.graph.neighbors)
+        prev = getattr(self, "_wb_src", None)
+        if prev is None or prev[0] is not src[0] or prev[1] is not src[1]:
+            self._wb_aug = WB.build_aug_table(
+                self._store.emb, self._has_emb, self._wb_proj)
+            levels = np.asarray(self.graph.levels)
+            live = np.nonzero(levels >= 0)[0]
+            order = live[np.argsort(-levels[live], kind="stable")]
+            s = min(self._wb_n_seeds, order.size)
+            seeds = np.full((max(s, 1),), -1, np.int64)
+            seeds[:s] = order[:s]
+            self._wb_seeds = jnp.asarray(seeds.astype(np.int32))
+            self._wb_src = src
+        return self._wb_aug, self._wb_seeds
+
+    def search_batch_wide(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int = 256,
+        frontier: int = 32,
+        steps: int = 12,
+        rerank_k: int = 0,
+        bucket: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Wide-beam search (requires enable_wide). Same contract as
+        search_batch: (L2 dists f32[B, k], node ids int64[B, k])."""
+        from vector_db_tpu.index import wide_beam as WB
+
+        if not hasattr(self, "_wb_n_seeds"):
+            raise ValueError("call enable_wide() first")
+        queries = np.asarray(queries, np.float32)
+        b_orig, k_orig = queries.shape[0], k
+        if self.size == 0 or self.graph is None:
+            return (np.full((b_orig, k), np.inf, np.float32),
+                    np.full((b_orig, k), -1, np.int64))
+        ef = max(ef, k)
+        if bucket:
+            def up2(v: int, lo: int = 8) -> int:
+                return max(lo, 1 << (int(v) - 1).bit_length())
+
+            ef = up2(ef, lo=64)
+            k = min(up2(k, lo=8), ef)
+            b_pad = up2(b_orig, lo=8) - b_orig
+            if b_pad:
+                queries = np.concatenate(
+                    [queries,
+                     np.zeros((b_pad, queries.shape[1]), np.float32)])
+        rerank_k = rerank_k or min(ef, max(4 * k, 64))
+        aug, seeds = self._wide_tables()
+        q_dev = jnp.asarray(queries)
+        qa = WB.aug_queries(q_dev, self._wb_proj, aug.shape[1])
+        nbr0 = self.graph.neighbors[:, : 2 * self.M]
+        d_sq, slots = WB.wide_search(
+            nbr0, aug, self._emb, self._has_emb, seeds, q_dev, qa,
+            ef=ef, F=frontier, T=steps, k=k, rerank_k=rerank_k,
+        )
+        d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
+        slots = np.asarray(slots)[:b_orig, :k_orig]
+        ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
+        dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
+        return dists.astype(np.float32), ids
+
     def refresh_pq_codes(self) -> None:
         """Re-encode the device table with the existing codebooks (call
         after inserts/deletes when PQ traversal is active; encoding streams

@@ -1,0 +1,207 @@
+"""Wide-beam HNSW search: frontier-parallel graph traversal, TPU-shaped.
+
+Replaces the reference's best-first ``_search_layer`` hot loop
+(reference src/vector_db/indexing/hnsw.py:89-134) for unfiltered queries.
+The classic formulation pops ONE candidate per step and re-sorts an
+ef-wide pool each hop — measured on TPU (round 2) the per-hop
+``lax.top_k`` merges and while_loop overhead bound throughput at 34 QPS
+for ef=1200 at 1M x 768, with gather traffic irrelevant (the RP-mirror
+experiment cut it 12x with zero QPS change).
+
+Wide-beam restructures the loop around what the hardware is good at:
+
+- expand a whole FRONTIER of F nodes per step (F ~ 16-64), so each step
+  gathers F*2M candidate rows and scores them in one batched contraction
+  — sequential depth drops from ~ef hops to T ~ 8-16 steps;
+- the pool merge is one hardware partial-reduce (``lax.approx_min_k``)
+  over [pool ∪ new candidates] per step — never a full sort;
+- scoring reads an AUGMENTED bf16 mirror row ``[-2·x̂, ‖x‖²]`` so a
+  candidate's score is a single row-gather + dot with ``[q̂, 1]`` (no
+  separate norm/validity gathers in the hot loop; invalid rows carry
+  ‖x‖² = BIG and never win);
+- entry seeding scores a fixed SEED set (the upper-level HNSW nodes —
+  the same navigation hierarchy the reference descends greedily,
+  hnsw.py:356-358) with one matmul, replacing the sequential greedy
+  descent entirely;
+- the visited set is implicit: a slot already present in the pool is
+  masked from re-entry, and expansion marks every pool copy expanded.
+  Nodes evicted from the pool may be re-scored if re-encountered (wasted
+  work, never wrong results); the final exact rerank reports
+  full-precision distances, so traversal scores only ever SELECT.
+
+Semantics vs the reference: termination is a static step count T instead
+of the data-dependent "best candidate worse than ef-th result" rule —
+queries that converge early waste steps inside the batch (which runs in
+lockstep under vmap anyway). Recall parity at matched (ef, T) is
+validated against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+
+from vector_db_tpu.ops.distance import BIG
+
+BIG_THRESH = _np.float32(1.0e37)
+
+
+def build_aug_table(
+    emb: jnp.ndarray,        # f32[capacity, dim]
+    has_emb: jnp.ndarray,    # bool[capacity]
+    proj: jnp.ndarray | None,  # f32[dim, dp] or None (identity mirror)
+) -> jnp.ndarray:
+    """Augmented scoring mirror: bf16[capacity, dpa] rows ``[-2·x̂, ‖x‖²]``
+    (dpa = dp + 8, zero padded for lane alignment). ``‖x‖²`` is the
+    FULL-space norm — with a PCA mirror the score ‖x‖² − 2 q̂·x̂ is the
+    standard unbiased estimate (constant ‖q‖² dropped; ranking unchanged).
+    Invalid rows carry ‖x‖² = BIG so they never enter the pool."""
+    xsq = jnp.sum(emb * emb, axis=-1)
+    xsq = jnp.where(has_emb, xsq, BIG)
+    x_m = emb if proj is None else jnp.dot(
+        emb, proj, preferred_element_type=jnp.float32)
+    dp = x_m.shape[1]
+    dpa = dp + 8
+    aug = jnp.zeros((emb.shape[0], dpa), jnp.bfloat16)
+    aug = aug.at[:, :dp].set((-2.0 * x_m).astype(jnp.bfloat16))
+    aug = aug.at[:, dp].set(xsq.astype(jnp.bfloat16))
+    return aug
+
+
+def aug_queries(
+    queries: jnp.ndarray,      # f32[B, dim]
+    proj: jnp.ndarray | None,  # f32[dim, dp] or None
+    dpa: int,
+) -> jnp.ndarray:
+    """Query-side augmentation ``[q̂, 1, 0...]`` matching build_aug_table."""
+    q_m = queries if proj is None else jnp.dot(
+        queries, proj, preferred_element_type=jnp.float32)
+    dp = q_m.shape[1]
+    qa = jnp.zeros((queries.shape[0], dpa), jnp.float32)
+    qa = qa.at[:, :dp].set(q_m)
+    qa = qa.at[:, dp].set(1.0)
+    return qa
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "F", "T", "k", "rerank_k"),
+)
+def wide_search(
+    neighbors0: jnp.ndarray,   # int32[capacity, W] level-0 adjacency
+    aug: jnp.ndarray,          # bf16[capacity, dpa] scoring mirror
+    emb: jnp.ndarray,          # f32[capacity, dim] exact rerank table
+    has_emb: jnp.ndarray,      # bool[capacity]
+    seed_slots: jnp.ndarray,   # int32[S], -1 padded
+    queries: jnp.ndarray,      # f32[B, dim]
+    queries_aug: jnp.ndarray,  # f32[B, dpa]
+    ef: int,
+    F: int,
+    T: int,
+    k: int,
+    rerank_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched wide-beam search. Returns (d_sq f32[B, k], slots int32[B, k])
+    sorted ascending, (BIG, -1) padded; distances exact (HIGHEST rerank).
+    """
+    B = queries.shape[0]
+    P = ef
+    R = min(rerank_k, P)
+    qa16 = queries_aug.astype(jnp.bfloat16)
+
+    # ---- seed the pool: one matmul over the fixed seed set ----
+    seed_safe = jnp.maximum(seed_slots, 0)
+    seed_rows = aug[seed_safe]                        # [S, dpa] (invariant)
+    d_seed = jnp.dot(qa16, seed_rows.T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)  # [B, S]
+    d_seed = jnp.where(seed_slots[None, :] >= 0, d_seed, BIG)
+    s_pad = max(0, P - d_seed.shape[1])
+    if s_pad:
+        d_seed = jnp.concatenate(
+            [d_seed, jnp.full((B, s_pad), BIG, jnp.float32)], axis=1)
+        seed_b = jnp.concatenate(
+            [jnp.broadcast_to(seed_slots[None, :], (B, seed_slots.shape[0])),
+             jnp.full((B, s_pad), -1, jnp.int32)], axis=1)
+    else:
+        seed_b = jnp.broadcast_to(
+            seed_slots[None, :], (B, seed_slots.shape[0]))
+    pool_d, pos = jax.lax.approx_min_k(d_seed, P)
+    pool_s = jnp.take_along_axis(seed_b, pos, axis=1)
+    pool_s = jnp.where(pool_d < BIG_THRESH, pool_s, -1)
+    pool_e = jnp.zeros((B, P), bool)
+
+    def step(carry, _):
+        pool_d, pool_s, pool_e = carry
+        # ---- pop the F best unexpanded entries ----
+        unexp = jnp.where(pool_e | (pool_s < 0), BIG, pool_d)
+        fd, fpos = jax.lax.approx_min_k(unexp, F)
+        frontier = jnp.take_along_axis(pool_s, fpos, axis=1)   # [B, F]
+        fvalid = (fd < BIG_THRESH) & (frontier >= 0)
+        frontier = jnp.where(fvalid, frontier, -1)
+        # mark EVERY pool copy of a popped slot expanded (duplicates from
+        # multi-path re-encounters must not re-expand)
+        hit = jnp.any(
+            (pool_s[:, :, None] == frontier[:, None, :])
+            & fvalid[:, None, :],
+            axis=-1,
+        )
+        pool_e = pool_e | hit
+
+        # ---- expand: gather adjacency + mirror rows, score ----
+        f_safe = jnp.maximum(frontier, 0)
+        cand = neighbors0[f_safe]                     # [B, F, W]
+        cand = jnp.where(fvalid[:, :, None], cand, -1)
+        cand = cand.reshape(B, -1)                    # [B, K]
+        c_safe = jnp.maximum(cand, 0)
+        rows = aug[c_safe]                            # [B, K, dpa]
+        d_new = jnp.einsum(
+            "bkd,bd->bk", rows.astype(jnp.bfloat16), qa16,
+            preferred_element_type=jnp.float32)
+        # mask invalid + already-pooled (the implicit visited set)
+        seen = jnp.any(
+            cand[:, :, None] == pool_s[:, None, :], axis=-1)
+        d_new = jnp.where((cand >= 0) & ~seen, d_new, BIG)
+
+        # ---- merge: one hardware partial-reduce over pool ∪ new ----
+        cat_d = jnp.concatenate([pool_d, d_new], axis=1)
+        cat_s = jnp.concatenate([pool_s, cand], axis=1)
+        cat_e = jnp.concatenate([pool_e, jnp.zeros_like(d_new, bool)],
+                                axis=1)
+        pool_d, mi = jax.lax.approx_min_k(cat_d, P)
+        pool_s = jnp.take_along_axis(cat_s, mi, axis=1)
+        pool_e = jnp.take_along_axis(cat_e, mi, axis=1)
+        pool_s = jnp.where(pool_d < BIG_THRESH, pool_s, -1)
+        return (pool_d, pool_s, pool_e), None
+
+    (pool_d, pool_s, pool_e), _ = jax.lax.scan(
+        step, (pool_d, pool_s, pool_e), None, length=T)
+
+    # ---- exact rerank of the R best pool entries ----
+    rd, rpos = jax.lax.approx_min_k(pool_d, R)
+    rs = jnp.take_along_axis(pool_s, rpos, axis=1)    # [B, R]
+    # drop duplicate slots (multi-path copies): keep first occurrence
+    dup = jnp.any(
+        (rs[:, :, None] == rs[:, None, :])
+        & (jnp.arange(R)[None, :] < jnp.arange(R)[:, None])[None, :, :],
+        axis=-1,
+    )
+    ok = (rs >= 0) & ~dup & has_emb[jnp.maximum(rs, 0)]
+    r_safe = jnp.maximum(rs, 0)
+    r_rows = emb[r_safe]                              # [B, R, dim]
+    d_ex = (
+        jnp.sum(r_rows * r_rows, axis=-1)
+        - 2.0 * jnp.einsum("brd,bd->br", r_rows, queries,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        + jnp.sum(queries * queries, axis=-1, keepdims=True)
+    )
+    d_ex = jnp.where(ok, jnp.maximum(d_ex, 0.0), BIG)
+    neg, pos = jax.lax.top_k(-d_ex, k)
+    out_d = -neg
+    out_s = jnp.take_along_axis(rs, pos, axis=1)
+    out_s = jnp.where(out_d < BIG_THRESH, out_s, -1)
+    return out_d, out_s
