@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Wide-beam operating-point sweep at 1M x 768 on the real chip.
+
+Builds (or reloads from /tmp/wide1m_cache) the standard flagship index
+(clustered embedding-like corpus, M=16, efc=200 — same as bench_1m), then
+sweeps wide-beam (ef, F, T) against exact ground truth. Writes
+EXP_WIDE.json. Usage: python scripts/exp_wide_1m.py [sweep|quick]
+"""
+
+import json
+import os
+import random
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CACHE = Path("/tmp/wide1m_cache")
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def timed(run, q, n_q, reps=3):
+    import jax
+
+    for w in range(2):
+        jax.block_until_ready(run(q * (1.0 + w * 1e-7)))
+    ts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(q * (1.0 + (r + 1) * 1e-6)))
+        ts.append(time.perf_counter() - t0)
+    return n_q / float(np.median(ts))
+
+
+def recall_of(ids, gt, k):
+    return float(np.mean(
+        [len(set(ids[i][:k].tolist()) & set(gt[i].tolist())) / k
+         for i in range(len(gt))]
+    ))
+
+
+def get_index(N, DIM, B):
+    import jax
+    import jax.numpy as jnp
+
+    from vector_db_tpu.datasets import embedding_like
+    from vector_db_tpu.index import hnsw_kernels as K
+    from vector_db_tpu.index.hnsw import HNSW
+
+    log(f"generating {N}x{DIM}...")
+    data = embedding_like(N + B, DIM, 0)
+    x, q = data[:N], data[N:]
+
+    index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
+                 capacity=N, l_max=5)
+    gpath = CACHE / "graph.npz"
+    if gpath.exists():
+        log("loading cached graph...")
+        with np.load(gpath) as z:
+            index._ensure_init(DIM)
+            index._store.grow_to(N)
+            slots = index._store.take_slots(list(range(N)))
+            assert (slots == np.arange(N)).all()
+            for s in range(0, N, 131072):
+                e = min(N, s + 131072)
+                index._store.write(np.arange(s, e), x[s:e])
+            index.graph = K.Graph(
+                neighbors=jnp.asarray(z["neighbors"]),
+                levels=jnp.asarray(z["levels"]),
+                entry=jnp.int32(int(z["entry"])),
+                entry_level=jnp.int32(int(z["entry_level"])),
+            )
+        jax.block_until_ready(index.graph.neighbors)
+    else:
+        t0 = time.perf_counter()
+        index.bulk_build(list(range(N)), x)
+        jax.block_until_ready(index.graph.neighbors)
+        log(f"build: {time.perf_counter() - t0:.0f}s")
+        CACHE.mkdir(exist_ok=True)
+        np.savez(gpath,
+                 neighbors=np.asarray(index.graph.neighbors),
+                 levels=np.asarray(index.graph.levels),
+                 entry=np.asarray(index.graph.entry),
+                 entry_level=np.asarray(index.graph.entry_level))
+
+    gt_path = CACHE / "gt.npy"
+    if gt_path.exists():
+        gt = np.load(gt_path)
+    else:
+        from vector_db_tpu.ops.exact import exact_search_tiled
+
+        t0 = time.perf_counter()
+        gt = np.asarray(exact_search_tiled(
+            jnp.asarray(q), index._emb, index._has_emb, 10, tile=31250)[1])
+        log(f"gt: {time.perf_counter() - t0:.0f}s")
+        np.save(gt_path, gt)
+    return index, x, q, gt
+
+
+def main():
+    from vector_db_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    N = int(os.environ.get("EXP_N", 1_000_000))
+    DIM, B, K10 = 768, 1000, 10
+    index, x, q, gt = get_index(N, DIM, B)
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "sweep"
+    t0 = time.perf_counter()
+    index.enable_wide(dims=128, seeds=4096)
+    index.search_batch_wide(q[:8], k=K10, ef=64, frontier=16, steps=4)
+    log(f"enable_wide + mirror: {time.perf_counter() - t0:.0f}s")
+
+    if mode == "quick":
+        grid = [(256, 32, 12)]
+    else:
+        grid = [
+            (128, 16, 8), (128, 32, 8),
+            (256, 32, 8), (256, 32, 12), (256, 64, 8),
+            (512, 64, 10), (512, 64, 16), (512, 128, 8),
+            (1024, 128, 12),
+        ]
+    results = []
+    for ef, F, T in grid:
+        def run(v, ef=ef, F=F, T=T):
+            return index.search_batch_wide(
+                np.asarray(v), k=K10, ef=ef, frontier=F, steps=T)[0]
+
+        _, ids = index.search_batch_wide(q, k=K10, ef=ef, frontier=F,
+                                         steps=T)
+        qps = timed(run, q, B)
+        rec = recall_of(ids, gt, K10)
+        log(f"wide ef={ef} F={F} T={T}: recall={rec:.4f} qps={qps:.0f}")
+        results.append({"ef": ef, "F": F, "T": T, "recall": rec,
+                        "qps": qps})
+
+    Path("EXP_WIDE.json").write_text(json.dumps(
+        {"N": N, "dim": DIM, "results": results}, indent=2))
+    log("wrote EXP_WIDE.json")
+
+
+if __name__ == "__main__":
+    main()
