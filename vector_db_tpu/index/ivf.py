@@ -82,7 +82,7 @@ def _ivf_search_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("n_probe", "top_k", "fetch", "rerank", "residual",
-                     "qblock"),
+                     "qblock", "adc"),
 )
 def _ivf_pq_probe_cells(
     centroids: jnp.ndarray,    # f32[k, d]
@@ -100,6 +100,7 @@ def _ivf_pq_probe_cells(
     rerank: bool,
     residual: bool,
     qblock: int = 64,
+    adc: str = "onehot",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scale-path IVFADC probe with cell-contiguous code storage.
 
@@ -144,8 +145,23 @@ def _ivf_pq_probe_cells(
     def one(q, probe_row, lut_row, cdp_row):
         slots = cell_slots[probe_row].reshape(-1)            # [P]
         codes = cell_codes[probe_row].reshape(-1, m)         # [P, m]
-        idx = codes.astype(jnp.int32) + offs                 # [P, m]
-        d = jnp.sum(lut_row[idx], axis=-1)                   # [P]
+        if adc == "onehot":
+            # LUT lookups as a one-hot MXU contraction: per-element LUT
+            # gathers execute at VPU scalar-issue rate (~4M/s measured) —
+            # the 152-qps bottleneck of this mode at 1M x 128 (round-2
+            # BENCH_SIFT). bf16 LUT noise (~0.4% per subspace term) only
+            # affects SELECTION; the fetch-wide exact rerank reports true
+            # distances.
+            oh = (codes[:, :, None].astype(jnp.int32)
+                  == jnp.arange(ksub, dtype=jnp.int32)[None, None, :]
+                  ).astype(jnp.bfloat16)                     # [P, m, ksub]
+            d = jnp.einsum(
+                "pmk,mk->p", oh,
+                lut_row.reshape(m, ksub).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        else:
+            idx = codes.astype(jnp.int32) + offs             # [P, m]
+            d = jnp.sum(lut_row[idx], axis=-1)               # [P]
         if residual:
             s = cell_s[probe_row].reshape(-1)                # [P]
             L = cell_slots.shape[1]
@@ -1357,6 +1373,14 @@ class IvfIndex:
                     dedup=spilled, ctile=ctile, qblock=qblock,
                 )
             else:
+                # one-hot ADC transient is qblock * P * m * ksub bf16;
+                # keep it under ~256MB
+                m_, ksub_ = self._pq.chunks, self._pq.k
+                p_tot = int(n_probe) * cell_slots.shape[1]
+                qblock = 64
+                while qblock > 4 and \
+                        qblock * p_tot * m_ * ksub_ * 2 > 268_435_456:
+                    qblock //= 2
                 d_sq, slots = _ivf_pq_probe_cells(
                     self._centroids_dev, cell_slots, cell_codes, cell_s,
                     self._pq.codebooks, self._emb, self._has_emb, q,
@@ -1364,6 +1388,7 @@ class IvfIndex:
                     n_probe=int(n_probe), top_k=int(top_k),
                     fetch=int(fetch), rerank=rerank,
                     residual=getattr(self, "_pq_residual", False),
+                    qblock=qblock,
                 )
         else:
             d_sq, slots = _ivf_search_batch(
