@@ -938,6 +938,23 @@ class HNSW:
         if self.index_file is None or self.graph is None:
             return
         self.index_file.parent.mkdir(parents=True, exist_ok=True)
+        extra = {}
+        # persist trained auxiliary state (same pattern as IvfIndex
+        # save_index): PCA projections and PQ codebooks are minutes of
+        # training at 1M scale — a reloaded index must not silently
+        # retrain on first search. Mirrors/codes regenerate from the
+        # embedding table in one streaming device program.
+        if getattr(self, "_rp_proj", None) is not None:
+            extra["rp_proj"] = np.asarray(self._rp_proj, np.float32)
+        if getattr(self, "_wb_proj", None) is not None:
+            extra["wb_proj"] = np.asarray(self._wb_proj, np.float32)
+        if hasattr(self, "_wb_n_seeds"):
+            extra["wb_n_seeds"] = np.asarray(self._wb_n_seeds)
+        pq = getattr(self, "_pq", None)
+        if pq is not None and pq.codebooks is not None:
+            extra["pq_codebooks"] = np.asarray(pq.codebooks, np.float32)
+            if pq.rotation is not None:
+                extra["pq_rotation"] = np.asarray(pq.rotation, np.float32)
         np.savez_compressed(
             self.index_file,
             neighbors=np.asarray(self.graph.neighbors),
@@ -948,6 +965,7 @@ class HNSW:
             M=self.M,
             ef_construction=self.ef_construction,
             l_max=self.l_max,
+            **extra,
         )
 
     def load_index(self) -> None:
@@ -967,6 +985,9 @@ class HNSW:
             entry = np.asarray(z["entry"])
             entry_level = np.asarray(z["entry_level"])
             id_of_slot = np.asarray(z["id_of_slot"])
+            aux = {name: np.asarray(z[name]) for name in
+                   ("rp_proj", "wb_proj", "wb_n_seeds", "pq_codebooks",
+                    "pq_rotation") if name in z}
 
         self.graph = K.Graph(
             neighbors=jnp.asarray(neighbors),
@@ -998,3 +1019,26 @@ class HNSW:
                 has[slots[found]] = True
                 self._store.emb = jnp.asarray(emb)
                 self._store.valid = jnp.asarray(has)
+
+        # restore trained auxiliary state WITHOUT retraining: mirrors
+        # rebuild lazily (identity-tracked); PQ codes re-encode in one
+        # streaming program
+        if "rp_proj" in aux:
+            self._rp_proj = jnp.asarray(aux["rp_proj"])
+            self._rp_src = None
+        if "wb_proj" in aux or "wb_n_seeds" in aux:
+            self._wb_proj = (jnp.asarray(aux["wb_proj"])
+                             if "wb_proj" in aux else None)
+            self._wb_n_seeds = int(aux.get("wb_n_seeds", 4096))
+            self._wb_src = None
+        if "pq_codebooks" in aux and self._dim is not None:
+            from vector_db_tpu.index.pq import PQCodec
+
+            cb = aux["pq_codebooks"]
+            pq = PQCodec(k=cb.shape[1], chunks=cb.shape[0],
+                         dim=self._dim)
+            pq.codebooks = jnp.asarray(cb)
+            if "pq_rotation" in aux:
+                pq.rotation = jnp.asarray(aux["pq_rotation"])
+            self._pq = pq
+            self.refresh_pq_codes()
