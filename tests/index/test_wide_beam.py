@@ -83,6 +83,39 @@ def test_wide_excludes_deleted(built):
                                metadata={}, content=None)])
 
 
+def test_wide_pq_score_full_rerank(built):
+    """ADC-scored wide traversal (HNSW-over-PQ hybrid): with a full-pool
+    exact rerank the ADC estimate only SELECTS — recall must land near
+    the exact-scored traversal's, and reported distances stay exact."""
+    idx, x, q, gt = built
+    idx.enable_pq(chunks=6, ksub=32, opq_iters=2)
+    idx.enable_wide(dims=None, seeds=512)
+    d_ex, i_ex = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                       steps=12)
+    d_pq, i_pq = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                       steps=12, score="pq", rerank_k=256)
+    r_ex, r_pq = _recall(i_ex, gt), _recall(i_pq, gt)
+    # iid Gaussian is PQ's worst case (no inter-dim structure for 6x32
+    # codes to exploit): bound the selection loss loosely; clustered-data
+    # quality is measured at 1M in ABLATION_OPQ.json
+    assert r_pq >= r_ex - 0.3
+    assert r_pq >= 0.6
+    # distances of returned hits are exact regardless of traversal scores
+    for i in range(4):
+        sel = i_pq[i][i_pq[i] >= 0]
+        dref = np.sqrt(((q[i] - x[sel]) ** 2).sum(-1))
+        np.testing.assert_allclose(d_pq[i][: len(sel)], dref, rtol=1e-4)
+
+
+def test_wide_pq_requires_enable_pq(built):
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    if getattr(idx, "_pq", None) is not None:
+        pytest.skip("pq already enabled by earlier test in module")
+    with pytest.raises(ValueError):
+        idx.search_batch_wide(q[:1], k=5, score="pq")
+
+
 def test_wide_small_batch_padding(built):
     idx, x, q, gt = built
     idx.enable_wide(dims=None, seeds=512)

@@ -692,6 +692,21 @@ class HNSW:
             self._wb_src = src
         return self._wb_aug, self._wb_seeds
 
+    def _wide_tables_pq(self):
+        """PQ-decoded aug mirror (ADC traversal scores) + seeds; lazy,
+        identity-tracked on the code table."""
+        from vector_db_tpu.index import wide_beam as WB
+
+        codes = self._pq_codes
+        prev = getattr(self, "_wb_pq_src", None)
+        if prev is None or prev is not codes:
+            self._wb_pq_aug = WB.build_aug_table_pq(
+                codes, self._pq.codebooks, self._pq.rotation,
+                self._has_emb, self._wb_proj)
+            self._wb_pq_src = codes
+        self._wide_tables()  # seeds (+ exact mirror) stay fresh
+        return self._wb_pq_aug, self._wb_seeds
+
     def search_batch_wide(
         self,
         queries: np.ndarray,
@@ -701,13 +716,20 @@ class HNSW:
         steps: int = 12,
         rerank_k: int = 0,
         bucket: bool = True,
+        score: str = "exact",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam search (requires enable_wide). Same contract as
-        search_batch: (L2 dists f32[B, k], node ids int64[B, k])."""
+        search_batch: (L2 dists f32[B, k], node ids int64[B, k]).
+
+        ``score="pq"`` traverses on ADC estimates from the PQ-decoded
+        mirror (requires enable_pq too) — the HNSW-over-PQ hybrid with
+        wide-beam mechanics; final distances are exact either way."""
         from vector_db_tpu.index import wide_beam as WB
 
         if not hasattr(self, "_wb_n_seeds"):
             raise ValueError("call enable_wide() first")
+        if score == "pq" and getattr(self, "_pq", None) is None:
+            raise ValueError("score='pq' requires enable_pq()")
         queries = np.asarray(queries, np.float32)
         b_orig, k_orig = queries.shape[0], k
         if self.size == 0 or self.graph is None:
@@ -726,7 +748,10 @@ class HNSW:
                     [queries,
                      np.zeros((b_pad, queries.shape[1]), np.float32)])
         rerank_k = rerank_k or min(ef, max(4 * k, 64))
-        aug, seeds = self._wide_tables()
+        if score == "pq":
+            aug, seeds = self._wide_tables_pq()
+        else:
+            aug, seeds = self._wide_tables()
         q_dev = jnp.asarray(queries)
         qa = WB.aug_queries(q_dev, self._wb_proj, aug.shape[1])
         nbr0 = self.graph.neighbors[:, : 2 * self.M]

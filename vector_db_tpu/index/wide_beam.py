@@ -72,6 +72,57 @@ def build_aug_table(
     return aug
 
 
+def build_aug_table_pq(
+    codes: jnp.ndarray,        # int32[capacity, m] PQ codes
+    codebooks: jnp.ndarray,    # f32[m, ksub, subdim]
+    rotation: jnp.ndarray | None,  # f32[dim, dim] OPQ (code space <- input)
+    has_emb: jnp.ndarray,      # bool[capacity]
+    proj: jnp.ndarray | None,  # f32[dim, dp] PCA (input space) or None
+    chunk: int = 16384,
+) -> jnp.ndarray:
+    """Augmented mirror with PQ-DECODED content: rows
+    ``[-2·R_p^T·decode(x), ‖decode(x)‖²]``.
+
+    Scoring q against this table computes ``‖q − decode(x)‖²`` (up to the
+    per-query constant) — the asymmetric-distance (ADC) estimate, i.e.
+    HNSW-over-PQ traversal semantics — but as the same augmented-row dot
+    product the wide-beam kernel already uses, instead of per-element LUT
+    gathers. Decoding streams on device in one scan; nothing is retrained.
+    The mirror costs dp bytes/vector (the codes stay the compact store —
+    this is a query-time acceleration structure, rebuilt from codes).
+    """
+    from vector_db_tpu.index.pq import _decode
+
+    cap = codes.shape[0]
+    pad = (-cap) % chunk
+    codes_p = (jnp.concatenate(
+        [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)])
+        if pad else codes)
+    n_chunks = codes_p.shape[0] // chunk
+
+    def body(_, c):
+        dec = _decode(c, codebooks)            # [chunk, dim] (code space)
+        if rotation is not None:
+            dec = jnp.dot(dec, rotation.T,
+                          preferred_element_type=jnp.float32)
+        xsq = jnp.sum(dec * dec, axis=-1)
+        dm = dec if proj is None else jnp.dot(
+            dec, proj, preferred_element_type=jnp.float32)
+        return None, (dm.astype(jnp.bfloat16), xsq)
+
+    _, (dm, xsq) = jax.lax.scan(
+        body, None, codes_p.reshape(n_chunks, chunk, -1))
+    dm = dm.reshape(-1, dm.shape[-1])[:cap]
+    xsq = xsq.reshape(-1)[:cap]
+    xsq = jnp.where(has_emb, xsq, BIG)
+    dp = dm.shape[1]
+    aug = jnp.zeros((cap, dp + 8), jnp.bfloat16)
+    aug = aug.at[:, :dp].set((-2.0 * dm.astype(jnp.float32)
+                              ).astype(jnp.bfloat16))
+    aug = aug.at[:, dp].set(xsq.astype(jnp.bfloat16))
+    return aug
+
+
 def aug_queries(
     queries: jnp.ndarray,      # f32[B, dim]
     proj: jnp.ndarray | None,  # f32[dim, dp] or None
