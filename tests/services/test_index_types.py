@@ -339,3 +339,29 @@ def test_sharded_hnsw_multislice_config(tmp_path, rng):
     svc.insert_nodes(nodes)
     res = svc.search(nodes[13].embedding, k=3, ef=40)
     assert res[0][0].id == 13
+
+
+def test_hnsw_wide_mode_service(tmp_path, rng):
+    """index.wide activates wide-beam traversal once min_size is crossed
+    (round-3 frontier-parallel search); self-query stays exact and the
+    single-query path resolves Nodes."""
+    cfg = make_config(
+        tmp_path, "hnsw",
+        wide={"dims": 0, "seeds": 64, "frontier": 16, "steps": 8,
+              "min_size": 16},
+    )
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 40)
+    svc.insert_nodes(nodes)
+    res = svc.search(nodes[9].embedding, k=3, ef=32)
+    assert svc._wide_active
+    assert res[0][0].id == 9
+    assert res[0][1] < 1e-3
+    d, ids = svc.search_batch(
+        np.stack([n.embedding for n in nodes[:4]]), k=1, ef=32)
+    assert list(ids[:, 0]) == [0, 1, 2, 3]
+    # filtered queries fall back to the reference-faithful beam
+    resf = svc.search(nodes[9].embedding, k=3, ef=32,
+                      filter_ids={n.id for n in nodes[:5]})
+    assert all(n.id < 5 for n, _ in resf)

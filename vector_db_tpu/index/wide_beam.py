@@ -243,14 +243,12 @@ def wide_search(
     ok = (rs >= 0) & ~dup & has_emb[jnp.maximum(rs, 0)]
     r_safe = jnp.maximum(rs, 0)
     r_rows = emb[r_safe]                              # [B, R, dim]
-    d_ex = (
-        jnp.sum(r_rows * r_rows, axis=-1)
-        - 2.0 * jnp.einsum("brd,bd->br", r_rows, queries,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-        + jnp.sum(queries * queries, axis=-1, keepdims=True)
-    )
-    d_ex = jnp.where(ok, jnp.maximum(d_ex, 0.0), BIG)
+    # difference form, not the matmul expansion: R is small, and the
+    # expansion's ||x||^2 - 2x.q + ||q||^2 cancellation leaves ~1e-6
+    # relative noise that breaks the exact-self-match contract
+    diff = r_rows - queries[:, None, :]
+    d_ex = jnp.sum(diff * diff, axis=-1)
+    d_ex = jnp.where(ok, d_ex, BIG)
     neg, pos = jax.lax.top_k(-d_ex, k)
     out_d = -neg
     out_s = jnp.take_along_axis(rs, pos, axis=1)

@@ -78,6 +78,18 @@ class IndexingService:
         self._rp_dims = int(rp_cfg.get("dims", 0) or 0)
         self._rp_min_size = int(rp_cfg.get("min_size", 4096))
         self._rp_active = False
+        # Wide-beam traversal (config: index.wide: {dims, seeds, frontier,
+        # steps, min_size}) — the round-3 frontier-parallel graph search
+        # (index/wide_beam.py); preferred over rp/pq for unfiltered hnsw
+        # queries once active. dims: 0 = full-dim mirror.
+        wide_cfg = index_config.get("wide") or {}
+        self._wide_on = bool(wide_cfg.get("enabled", bool(wide_cfg)))
+        self._wide_dims = int(wide_cfg.get("dims", 128) or 0) or None
+        self._wide_seeds = int(wide_cfg.get("seeds", 4096))
+        self._wide_frontier = int(wide_cfg.get("frontier", 32))
+        self._wide_steps = int(wide_cfg.get("steps", 12))
+        self._wide_min_size = int(wide_cfg.get("min_size", 4096))
+        self._wide_active = False
 
         rng = random.Random(42)
         if self.index_type == "hnsw":
@@ -302,6 +314,21 @@ class IndexingService:
                     self._rp_active = True
         return self._rp_active
 
+    def _maybe_enable_wide(self) -> bool:
+        """Activate wide-beam traversal for index.type: hnsw when
+        index.wide is configured and the corpus crossed min_size."""
+        if self.index_type != "hnsw" or not self._wide_on:
+            return False
+        if not self._wide_active:
+            if self.index.size < self._wide_min_size:
+                return False
+            with self._lock:
+                if not self._wide_active:
+                    self.index.enable_wide(
+                        dims=self._wide_dims, seeds=self._wide_seeds)
+                    self._wide_active = True
+        return self._wide_active
+
     def search(
         self, query: np.ndarray, k: int, **kwargs: Any
     ) -> List[Tuple[Node, float]]:
@@ -309,6 +336,14 @@ class IndexingService:
             return self._ivf_search(query, k, **kwargs)
         if self.index_type == "sharded-hnsw":
             return self._sharded_search(query, k, **kwargs)
+        if kwargs.get("filter_ids") is None and self._maybe_enable_wide():
+            ef = int(kwargs.get("ef", 50) or 50)
+            dists, ids = self.index.search_batch_wide(
+                np.asarray(query, np.float32)[None, :], k,
+                ef=max(4 * max(ef, k), 64), frontier=self._wide_frontier,
+                steps=self._wide_steps,
+            )
+            return self._resolve(dists, ids, k)
         if kwargs.get("filter_ids") is None and self._maybe_enable_hnsw_rp():
             ef = int(kwargs.get("ef", 50) or 50)
             dists, ids = self.index.search_batch_rp(
@@ -406,6 +441,14 @@ class IndexingService:
             # exact search has no ef/beam knobs
             return self.index.search_batch(
                 queries, k, filter_ids=kwargs.get("filter_ids")
+            )
+        if (self.index_type == "hnsw"
+                and kwargs.get("filter_ids") is None
+                and self._maybe_enable_wide()):
+            ef = int(kwargs.get("ef", 50) or 50)
+            return self.index.search_batch_wide(
+                queries, k, ef=max(4 * max(ef, k), 64),
+                frontier=self._wide_frontier, steps=self._wide_steps,
             )
         return self.index.search_batch(queries, k, **kwargs)
 
