@@ -53,8 +53,16 @@ def get_index(N, DIM, B):
     from vector_db_tpu.index import hnsw_kernels as K
     from vector_db_tpu.index.hnsw import HNSW
 
-    log(f"generating {N}x{DIM}...")
-    data = embedding_like(N + B, DIM, 0)
+    dpath = CACHE / "data.npy"
+    if dpath.exists():
+        log("loading cached corpus...")
+        data = np.load(dpath, mmap_mode="r")
+        data = np.asarray(data)
+    else:
+        log(f"generating {N}x{DIM}...")
+        data = embedding_like(N + B, DIM, 0)
+        CACHE.mkdir(exist_ok=True)
+        np.save(dpath, data)
     x, q = data[:N], data[N:]
 
     index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
@@ -115,31 +123,36 @@ def main():
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "sweep"
     t0 = time.perf_counter()
-    index.enable_wide(dims=128, seeds=4096)
+    index.enable_wide(dims=128, seeds=int(os.environ.get("EXP_SEEDS",
+                                                         16384)))
     index.search_batch_wide(q[:8], k=K10, ef=64, frontier=16, steps=4)
     log(f"enable_wide + mirror: {time.perf_counter() - t0:.0f}s")
 
     if mode == "quick":
-        grid = [(256, 32, 12)]
+        grid = [(256, 32, 12, 16)]
     else:
         grid = [
-            (128, 16, 8), (128, 32, 8),
-            (256, 32, 8), (256, 32, 12), (256, 64, 8),
-            (512, 64, 10), (512, 64, 16), (512, 128, 8),
-            (1024, 128, 12),
+            (512, 64, 12, 0),      # dedup-off control
+            (512, 64, 12, 16),
+            (512, 64, 16, 16),
+            (768, 96, 12, 16),
+            (1024, 128, 12, 16),
+            (1024, 128, 16, 16),
         ]
     results = []
-    for ef, F, T in grid:
-        def run(v, ef=ef, F=F, T=T):
+    for ef, F, T, W in grid:
+        def run(v, ef=ef, F=F, T=T, W=W):
             return index.search_batch_wide(
-                np.asarray(v), k=K10, ef=ef, frontier=F, steps=T)[0]
+                np.asarray(v), k=K10, ef=ef, frontier=F, steps=T,
+                dedup_window=W)[0]
 
         _, ids = index.search_batch_wide(q, k=K10, ef=ef, frontier=F,
-                                         steps=T)
+                                         steps=T, dedup_window=W)
         qps = timed(run, q, B)
         rec = recall_of(ids, gt, K10)
-        log(f"wide ef={ef} F={F} T={T}: recall={rec:.4f} qps={qps:.0f}")
-        results.append({"ef": ef, "F": F, "T": T, "recall": rec,
+        log(f"wide ef={ef} F={F} T={T} W={W}: recall={rec:.4f} "
+            f"qps={qps:.0f}")
+        results.append({"ef": ef, "F": F, "T": T, "W": W, "recall": rec,
                         "qps": qps})
 
     Path("EXP_WIDE.json").write_text(json.dumps(

@@ -32,7 +32,7 @@ def test_mutation_sequences_match_bruteforce(spill, mode):
 
     next_id = 1000
     for step in range(6):
-        op = rng.integers(0, 3)
+        op = rng.integers(0, 4)
         if op == 0:  # add a few
             for _ in range(int(rng.integers(1, 4))):
                 v = rng.standard_normal(dim).astype(np.float32) * 2
@@ -43,6 +43,13 @@ def test_mutation_sequences_match_bruteforce(spill, mode):
             for nid in rng.choice(list(live), size=3, replace=False):
                 ivf.delete(int(nid))
                 live.pop(int(nid))
+        elif op == 3:  # re-enable aux state mid-sequence: retrains the
+            # codebooks/projection and re-encodes EVERY live row
+            # (including post-build adds — the residual re-encode path)
+            if mode == "pq":
+                ivf.enable_pq(chunks=4, ksub=32, residual=True)
+            elif mode == "rp":
+                ivf.enable_rp(dims=dim)
 
         # full-probe search == brute force over the live set
         q = rng.standard_normal((4, dim)).astype(np.float32) * 2

@@ -717,6 +717,7 @@ class HNSW:
         rerank_k: int = 0,
         bucket: bool = True,
         score: str = "exact",
+        dedup_window: int = 16,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam search (requires enable_wide). Same contract as
         search_batch: (L2 dists f32[B, k], node ids int64[B, k]).
@@ -758,6 +759,7 @@ class HNSW:
         d_sq, slots = WB.wide_search(
             nbr0, aug, self._emb, self._has_emb, seeds, q_dev, qa,
             ef=ef, F=frontier, T=steps, k=k, rerank_k=rerank_k,
+            dedup_window=dedup_window,
         )
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]

@@ -140,7 +140,7 @@ def aug_queries(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef", "F", "T", "k", "rerank_k"),
+    static_argnames=("ef", "F", "T", "k", "rerank_k", "dedup_window"),
 )
 def wide_search(
     neighbors0: jnp.ndarray,   # int32[capacity, W] level-0 adjacency
@@ -155,6 +155,7 @@ def wide_search(
     T: int,
     k: int,
     rerank_k: int,
+    dedup_window: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched wide-beam search. Returns (d_sq f32[B, k], slots int32[B, k])
     sorted ascending, (BIG, -1) padded; distances exact (HIGHEST rerank).
@@ -226,6 +227,24 @@ def wide_search(
         pool_s = jnp.take_along_axis(cat_s, mi, axis=1)
         pool_e = jnp.take_along_axis(cat_e, mi, axis=1)
         pool_s = jnp.where(pool_d < BIG_THRESH, pool_s, -1)
+
+        # within-step duplicate kill: the F closest frontier nodes have
+        # heavily overlapping neighbor lists, so the same slot enters the
+        # merge several times with an IDENTICAL score — copies land near
+        # each other in the score-ordered partial-reduce output. A small
+        # shifted-window id-compare voids later copies (they wash out at
+        # the next merge); without this, dup copies crowd out real pool
+        # entries and effective exploration roughly halves (measured at
+        # 1M: recall 0.87 at a budget where best-first reaches 0.96).
+        if dedup_window > 0:
+            dup = jnp.zeros_like(pool_e)
+            for w in range(1, dedup_window + 1):
+                shifted = jnp.pad(
+                    pool_s[:, :-w], ((0, 0), (w, 0)), constant_values=-2)
+                dup = dup | (pool_s == shifted)
+            pool_d = jnp.where(dup, BIG, pool_d)
+            pool_s = jnp.where(dup, -1, pool_s)
+            pool_e = pool_e | dup
         return (pool_d, pool_s, pool_e), None
 
     (pool_d, pool_s, pool_e), _ = jax.lax.scan(
