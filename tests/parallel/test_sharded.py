@@ -244,3 +244,28 @@ def test_hnsw_2d_mesh_search_and_insert(rng):
     recall = np.mean([len(set(ids[i].tolist()) & set(gt[i].tolist())) / 5
                       for i in range(8)])
     assert recall >= 0.8
+
+
+def test_sharded_wide_beam_recall(rng):
+    """Wide-beam fan-out over the mesh (round 3): per-shard frontier
+    search + hierarchical merge reaches brute-force-level recall, and the
+    mesh-wide PCA path (psum'd covariance) works end to end."""
+    from vector_db_tpu.parallel.sharded import ShardedHNSW
+
+    mesh = make_mesh()
+    idx = ShardedHNSW(M=8, ef_construction=50, mesh=mesh, dim=16,
+                      capacity_per_shard=128, l_max=4)
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    idx.bulk_build(list(range(400)), x)
+
+    idx.enable_wide(dims=None, seeds=64)
+    q = rng.standard_normal((16, 16)).astype(np.float32)
+    d = ((q[:, None] - x[None]) ** 2).sum(-1)
+    want = np.argsort(d, 1)[:, :5]
+    dists, ids = idx.search_batch_wide(q, k=5, ef=64, frontier=16, steps=8)
+    rec = np.mean([len(set(ids[i]) & set(want[i])) / 5 for i in range(16)])
+    assert rec >= 0.85, rec
+    # self-query through the projected variant (shared mesh-wide PCA)
+    idx.enable_wide(dims=8, seeds=64)
+    d2, i2 = idx.search_batch_wide(x[:4], k=1, ef=64, frontier=16, steps=8)
+    assert list(i2[:, 0]) == [0, 1, 2, 3]

@@ -346,6 +346,120 @@ class ShardedHNSW:
 
         return _search
 
+    # -- wide-beam (round-3 frontier-parallel search) over the mesh --------
+    def enable_wide(self, dims: Optional[int] = None,
+                    seeds: int = 512) -> None:
+        """Activate sharded wide-beam search. A SHARED PCA projection is
+        trained from the mesh-wide covariance (per-shard partial covs
+        psum'd over the axes — [dim, dim] crosses to host once, never the
+        rows); per-shard augmented mirrors and seed sets stay sharded.
+        ``dims=None`` scores from the full-dim bf16 mirror."""
+        if dims is not None and dims < self.dim:
+            mesh, axes = self.mesh, self._axes
+            spec = P(axes)
+
+            def per_shard(emb, has_emb):
+                e = jnp.where(has_emb[:, None], emb, 0.0)
+                c = jnp.dot(e.T, e, preferred_element_type=jnp.float32)
+                n = jnp.sum(has_emb.astype(jnp.float32))
+                for a in axes:
+                    c = jax.lax.psum(c, a)
+                    n = jax.lax.psum(n, a)
+                return c[None], n[None]
+
+            cov, n = jax.jit(lambda e, h: jax.shard_map(
+                per_shard, mesh=mesh, in_specs=(spec, spec),
+                out_specs=(P(axes), P(axes)), check_vma=False,
+            )(e, h))(self._emb, self._has_emb)
+            cov = np.asarray(cov)[0] / max(1.0, float(np.asarray(n)[0]))
+            _, v = np.linalg.eigh(cov.astype(np.float64))
+            self._wb_proj = jnp.asarray(
+                v[:, ::-1][:, : int(dims)].astype(np.float32))
+        else:
+            self._wb_proj = None
+        self._wb_seeds = int(seeds)
+        self._wb_src = None
+        self._wide_fn = self._build_wide_fn()
+
+    def _wide_aug(self):
+        from vector_db_tpu.index import wide_beam as WB
+
+        if getattr(self, "_wb_src", None) is not self._emb:
+            mesh, spec = self.mesh, P(self._axes)
+            proj = self._wb_proj
+
+            def per_shard(emb, has_emb):
+                return WB.build_aug_table(emb, has_emb, proj)
+
+            self._wb_aug = jax.jit(lambda e, h: jax.shard_map(
+                per_shard, mesh=mesh, in_specs=(spec, spec),
+                out_specs=spec, check_vma=False,
+            )(e, h))(self._emb, self._has_emb)
+            self._wb_src = self._emb
+        return self._wb_aug
+
+    def _build_wide_fn(self):
+        from vector_db_tpu.index import wide_beam as WB
+
+        M, l_max, cap = self.M, self.l_max, self.cap
+        mesh = self.mesh
+        axes, sizes = self._axes, self._axis_sizes
+        S = min(self._wb_seeds, cap)
+
+        @functools.partial(
+            jax.jit, static_argnames=("ef", "F", "T", "k", "rerank_k"))
+        def _wsearch(neighbors, levels, emb, has_emb, aug, queries, qa,
+                     ef, F, T, k, rerank_k):
+            def per_shard(neighbors, levels, emb, has_emb, aug, q, qa):
+                # per-shard seeds: the shard's highest-level nodes (the
+                # navigation hierarchy, selected on device)
+                lv, seed_idx = jax.lax.top_k(levels, S)
+                seed_slots = jnp.where(
+                    lv >= 0, seed_idx.astype(jnp.int32), -1)
+                ld, ls = WB.wide_search(
+                    neighbors[:, : 2 * M], aug, emb, has_emb, seed_slots,
+                    q, qa, ef=ef, F=F, T=T, k=k, rerank_k=rerank_k,
+                )
+                return _merge_gathered(
+                    ld, _globalize(ls, cap, axes, sizes), k, axes)
+
+            spec = P(axes)
+            return jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(spec,) * 5 + (P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(neighbors, levels, emb, has_emb, aug, queries, qa)
+
+        return _wsearch
+
+    def search_batch_wide(
+        self, queries: np.ndarray, k: int, ef: int = 256,
+        frontier: int = 32, steps: int = 12, rerank_k: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Wide-beam fan-out: every shard runs the frontier-parallel
+        search, results merge hierarchically (ICI first). Requires
+        enable_wide()."""
+        from vector_db_tpu.index import wide_beam as WB
+
+        if not hasattr(self, "_wb_seeds"):
+            raise ValueError("call enable_wide() first")
+        aug = self._wide_aug()
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        qa = WB.aug_queries(q, self._wb_proj, aug.shape[1])
+        rerank_k = rerank_k or min(ef, max(4 * k, 64))
+        d_sq, gslots = self._wide_fn(
+            self._neighbors, self._levels, self._emb, self._has_emb,
+            aug, q, qa, ef=max(ef, k), F=frontier, T=steps, k=k,
+            rerank_k=rerank_k,
+        )
+        d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
+        ids = np.where(
+            gslots >= 0, self._id_of_gslot[np.maximum(gslots, 0)], -1
+        )
+        dists = np.where(gslots >= 0, np.sqrt(np.maximum(d_sq, 0)), np.inf)
+        return dists.astype(np.float32), ids
+
     def _build_bulk_fn(self, level_sizes: Tuple[int, ...]):
         """One SPMD bulk-construction program: every shard builds its own
         graph over its local rows concurrently (cells are independent —
