@@ -124,36 +124,38 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "sweep"
     t0 = time.perf_counter()
     index.enable_wide(dims=128, seeds=int(os.environ.get("EXP_SEEDS",
-                                                         16384)))
+                                                         16384)),
+                      inline=True)
     index.search_batch_wide(q[:8], k=K10, ef=64, frontier=16, steps=4)
-    log(f"enable_wide + mirror: {time.perf_counter() - t0:.0f}s")
+    log(f"enable_wide + mirrors: {time.perf_counter() - t0:.0f}s")
 
+    # (ef, F, T, W, seen)
     if mode == "quick":
-        grid = [(256, 32, 12, 16)]
+        grid = [(256, 32, 12, 16, True)]
     else:
         grid = [
-            (512, 64, 12, 0),      # dedup-off control
-            (512, 64, 12, 16),
-            (512, 64, 16, 16),
-            (768, 96, 12, 16),
-            (1024, 128, 12, 16),
-            (1024, 128, 16, 16),
+            (1024, 128, 12, 16, True),   # inline vs 0.912@664 row-gather
+            (1024, 128, 12, 16, False),  # seen-mask cost/recall tradeoff
+            (1024, 128, 16, 16, True),   # per-step economics
+            (1536, 192, 12, 16, True),
+            (2048, 256, 12, 16, True),
         ]
     results = []
-    for ef, F, T, W in grid:
-        def run(v, ef=ef, F=F, T=T, W=W):
+    for ef, F, T, W, seen in grid:
+        def run(v, ef=ef, F=F, T=T, W=W, seen=seen):
             return index.search_batch_wide(
                 np.asarray(v), k=K10, ef=ef, frontier=F, steps=T,
-                dedup_window=W)[0]
+                dedup_window=W, seen_mask=seen)[0]
 
         _, ids = index.search_batch_wide(q, k=K10, ef=ef, frontier=F,
-                                         steps=T, dedup_window=W)
+                                         steps=T, dedup_window=W,
+                                         seen_mask=seen)
         qps = timed(run, q, B)
         rec = recall_of(ids, gt, K10)
-        log(f"wide ef={ef} F={F} T={T} W={W}: recall={rec:.4f} "
-            f"qps={qps:.0f}")
-        results.append({"ef": ef, "F": F, "T": T, "W": W, "recall": rec,
-                        "qps": qps})
+        log(f"wide ef={ef} F={F} T={T} W={W} seen={seen}: "
+            f"recall={rec:.4f} qps={qps:.0f}")
+        results.append({"ef": ef, "F": F, "T": T, "W": W, "seen": seen,
+                        "recall": rec, "qps": qps})
 
     Path("EXP_WIDE.json").write_text(json.dumps(
         {"N": N, "dim": DIM, "results": results}, indent=2))

@@ -643,7 +643,8 @@ class HNSW:
 
     # ------------------------------------------------------------------
     def enable_wide(self, dims: int | None = 128, seeds: int = 4096,
-                    train_sample: int = 131072, seed: int = 0) -> None:
+                    train_sample: int = 131072, seed: int = 0,
+                    inline: bool = False) -> None:
         """Activate wide-beam search (see index/wide_beam.py): builds the
         PCA projection for the augmented bf16 scoring mirror and picks the
         seed set (the highest-level graph nodes — the same navigation
@@ -668,6 +669,10 @@ class HNSW:
             self._wb_proj = jnp.asarray(
                 v[:, ::-1][:, : int(dims)].astype(np.float32))
         self._wb_n_seeds = int(seeds)
+        # inline neighbor replication: capacity*2M*dims bytes of int8 for
+        # ~W x fewer gather issues in the hot loop (see
+        # wide_beam.build_inline_tables); worth it below ~2M rows
+        self._wb_inline = bool(inline)
         self._wb_src = None  # force mirror + seed rebuild
 
     def _wide_tables(self):
@@ -682,6 +687,12 @@ class HNSW:
         if prev is None or prev[0] is not src[0] or prev[1] is not src[1]:
             self._wb_aug = WB.build_aug_table(
                 self._store.emb, self._has_emb, self._wb_proj)
+            if getattr(self, "_wb_inline", False):
+                self._wb_inline_tabs = WB.build_inline_tables(
+                    self.graph.neighbors[:, : 2 * self.M],
+                    self._store.emb, self._has_emb, self._wb_proj)
+            else:
+                self._wb_inline_tabs = None
             levels = np.asarray(self.graph.levels)
             live = np.nonzero(levels >= 0)[0]
             order = live[np.argsort(-levels[live], kind="stable")]
@@ -718,6 +729,7 @@ class HNSW:
         bucket: bool = True,
         score: str = "exact",
         dedup_window: int = 16,
+        seen_mask: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam search (requires enable_wide). Same contract as
         search_batch: (L2 dists f32[B, k], node ids int64[B, k]).
@@ -756,10 +768,13 @@ class HNSW:
         q_dev = jnp.asarray(queries)
         qa = WB.aug_queries(q_dev, self._wb_proj, aug.shape[1])
         nbr0 = self.graph.neighbors[:, : 2 * self.M]
+        inline_tabs = (getattr(self, "_wb_inline_tabs", None)
+                       if score == "exact" else None)
         d_sq, slots = WB.wide_search(
             nbr0, aug, self._emb, self._has_emb, seeds, q_dev, qa,
             ef=ef, F=frontier, T=steps, k=k, rerank_k=rerank_k,
-            dedup_window=dedup_window,
+            dedup_window=dedup_window, seen_mask=seen_mask,
+            inline_tabs=inline_tabs,
         )
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]
