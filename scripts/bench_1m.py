@@ -105,6 +105,50 @@ def main():
                "bf16_scan": {"qps": bf16_qps, "recall": bf16_rec},
                "hnsw": [], "hnsw_opq": []}
 
+    # two-phase block-min scans (round 3): streaming block minima + exact
+    # block rerank — extraction cost leaves the critical path
+    from vector_db_tpu.ops.exact import block_select_search
+
+    x_sq = jax.jit(lambda e: jnp.sum(e * e, -1))(index._emb)
+    for name, tab, sq, extra in [
+        ("blocksel_exact", index._emb, qd, {"exact_phase1": True}),
+        ("blocksel_bf16", emb16, qd, {}),
+    ]:
+        def run(v, tab=tab, extra=extra):
+            return block_select_search(
+                v, tab, v, x_sq, index._emb, index._has_emb, K,
+                tile=125000 if N % 125000 == 0 else 31250, blocks_k=2 * K,
+                **extra)[0]
+
+        _, ids = block_select_search(
+            qd, tab, qd, x_sq, index._emb, index._has_emb, K,
+            tile=125000 if N % 125000 == 0 else 31250, blocks_k=2 * K,
+            **extra)
+        qps = timed(run, qd, B)
+        rec = recall_of(np.asarray(ids), gt, K)
+        log(f"{name}: recall={rec:.4f} qps={qps:.0f}")
+        results[name] = {"qps": qps, "recall": rec}
+
+    # wide-beam graph mode (round 3): frontier-parallel traversal with
+    # inline neighbor blocks
+    t0 = time.perf_counter()
+    index.enable_wide(dims=128, seeds=16384, inline=True)
+    index.search_batch_wide(q[:8], k=K, ef=64, frontier=16, steps=4)
+    log(f"enable_wide: {time.perf_counter() - t0:.0f}s")
+    results["hnsw_wide"] = []
+    for ef, F, T in [(512, 64, 12), (1024, 128, 12), (2048, 256, 12)]:
+        def run(v, ef=ef, F=F, T=T):
+            return index.search_batch_wide(np.asarray(v), k=K, ef=ef,
+                                           frontier=F, steps=T)[0]
+
+        _, ids = index.search_batch_wide(q, k=K, ef=ef, frontier=F,
+                                         steps=T)
+        qps = timed(run, qd, B)
+        rec = recall_of(ids, gt, K)
+        log(f"hnsw-wide ef={ef} F={F} T={T}: recall={rec:.3f} qps={qps:.0f}")
+        results["hnsw_wide"].append(
+            {"ef": ef, "F": F, "T": T, "recall": rec, "qps": qps})
+
     for ef in [200, 400]:
         def run(v, ef=ef):
             return index.search_batch(np.asarray(v), k=K, ef=ef, expand=4)[0]
@@ -145,6 +189,23 @@ def main():
         rec = recall_of(ids, gt, K)
         log(f"hnsw-opq ef={ef}: recall={rec:.3f} qps={qps:.0f}")
         results["hnsw_opq"].append({"ef": ef, "recall": rec, "qps": qps})
+
+    # HNSW-over-PQ with wide-beam mechanics (round 3): ADC-scored
+    # traversal from the PQ-decoded mirror, full-pool exact rerank
+    for ef, F, T in [(1024, 128, 12)]:
+        def run(v, ef=ef, F=F, T=T):
+            return index.search_batch_wide(
+                np.asarray(v), k=K, ef=ef, frontier=F, steps=T,
+                score="pq", rerank_k=ef)[0]
+
+        _, ids = index.search_batch_wide(q, k=K, ef=ef, frontier=F,
+                                         steps=T, score="pq", rerank_k=ef)
+        qps = timed(run, qd, B)
+        rec = recall_of(ids, gt, K)
+        log(f"hnsw-opq-wide ef={ef}: recall={rec:.3f} qps={qps:.0f}")
+        results["hnsw_opq"].append(
+            {"ef": ef, "F": F, "T": T, "mode": "wide", "recall": rec,
+             "qps": qps})
 
     # ---- IVF modes: the scale-path ANN story ----
     # free the HNSW tables first (graph + PQ mirrors); the IVF index owns

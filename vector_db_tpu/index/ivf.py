@@ -142,6 +142,12 @@ def _ivf_pq_probe_cells(
     else:
         cdp = jnp.zeros_like(probe, dtype=jnp.float32)
 
+    # one-hot ADC is selection-only (bf16 LUT noise ~0.3%): the reported-
+    # distance contract (reconstruction identity, test_ivf_scale) requires
+    # the f32 gather path whenever ADC distances are returned un-reranked
+    if not rerank:
+        adc = "gather"
+
     def one(q, probe_row, lut_row, cdp_row):
         slots = cell_slots[probe_row].reshape(-1)            # [P]
         codes = cell_codes[probe_row].reshape(-1, m)         # [P, m]
