@@ -642,6 +642,26 @@ class HNSW:
         return dists.astype(np.float32), ids
 
     # ------------------------------------------------------------------
+    def _pca_proj(self, dims: int) -> jnp.ndarray:
+        """PCA projection [dim, dims] from the DEVICE-side covariance.
+
+        The covariance ([dim, dim] ~ 2 MB) is the only thing that crosses
+        to host — pulling a raw sample did a ~400 MB device->host
+        transfer, which costs MINUTES through the relay (measured: 20 min
+        of a 1M enable_wide was exactly this)."""
+        import jax as _jax
+
+        @_jax.jit
+        def cov_fn(emb, valid):
+            e = jnp.where(valid[:, None], emb, 0.0)
+            c = jnp.dot(e.T, e, preferred_element_type=jnp.float32)
+            return c, jnp.sum(valid.astype(jnp.float32))
+
+        c, n = cov_fn(self._emb, self._has_emb)
+        cov = np.asarray(c) / max(1.0, float(n))
+        _, v = np.linalg.eigh(cov.astype(np.float64))
+        return jnp.asarray(v[:, ::-1][:, :dims].astype(np.float32))
+
     def enable_wide(self, dims: int | None = 128, seeds: int = 4096,
                     train_sample: int = 131072, seed: int = 0,
                     inline: bool = False) -> None:
@@ -659,15 +679,7 @@ class HNSW:
         if dims is None or dims >= self._dim:
             self._wb_proj = None
         else:
-            live = np.asarray(sorted(self._slot_of_id.values()))
-            rng = np.random.default_rng(seed)
-            if live.size > train_sample:
-                live = rng.choice(live, train_sample, replace=False)
-            sample = np.asarray(self._emb[jnp.asarray(live)])
-            cov = (sample.T @ sample) / max(1, sample.shape[0])
-            _, v = np.linalg.eigh(cov.astype(np.float64))
-            self._wb_proj = jnp.asarray(
-                v[:, ::-1][:, : int(dims)].astype(np.float32))
+            self._wb_proj = self._pca_proj(int(dims))
         self._wb_n_seeds = int(seeds)
         # inline neighbor replication: capacity*2M*dims bytes of int8 for
         # ~W x fewer gather issues in the hot loop (see

@@ -290,20 +290,34 @@ def wide_search(
         pool_e = jnp.take_along_axis(cat_e, mi, axis=1)
         pool_s = jnp.where(pool_d < BIG_THRESH, pool_s, -1)
 
-        # within-step duplicate kill: the F closest frontier nodes have
-        # heavily overlapping neighbor lists, so the same slot enters the
-        # merge several times with an IDENTICAL score — copies land near
-        # each other in the score-ordered partial-reduce output. A small
-        # shifted-window id-compare voids later copies (they wash out at
-        # the next merge); without this, dup copies crowd out real pool
-        # entries and effective exploration roughly halves (measured at
-        # 1M: recall 0.87 at a budget where best-first reaches 0.96).
+        # Duplicate kill: a slot re-entering the merge (multi-path within
+        # a step, or a re-encounter of a pooled/evicted node) carries a
+        # BIT-IDENTICAL score — deterministic scoring of the same mirror
+        # row — so copies land adjacent in the score-ordered
+        # partial-reduce output. A shifted-window pass (1) propagates the
+        # expanded flag among equal-id neighbors in BOTH directions, so
+        # whichever copy survives remembers any copy's expansion (without
+        # this, surviving fresh copies get re-expanded and waste frontier
+        # slots — measured -0.10 recall at 1M), then (2) voids the later
+        # copies (they wash out at the next merge). This replaces a
+        # [K, P] pool-membership compare (~10 G ops/step at ef=1536) with
+        # O(W·P) shifts.
         if dedup_window > 0:
             dup = jnp.zeros_like(pool_e)
+            prop = pool_e
             for w in range(1, dedup_window + 1):
-                shifted = jnp.pad(
+                s_r = jnp.pad(
                     pool_s[:, :-w], ((0, 0), (w, 0)), constant_values=-2)
-                dup = dup | (pool_s == shifted)
+                e_r = jnp.pad(
+                    prop[:, :-w], ((0, 0), (w, 0)), constant_values=False)
+                s_l = jnp.pad(
+                    pool_s[:, w:], ((0, 0), (0, w)), constant_values=-2)
+                e_l = jnp.pad(
+                    prop[:, w:], ((0, 0), (0, w)), constant_values=False)
+                eq_r = pool_s == s_r
+                prop = prop | (eq_r & e_r) | ((pool_s == s_l) & e_l)
+                dup = dup | eq_r
+            pool_e = prop
             pool_d = jnp.where(dup, BIG, pool_d)
             pool_s = jnp.where(dup, -1, pool_s)
             pool_e = pool_e | dup
