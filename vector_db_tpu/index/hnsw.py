@@ -573,15 +573,9 @@ class HNSW:
         if self.graph is None or self.size == 0:
             raise ValueError("index must contain vectors before enable_rp")
         dims = int(min(dims, self._dim))
-        live_slots = np.asarray(sorted(self._slot_of_id.values()))
-        rng = np.random.default_rng(seed)
-        if live_slots.size > train_sample:
-            live_slots = rng.choice(live_slots, train_sample, replace=False)
-        sample = np.asarray(self._emb[jnp.asarray(live_slots)])
-        cov = (sample.T @ sample) / max(1, sample.shape[0])
-        _, v = np.linalg.eigh(cov.astype(np.float64))
-        self._rp_proj = jnp.asarray(
-            v[:, ::-1][:, :dims].astype(np.float32))
+        # device-side covariance: only [dim, dim] crosses the relay (a raw
+        # sample pull costs minutes at 1M — see _pca_proj)
+        self._rp_proj = self._pca_proj(dims)
         self._rp_src = None  # force mirror rebuild
 
     def _rp_tables(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
