@@ -227,26 +227,42 @@ def wide_search(
         seed_b = jnp.broadcast_to(
             seed_slots[None, :], (B, seed_slots.shape[0]))
     pool_d, pos = jax.lax.approx_min_k(d_seed, P)
-    pool_s = jnp.take_along_axis(seed_b, pos, axis=1)
-    pool_s = jnp.where(pool_d < BIG_THRESH, pool_s, -1)
-    pool_e = jnp.zeros((B, P), bool)
+    pool_s0 = jnp.take_along_axis(seed_b, pos, axis=1)
+    pool_s0 = jnp.where(pool_d < BIG_THRESH, pool_s0, -1)
+    # (slot, expanded) PACKED into one int32 (slot*2 | e): the merge's
+    # pool permutation then needs ONE take_along_axis instead of two —
+    # measured 41% of the whole step at 1M (the taa gathers are
+    # issue-bound like every other gather). slot -1 packs to -2;
+    # arithmetic >> 1 unpacks both signs correctly.
+    pool_se = pool_s0 * 2
+
+    if inline_tabs is not None:
+        # int8 query mirror: int8 x int8 lands natively on the MXU and
+        # skips the [B, K, dp] bf16 cast materialization (measured 24% of
+        # the step). Selection-only noise; rerank is exact.
+        dp_i = inline_tabs[0].shape[-1]
+        qm = queries_aug[:, :dp_i]
+        q_scale = jnp.maximum(jnp.max(jnp.abs(qm), axis=1), 1e-9) / 127.0
+        q_i8 = jnp.round(qm / q_scale[:, None]).astype(jnp.int8)
 
     def step(carry, _):
-        pool_d, pool_s, pool_e = carry
+        pool_d, pool_se = carry
+        pool_sid = pool_se >> 1
+        pool_e = (pool_se & 1) == 1
         # ---- pop the F best unexpanded entries ----
-        unexp = jnp.where(pool_e | (pool_s < 0), BIG, pool_d)
+        unexp = jnp.where(pool_e | (pool_sid < 0), BIG, pool_d)
         fd, fpos = jax.lax.approx_min_k(unexp, F)
-        frontier = jnp.take_along_axis(pool_s, fpos, axis=1)   # [B, F]
+        frontier = jnp.take_along_axis(pool_sid, fpos, axis=1)  # [B, F]
         fvalid = (fd < BIG_THRESH) & (frontier >= 0)
         frontier = jnp.where(fvalid, frontier, -1)
         # mark EVERY pool copy of a popped slot expanded (duplicates from
         # multi-path re-encounters must not re-expand)
         hit = jnp.any(
-            (pool_s[:, :, None] == frontier[:, None, :])
+            (pool_sid[:, :, None] == frontier[:, None, :])
             & fvalid[:, None, :],
             axis=-1,
         )
-        pool_e = pool_e | hit
+        pool_se = pool_se | hit.astype(jnp.int32)
 
         # ---- expand: gather adjacency + score candidates ----
         f_safe = jnp.maximum(frontier, 0)
@@ -257,15 +273,17 @@ def wide_search(
             # one contiguous [W, dp] block per FRONTIER node (issue-bound
             # gathers: W x fewer issues than per-candidate rows)
             nbr_i8, nbr_scale, nbr_xsq = inline_tabs
-            dp = nbr_i8.shape[-1]
             blk = nbr_i8[f_safe]                      # [B, F, W, dp] int8
             scl = nbr_scale[f_safe]                   # [B, F, W]
             nxq = nbr_xsq[f_safe]                     # [B, F, W]
-            qm16 = queries_aug[:, :dp].astype(jnp.bfloat16)
             dots = jnp.einsum(
-                "bfnd,bd->bfn", blk.astype(jnp.bfloat16), qm16,
-                preferred_element_type=jnp.float32)
-            d_new = (nxq - 2.0 * scl * dots).reshape(B, -1)
+                "bfnd,bd->bfn", blk, q_i8,
+                preferred_element_type=jnp.int32)
+            d_new = (
+                nxq
+                - (2.0 * q_scale)[:, None, None] * scl
+                * dots.astype(jnp.float32)
+            ).reshape(B, -1)
         else:
             c_safe = jnp.maximum(cand, 0)
             rows = aug[c_safe]                        # [B, K, dpa]
@@ -276,19 +294,16 @@ def wide_search(
         ok_new = cand >= 0
         if seen_mask:
             seen = jnp.any(
-                cand[:, :, None] == pool_s[:, None, :], axis=-1)
+                cand[:, :, None] == pool_sid[:, None, :], axis=-1)
             ok_new = ok_new & ~seen
         d_new = jnp.where(ok_new, d_new, BIG)
 
         # ---- merge: one hardware partial-reduce over pool ∪ new ----
         cat_d = jnp.concatenate([pool_d, d_new], axis=1)
-        cat_s = jnp.concatenate([pool_s, cand], axis=1)
-        cat_e = jnp.concatenate([pool_e, jnp.zeros_like(d_new, bool)],
-                                axis=1)
+        cat_se = jnp.concatenate([pool_se, cand * 2], axis=1)
         pool_d, mi = jax.lax.approx_min_k(cat_d, P)
-        pool_s = jnp.take_along_axis(cat_s, mi, axis=1)
-        pool_e = jnp.take_along_axis(cat_e, mi, axis=1)
-        pool_s = jnp.where(pool_d < BIG_THRESH, pool_s, -1)
+        pool_se = jnp.take_along_axis(cat_se, mi, axis=1)
+        pool_se = jnp.where(pool_d < BIG_THRESH, pool_se, -2)
 
         # Duplicate kill: a slot re-entering the merge (multi-path within
         # a step, or a re-encounter of a pooled/evicted node) carries a
@@ -303,28 +318,32 @@ def wide_search(
         # [K, P] pool-membership compare (~10 G ops/step at ef=1536) with
         # O(W·P) shifts.
         if dedup_window > 0:
-            dup = jnp.zeros_like(pool_e)
-            prop = pool_e
+            sid = pool_se >> 1
+            eflag = pool_se & 1
+            dup = jnp.zeros((B, P), bool)
+            prop = eflag
             for w in range(1, dedup_window + 1):
                 s_r = jnp.pad(
-                    pool_s[:, :-w], ((0, 0), (w, 0)), constant_values=-2)
+                    sid[:, :-w], ((0, 0), (w, 0)), constant_values=-3)
                 e_r = jnp.pad(
-                    prop[:, :-w], ((0, 0), (w, 0)), constant_values=False)
+                    prop[:, :-w], ((0, 0), (w, 0)), constant_values=0)
                 s_l = jnp.pad(
-                    pool_s[:, w:], ((0, 0), (0, w)), constant_values=-2)
+                    sid[:, w:], ((0, 0), (0, w)), constant_values=-3)
                 e_l = jnp.pad(
-                    prop[:, w:], ((0, 0), (0, w)), constant_values=False)
-                eq_r = pool_s == s_r
-                prop = prop | (eq_r & e_r) | ((pool_s == s_l) & e_l)
+                    prop[:, w:], ((0, 0), (0, w)), constant_values=0)
+                eq_r = sid == s_r
+                eq_l = sid == s_l
+                prop = prop | (eq_r.astype(jnp.int32) & e_r) \
+                    | (eq_l.astype(jnp.int32) & e_l)
                 dup = dup | eq_r
-            pool_e = prop
+            pool_se = (sid * 2) | prop
             pool_d = jnp.where(dup, BIG, pool_d)
-            pool_s = jnp.where(dup, -1, pool_s)
-            pool_e = pool_e | dup
-        return (pool_d, pool_s, pool_e), None
+            pool_se = jnp.where(dup, -1, pool_se)  # slot -1, e=1 (husk)
+        return (pool_d, pool_se), None
 
-    (pool_d, pool_s, pool_e), _ = jax.lax.scan(
-        step, (pool_d, pool_s, pool_e), None, length=T)
+    (pool_d, pool_se), _ = jax.lax.scan(
+        step, (pool_d, pool_se), None, length=T)
+    pool_s = pool_se >> 1
 
     # ---- exact rerank of the R best pool entries ----
     rd, rpos = jax.lax.approx_min_k(pool_d, R)
