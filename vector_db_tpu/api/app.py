@@ -217,12 +217,13 @@ async def embed_documents_batch(request: web.Request) -> web.Response:
         nodes = []
         for content, emb, meta in zip(req.contents, embeddings, metadatas):
             node_id = storage_service.get_next_id()
-            node = Node(
+            nodes.append(Node(
                 id=node_id, embedding=np.asarray(emb, np.float32),
                 content=content, metadata=meta or {},
-            )
-            storage_service.save(node)
-            nodes.append(node)
+            ))
+        # one flush per layer, not per document (2 msync/doc capped batch
+        # ingest at ~67 docs/s)
+        await _offload(request, lambda: storage_service.save_many(nodes))
         await _offload(request, lambda: indexing_service.insert_nodes(nodes))
         return web.json_response(
             {

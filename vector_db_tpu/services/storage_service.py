@@ -55,6 +55,17 @@ class StorageService:
         self._storage.save(node)
         self._meta_index.set(node.id, node.metadata)
 
+    def save_many(self, nodes) -> None:
+        """Batched save: one flush per layer instead of per document (the
+        batch-ingest hot path; see MMapNodeStorage.save_many)."""
+        if hasattr(self._storage, "save_many"):
+            self._storage.save_many(nodes)
+        else:
+            for node in nodes:
+                self._storage.save(node)
+        for node in nodes:
+            self._meta_index.set(node.id, node.metadata)
+
     def get(self, node_id: int) -> Optional[Node]:
         return self._storage.get(node_id)
 
