@@ -229,6 +229,11 @@ def wide_search(
     pool_d, pos = jax.lax.approx_min_k(d_seed, P)
     pool_s0 = jnp.take_along_axis(seed_b, pos, axis=1)
     pool_s0 = jnp.where(pool_d < BIG_THRESH, pool_s0, -1)
+    # pool distances carried in bf16: halves the merge/pop partial-reduce
+    # traffic (the largest remaining step cost). Selection-only — the
+    # duplicate-adjacency invariant survives (identical rows round
+    # identically) and the rerank reports exact f32.
+    pool_d = pool_d.astype(jnp.bfloat16)
     # (slot, expanded) PACKED into one int32 (slot*2 | e): the merge's
     # pool permutation then needs ONE take_along_axis instead of two —
     # measured 41% of the whole step at 1M (the taa gathers are
@@ -247,10 +252,11 @@ def wide_search(
 
     def step(carry, _):
         pool_d, pool_se = carry
+        big = jnp.asarray(BIG, pool_d.dtype)
         pool_sid = pool_se >> 1
         pool_e = (pool_se & 1) == 1
         # ---- pop the F best unexpanded entries ----
-        unexp = jnp.where(pool_e | (pool_sid < 0), BIG, pool_d)
+        unexp = jnp.where(pool_e | (pool_sid < 0), big, pool_d)
         fd, fpos = jax.lax.approx_min_k(unexp, F)
         frontier = jnp.take_along_axis(pool_sid, fpos, axis=1)  # [B, F]
         fvalid = (fd < BIG_THRESH) & (frontier >= 0)
@@ -299,7 +305,8 @@ def wide_search(
         d_new = jnp.where(ok_new, d_new, BIG)
 
         # ---- merge: one hardware partial-reduce over pool ∪ new ----
-        cat_d = jnp.concatenate([pool_d, d_new], axis=1)
+        cat_d = jnp.concatenate([pool_d, d_new.astype(pool_d.dtype)],
+                                axis=1)
         cat_se = jnp.concatenate([pool_se, cand * 2], axis=1)
         pool_d, mi = jax.lax.approx_min_k(cat_d, P)
         pool_se = jnp.take_along_axis(cat_se, mi, axis=1)
@@ -337,7 +344,7 @@ def wide_search(
                     | (eq_l.astype(jnp.int32) & e_l)
                 dup = dup | eq_r
             pool_se = (sid * 2) | prop
-            pool_d = jnp.where(dup, BIG, pool_d)
+            pool_d = jnp.where(dup, big, pool_d)
             pool_se = jnp.where(dup, -1, pool_se)  # slot -1, e=1 (husk)
         return (pool_d, pool_se), None
 
