@@ -207,7 +207,7 @@ def wide_search(
     """
     B = queries.shape[0]
     P = ef
-    R = min(rerank_k, P)
+    R = min(max(rerank_k, k), P)  # rerank set can never be narrower than k
     qa16 = queries_aug.astype(jnp.bfloat16)
 
     # ---- seed the pool: one matmul over the fixed seed set ----
