@@ -729,8 +729,8 @@ class HNSW:
         queries: np.ndarray,
         k: int,
         ef: int = 256,
-        frontier: int = 32,
-        steps: int = 12,
+        frontier: int = 0,
+        steps: int = 0,
         rerank_k: int = 0,
         bucket: bool = True,
         score: str = "exact",
@@ -766,6 +766,12 @@ class HNSW:
                 queries = np.concatenate(
                     [queries,
                      np.zeros((b_pad, queries.shape[1]), np.float32)])
+        # auto (frontier/steps = 0): the measured 1M pareto shape —
+        # frontier ~ ef/6 (32-aligned), 10 steps (EXP_WIDE.json)
+        if not frontier:
+            frontier = max(16, min(((ef // 6 + 31) // 32) * 32, ef))
+        if not steps:
+            steps = 10
         rerank_k = rerank_k or min(ef, max(4 * k, 64))
         if score == "pq":
             aug, seeds = self._wide_tables_pq()

@@ -86,8 +86,8 @@ class IndexingService:
         self._wide_on = bool(wide_cfg.get("enabled", bool(wide_cfg)))
         self._wide_dims = int(wide_cfg.get("dims", 128) or 0) or None
         self._wide_seeds = int(wide_cfg.get("seeds", 4096))
-        self._wide_frontier = int(wide_cfg.get("frontier", 32))
-        self._wide_steps = int(wide_cfg.get("steps", 12))
+        self._wide_frontier = int(wide_cfg.get("frontier", 0))
+        self._wide_steps = int(wide_cfg.get("steps", 0))
         self._wide_min_size = int(wide_cfg.get("min_size", 4096))
         self._wide_active = False
 
