@@ -126,8 +126,12 @@ def main():
     n_blocks = N_pad // 128
     qm = jnp.dot(queries, proj, preferred_element_type=jnp.float32)
 
+    # phase-1 tile must divide N_pad: the largest CHUNK multiple <= 8
+    # chunks that divides n_chunks
+    _mult = max(m for m in range(1, 9) if n_chunks % m == 0)
+
     @partial(jax.jit, static_argnames=("blocks_k", "tile"))
-    def search(qs, qm, blocks_k, tile=min(1_048_576, N_pad)):
+    def search(qs, qm, blocks_k, tile=CHUNK * _mult):
         qa = jnp.zeros((qs.shape[0], DP + 8), jnp.bfloat16)
         qa = qa.at[:, :DP].set(qm.astype(jnp.bfloat16))
         qa = qa.at[:, DP].set(1.0)

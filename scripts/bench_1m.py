@@ -192,7 +192,7 @@ def main():
 
     # HNSW-over-PQ with wide-beam mechanics (round 3): ADC-scored
     # traversal from the PQ-decoded mirror, full-pool exact rerank
-    for ef, F, T in [(1024, 128, 12)]:
+    for ef, F, T in [(1536, 256, 10), (2048, 320, 10)]:
         def run(v, ef=ef, F=F, T=T):
             return index.search_batch_wide(
                 np.asarray(v), k=K, ef=ef, frontier=F, steps=T,
