@@ -136,7 +136,7 @@ def main():
     index.search_batch_wide(q[:8], k=K, ef=64, frontier=16, steps=4)
     log(f"enable_wide: {time.perf_counter() - t0:.0f}s")
     results["hnsw_wide"] = []
-    for ef, F, T in [(512, 64, 12), (1024, 128, 12), (2048, 256, 12)]:
+    for ef, F, T in [(1024, 160, 10), (1280, 224, 10), (1536, 256, 10)]:
         def run(v, ef=ef, F=F, T=T):
             return index.search_batch_wide(np.asarray(v), k=K, ef=ef,
                                            frontier=F, steps=T)[0]

@@ -134,11 +134,10 @@ def main():
         grid = [(256, 32, 12, 16, True)]
     else:
         grid = [
-            (1024, 128, 12, 16, True),   # inline vs 0.912@664 row-gather
-            (1024, 128, 12, 16, False),  # seen-mask cost/recall tradeoff
-            (1024, 128, 16, 16, True),   # per-step economics
-            (1536, 192, 12, 16, True),
-            (2048, 256, 12, 16, True),
+            (1536, 240, 10, 16, False),
+            (1536, 288, 10, 16, False),
+            (1792, 288, 9, 16, False),
+            (1280, 224, 10, 16, False),
         ]
     results = []
     for ef, F, T, W, seen in grid:
