@@ -185,6 +185,22 @@ def bench_ours(x: np.ndarray, q: np.ndarray, k: int, target: float):
     chosen["build_s"] = build_s
     chosen["build_vps"] = n / build_s
     chosen["exact_qps"] = exact_qps
+
+    # round-3 wide-beam graph mode (frontier-parallel traversal): one
+    # tuned operating point at the same corpus/ground truth
+    index.enable_wide()
+    ef_w = 512
+
+    def run_wide(qv):
+        d, s = index.search_batch_wide(np.asarray(qv), k=k, ef=ef_w)
+        dd = np.asarray(d, np.float64)
+        return np.asarray(s), dd[dd < 1e37].sum()
+
+    qps_w, outs_w = timed_qps(run_wide, qd, len(q), warmups=3,
+                              label=f"hnsw_wide_n{n}")
+    rec_w = recall_at_k(outs_w[-1], gt, k)
+    log(f"  ours(wide) n={n} ef={ef_w}: recall@{k}={rec_w:.3f} qps={qps_w:.0f}")
+    chosen["wide"] = {"ef": ef_w, "recall": rec_w, "qps": qps_w}
     return chosen
 
 

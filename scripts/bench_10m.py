@@ -130,8 +130,11 @@ def main():
     # chunks that divides n_chunks
     _mult = max(m for m in range(1, 9) if n_chunks % m == 0)
 
+    # tables passed as ARGUMENTS: closing over 10.5 GB of device arrays
+    # makes XLA capture them as lowering constants (observed: the
+    # "10.58GB of constants" warning + a compile that never returns)
     @partial(jax.jit, static_argnames=("blocks_k", "tile"))
-    def search(qs, qm, blocks_k, tile=CHUNK * _mult):
+    def search(qs, qm, aug, xi8, scales, xsq, blocks_k, tile=CHUNK * _mult):
         qa = jnp.zeros((qs.shape[0], DP + 8), jnp.bfloat16)
         qa = qa.at[:, :DP].set(qm.astype(jnp.bfloat16))
         qa = qa.at[:, DP].set(1.0)
@@ -171,7 +174,7 @@ def main():
                },
                "ops": []}
     for C in (16, 32, 64):
-        d, ids = search(queries, qm, C)
+        d, ids = search(queries, qm, aug, xi8, scales, xsq, C)
         ids = np.asarray(ids)
         rec = float(np.mean([
             len(set(ids[i].tolist()) & set(gt[i].tolist())) / K
@@ -181,7 +184,7 @@ def main():
             qv = queries * (1.0 + (r + 1) * 1e-6)
             qmv = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
             t0 = time.perf_counter()
-            jax.block_until_ready(search(qv, qmv, C))
+            jax.block_until_ready(search(qv, qmv, aug, xi8, scales, xsq, C))
             ts.append(time.perf_counter() - t0)
         qps = B / float(np.median(ts))
         log(f"blocks_k={C}: recall@10={rec:.4f} qps={qps:.0f}")

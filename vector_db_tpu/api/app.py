@@ -360,7 +360,11 @@ def create_app(
     by overriding app module globals, tests/integration/test_search_api.py:66-90);
     anything not injected is built on startup from the config.
     """
-    app = web.Application(middlewares=[metrics_middleware])
+    # 64 MB body cap: aiohttp defaults to 1 MB which rejects realistic
+    # /embed/batch-docs payloads; the reference's FastAPI/uvicorn stack
+    # enforces no request-size limit at all (api/app.py:119-233)
+    app = web.Application(middlewares=[metrics_middleware],
+                          client_max_size=64 * 1024**2)
     app["metrics"] = Metrics()
     app["config_path"] = config_path or os.getenv(ENV_CONFIG_PATH)
     app["embedding_client"] = embedding_client
