@@ -33,8 +33,13 @@ class EmbeddingClient:
         return np.array(r.json()["embedding"], np.float32)
 
     async def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        # batch calls scale the read timeout with batch size: a 20k-doc
+        # /embed/batch on a loaded host legitimately exceeds the 30s
+        # single-call budget (observed as a spurious 500 at the API edge)
         r = await self._client.post(
-            f"{self.base_url}/embed/batch", json={"texts": list(texts)}
+            f"{self.base_url}/embed/batch", json={"texts": list(texts)},
+            timeout=httpx.Timeout(self.timeout, read=max(
+                self.timeout, 0.02 * len(texts) + self.timeout)),
         )
         r.raise_for_status()
         return np.array(r.json()["embeddings"], np.float32)
@@ -64,8 +69,11 @@ class SyncEmbeddingClient:
         return np.array(r.json()["embedding"], np.float32)
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        # see EmbeddingClient.embed_texts: read timeout scales with batch
         r = self._client.post(
-            f"{self.base_url}/embed/batch", json={"texts": list(texts)}
+            f"{self.base_url}/embed/batch", json={"texts": list(texts)},
+            timeout=httpx.Timeout(self.timeout, read=max(
+                self.timeout, 0.02 * len(texts) + self.timeout)),
         )
         r.raise_for_status()
         return np.array(r.json()["embeddings"], np.float32)
