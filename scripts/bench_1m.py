@@ -114,16 +114,15 @@ def main():
         ("blocksel_exact", index._emb, qd, {"exact_phase1": True}),
         ("blocksel_bf16", emb16, qd, {}),
     ]:
+        # tile must be a multiple of block=128 (the kernel pads N to tile)
         def run(v, tab=tab, extra=extra):
             return block_select_search(
                 v, tab, v, x_sq, index._emb, index._has_emb, K,
-                tile=125000 if N % 125000 == 0 else 31250, blocks_k=2 * K,
-                **extra)[0]
+                tile=131072, blocks_k=2 * K, **extra)[0]
 
         _, ids = block_select_search(
             qd, tab, qd, x_sq, index._emb, index._has_emb, K,
-            tile=125000 if N % 125000 == 0 else 31250, blocks_k=2 * K,
-            **extra)
+            tile=131072, blocks_k=2 * K, **extra)
         qps = timed(run, qd, B)
         rec = recall_of(np.asarray(ids), gt, K)
         log(f"{name}: recall={rec:.4f} qps={qps:.0f}")
