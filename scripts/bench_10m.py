@@ -45,7 +45,8 @@ def main():
     import jax.numpy as jnp
 
     N = int(os.environ.get("BENCH10M_N", 10_000_000))
-    DIM, DP, B, K = 768, 128, 100, 10
+    DIM, DP, B, K = 768, 128, 1000, 10
+    QS = 100  # query slice per inner step: bounds phase-2 gather memory
     CHUNK = 131072
     n_chunks = (N + CHUNK - 1) // CHUNK
     N_pad = n_chunks * CHUNK
@@ -133,39 +134,52 @@ def main():
     # tables passed as ARGUMENTS: closing over 10.5 GB of device arrays
     # makes XLA capture them as lowering constants (observed: the
     # "10.58GB of constants" warning + a compile that never returns)
+    # one dispatch covers all B queries: QS-query slices run inside a
+    # lax.scan (per-call relay latency is ~1s; per-slice dispatch would
+    # make the artifact latency-bound, not device-bound)
     @partial(jax.jit, static_argnames=("blocks_k", "tile"))
-    def search(qs, qm, aug, xi8, scales, xsq, blocks_k, tile=CHUNK * _mult):
-        qa = jnp.zeros((qs.shape[0], DP + 8), jnp.bfloat16)
-        qa = qa.at[:, :DP].set(qm.astype(jnp.bfloat16))
-        qa = qa.at[:, DP].set(1.0)
+    def search(qs_all, qm_all, aug, xi8, scales, xsq, blocks_k,
+               tile=CHUNK * _mult):
         n_t = N_pad // tile
 
-        def p1(_, t):
-            blk = jax.lax.dynamic_slice(
-                aug, (t * tile, 0), (tile, DP + 8))
-            d = jnp.dot(qa, blk.T, preferred_element_type=jnp.float32)
-            return None, jnp.min(
-                d.reshape(qs.shape[0], tile // 128, 128), axis=-1)
+        def one_slice(_, qpair):
+            qs, qm = qpair
+            qa = jnp.zeros((QS, DP + 8), jnp.bfloat16)
+            qa = qa.at[:, :DP].set(qm.astype(jnp.bfloat16))
+            qa = qa.at[:, DP].set(1.0)
 
-        _, mins = jax.lax.scan(p1, None,
-                               jnp.arange(n_t, dtype=jnp.int32))
-        mins = jnp.moveaxis(mins, 0, 1).reshape(qs.shape[0], n_blocks)
-        _, bidx = jax.lax.approx_min_k(mins, blocks_k)     # [B, C]
+            def p1(_, t):
+                blk = jax.lax.dynamic_slice(
+                    aug, (t * tile, 0), (tile, DP + 8))
+                d = jnp.dot(qa, blk.T, preferred_element_type=jnp.float32)
+                return None, jnp.min(
+                    d.reshape(QS, tile // 128, 128), axis=-1)
 
-        # stage 2: int8 rerank of selected blocks
-        rows = xi8.reshape(n_blocks, 128, DIM)[bidx]       # [B,C,128,DIM]
-        sc = scales.reshape(n_blocks, 128)[bidx]           # [B, C, 128]
-        xq = xsq.reshape(n_blocks, 128)[bidx]
-        dots = jnp.einsum("qcbd,qd->qcb", rows.astype(jnp.bfloat16),
-                          qs.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-        d = xq - 2.0 * sc * dots + jnp.sum(qs * qs, axis=1)[:, None, None]
-        d = d.reshape(qs.shape[0], -1)
-        neg, pos = jax.lax.top_k(-d, K)
-        ids = (bidx[:, :, None] * 128
-               + jnp.arange(128, dtype=jnp.int32)[None, None, :]
-               ).reshape(qs.shape[0], -1)
-        return -neg, jnp.take_along_axis(ids, pos, axis=1)
+            _, mins = jax.lax.scan(p1, None,
+                                   jnp.arange(n_t, dtype=jnp.int32))
+            mins = jnp.moveaxis(mins, 0, 1).reshape(QS, n_blocks)
+            _, bidx = jax.lax.approx_min_k(mins, blocks_k)   # [QS, C]
+
+            # stage 2: int8 rerank of selected blocks
+            rows = xi8.reshape(n_blocks, 128, DIM)[bidx]   # [QS,C,128,DIM]
+            sc = scales.reshape(n_blocks, 128)[bidx]       # [QS, C, 128]
+            xq = xsq.reshape(n_blocks, 128)[bidx]
+            dots = jnp.einsum("qcbd,qd->qcb", rows.astype(jnp.bfloat16),
+                              qs.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+            d = (xq - 2.0 * sc * dots
+                 + jnp.sum(qs * qs, axis=1)[:, None, None])
+            d = d.reshape(QS, -1)
+            neg, pos = jax.lax.top_k(-d, K)
+            ids = (bidx[:, :, None] * 128
+                   + jnp.arange(128, dtype=jnp.int32)[None, None, :]
+                   ).reshape(QS, -1)
+            return None, (-neg, jnp.take_along_axis(ids, pos, axis=1))
+
+        _, (dd, ii) = jax.lax.scan(
+            one_slice, None,
+            (qs_all.reshape(-1, QS, DIM), qm_all.reshape(-1, QS, DP)))
+        return dd.reshape(-1, K), ii.reshape(-1, K)
 
     results = {"N": N, "dim": DIM, "dp": DP, "build_s": build_s,
                "memory_gb": {

@@ -59,6 +59,13 @@ def main():
 
     N = int(os.environ.get("BENCH_N", 1_000_000))
     DIM, B, K = 768, 1000, 10
+    # section gating (resume after a crash without re-timing everything):
+    # BENCH_SECTIONS=widepq,ivf re-runs just those, merging into the
+    # existing BENCH_1M.json (same N + data seed => same corpus/GT)
+    SEC = set(os.environ.get("BENCH_SECTIONS", "all").split(","))
+
+    def want(s):
+        return "all" in SEC or s in SEC
     log(f"generating {N}x{DIM} (clustered embedding-like)...")
     t0 = time.perf_counter()
     data = embedding_like(N + B, DIM, 0)
@@ -81,104 +88,132 @@ def main():
     )
     log(f"exact gt: {time.perf_counter() - t0:.1f}s")
 
-    exact_qps = timed(
-        lambda v: exact_search_tiled(v, index._emb, index._has_emb, K,
-                                     tile=tile)[0], qd, B)
-    log(f"exact f32 qps: {exact_qps:.0f} (recall 1.0)")
-
-    # bf16 + hardware top-k scan
-    emb16 = index._emb.astype(jnp.bfloat16)
-    x_sq = jax.jit(lambda e: jnp.sum(e * e, -1))(index._emb)
-    jax.block_until_ready((emb16, x_sq))
-    tile16 = 125000 if N % 125000 == 0 else tile
-    _, bf16_ids = approx_search_tiled(qd, emb16, index._has_emb, K,
-                                      tile=tile16, x_sq=x_sq)
-    bf16_rec = recall_of(np.asarray(bf16_ids), gt, K)
-    bf16_qps = timed(
-        lambda v: approx_search_tiled(v, emb16, index._has_emb, K,
-                                      tile=tile16, x_sq=x_sq)[0], qd, B)
-    log(f"bf16 scan qps: {bf16_qps:.0f} recall={bf16_rec:.4f}")
-
     results = {"N": N, "dim": DIM, "data": "clustered rank-64 embedding-like",
                "build_s": build_s, "build_vps": N / build_s,
-               "exact_f32": {"qps": exact_qps, "recall": 1.0},
-               "bf16_scan": {"qps": bf16_qps, "recall": bf16_rec},
                "hnsw": [], "hnsw_opq": []}
+    prev_path = Path("BENCH_1M.json")
+    if "all" not in SEC and prev_path.exists():
+        prev = json.loads(prev_path.read_text())
+        if prev.get("N") == N:
+            prev.update({k: results[k] for k in ("build_s", "build_vps")})
+            results = prev
+            log(f"resuming into existing BENCH_1M.json (sections: {SEC})")
 
-    # two-phase block-min scans (round 3): streaming block minima + exact
-    # block rerank — extraction cost leaves the critical path
-    from vector_db_tpu.ops.exact import block_select_search
+    def save():
+        prev_path.write_text(json.dumps(results, indent=2))
 
-    x_sq = jax.jit(lambda e: jnp.sum(e * e, -1))(index._emb)
-    for name, tab, sq, extra in [
-        ("blocksel_exact", index._emb, qd, {"exact_phase1": True}),
-        ("blocksel_bf16", emb16, qd, {}),
-    ]:
-        # tile must be a multiple of block=128 (the kernel pads N to tile)
-        def run(v, tab=tab, extra=extra):
-            return block_select_search(
-                v, tab, v, x_sq, index._emb, index._has_emb, K,
-                tile=131072, blocks_k=2 * K, **extra)[0]
+    if want("scan"):
+        exact_qps = timed(
+            lambda v: exact_search_tiled(v, index._emb, index._has_emb, K,
+                                         tile=tile)[0], qd, B)
+        log(f"exact f32 qps: {exact_qps:.0f} (recall 1.0)")
+        results["exact_f32"] = {"qps": exact_qps, "recall": 1.0}
 
-        _, ids = block_select_search(
-            qd, tab, qd, x_sq, index._emb, index._has_emb, K,
-            tile=131072, blocks_k=2 * K, **extra)
-        qps = timed(run, qd, B)
-        rec = recall_of(np.asarray(ids), gt, K)
-        log(f"{name}: recall={rec:.4f} qps={qps:.0f}")
-        results[name] = {"qps": qps, "recall": rec}
+        # bf16 + hardware top-k scan
+        emb16 = index._emb.astype(jnp.bfloat16)
+        x_sq = jax.jit(lambda e: jnp.sum(e * e, -1))(index._emb)
+        jax.block_until_ready((emb16, x_sq))
+        tile16 = 125000 if N % 125000 == 0 else tile
+        _, bf16_ids = approx_search_tiled(qd, emb16, index._has_emb, K,
+                                          tile=tile16, x_sq=x_sq)
+        bf16_rec = recall_of(np.asarray(bf16_ids), gt, K)
+        bf16_qps = timed(
+            lambda v: approx_search_tiled(v, emb16, index._has_emb, K,
+                                          tile=tile16, x_sq=x_sq)[0], qd, B)
+        log(f"bf16 scan qps: {bf16_qps:.0f} recall={bf16_rec:.4f}")
+        results["bf16_scan"] = {"qps": bf16_qps, "recall": bf16_rec}
+
+        # two-phase block-min scans (round 3): streaming block minima +
+        # exact block rerank — extraction cost leaves the critical path
+        from vector_db_tpu.ops.exact import block_select_search
+
+        for name, tab, extra in [
+            ("blocksel_exact", index._emb, {"exact_phase1": True}),
+            ("blocksel_bf16", emb16, {}),
+        ]:
+            # tile must be a multiple of block=128 (kernel pads N to tile)
+            def run(v, tab=tab, extra=extra):
+                return block_select_search(
+                    v, tab, v, x_sq, index._emb, index._has_emb, K,
+                    tile=131072, blocks_k=2 * K, **extra)[0]
+
+            _, ids = block_select_search(
+                qd, tab, qd, x_sq, index._emb, index._has_emb, K,
+                tile=131072, blocks_k=2 * K, **extra)
+            qps = timed(run, qd, B)
+            rec = recall_of(np.asarray(ids), gt, K)
+            log(f"{name}: recall={rec:.4f} qps={qps:.0f}")
+            results[name] = {"qps": qps, "recall": rec}
+        # the scan mirrors are dead past this point; at 1M x 768 the
+        # bf16 copy (1.5 GB) is the margin the PQ-wide section OOMed on
+        del emb16, x_sq, bf16_ids
+        save()
 
     # wide-beam graph mode (round 3): frontier-parallel traversal with
-    # inline neighbor blocks
-    t0 = time.perf_counter()
-    index.enable_wide(dims=128, seeds=16384, inline=True)
-    index.search_batch_wide(q[:8], k=K, ef=64, frontier=16, steps=4)
-    log(f"enable_wide: {time.perf_counter() - t0:.0f}s")
-    results["hnsw_wide"] = []
-    for ef, F, T in [(1024, 160, 10), (1280, 224, 10), (1536, 256, 10)]:
-        def run(v, ef=ef, F=F, T=T):
-            return index.search_batch_wide(np.asarray(v), k=K, ef=ef,
-                                           frontier=F, steps=T)[0]
+    # inline neighbor blocks (inline tables are 2M*dims B/row — only
+    # built when the exact-wide section runs; PQ-wide doesn't use them)
+    if want("wide") or want("widepq"):
+        t0 = time.perf_counter()
+        index.enable_wide(dims=128, seeds=16384, inline=want("wide"))
+        log(f"enable_wide: {time.perf_counter() - t0:.0f}s")
+    if want("wide"):
+        index.search_batch_wide(q[:8], k=K, ef=64, frontier=16, steps=4)
+        results["hnsw_wide"] = []
+        for ef, F, T in [(1024, 160, 10), (1280, 224, 10), (1536, 256, 10)]:
+            def run(v, ef=ef, F=F, T=T):
+                return index.search_batch_wide(np.asarray(v), k=K, ef=ef,
+                                               frontier=F, steps=T)[0]
 
-        _, ids = index.search_batch_wide(q, k=K, ef=ef, frontier=F,
-                                         steps=T)
-        qps = timed(run, qd, B)
-        rec = recall_of(ids, gt, K)
-        log(f"hnsw-wide ef={ef} F={F} T={T}: recall={rec:.3f} qps={qps:.0f}")
-        results["hnsw_wide"].append(
-            {"ef": ef, "F": F, "T": T, "recall": rec, "qps": qps})
+            _, ids = index.search_batch_wide(q, k=K, ef=ef, frontier=F,
+                                             steps=T)
+            qps = timed(run, qd, B)
+            rec = recall_of(ids, gt, K)
+            log(f"hnsw-wide ef={ef} F={F} T={T}: recall={rec:.3f} "
+                f"qps={qps:.0f}")
+            results["hnsw_wide"].append(
+                {"ef": ef, "F": F, "T": T, "recall": rec, "qps": qps})
+        save()
 
-    for ef in [200, 400]:
-        def run(v, ef=ef):
-            return index.search_batch(np.asarray(v), k=K, ef=ef, expand=4)[0]
+    if want("hnsw"):
+        results["hnsw"] = []
+        for ef in [200, 400]:
+            def run(v, ef=ef):
+                return index.search_batch(np.asarray(v), k=K, ef=ef,
+                                          expand=4)[0]
 
-        _, ids = index.search_batch(q, k=K, ef=ef, expand=4)
-        qps = timed(run, qd, B)
-        rec = recall_of(ids, gt, K)
-        log(f"hnsw ef={ef}: recall={rec:.3f} qps={qps:.0f}")
-        results["hnsw"].append({"ef": ef, "recall": rec, "qps": qps})
+            _, ids = index.search_batch(q, k=K, ef=ef, expand=4)
+            qps = timed(run, qd, B)
+            rec = recall_of(ids, gt, K)
+            log(f"hnsw ef={ef}: recall={rec:.3f} qps={qps:.0f}")
+            results["hnsw"].append({"ef": ef, "recall": rec, "qps": qps})
+        save()
 
-    # projected traversal (pHNSW-style): PCA-128 bf16 mirror beam
-    t0 = time.perf_counter()
-    index.enable_rp(dims=128)
-    index.search_batch_rp(q[:8], k=K, ef=16)  # build mirror
-    log(f"hnsw enable_rp: {time.perf_counter() - t0:.0f}s")
-    results["hnsw_rp"] = []
-    for ef in [200, 400, 600]:
-        def run(v, ef=ef):
-            return index.search_batch_rp(np.asarray(v), k=K, ef=ef,
-                                         expand=4)[0]
+    if want("rp"):
+        # projected traversal (pHNSW-style): PCA-128 bf16 mirror beam
+        t0 = time.perf_counter()
+        index.enable_rp(dims=128)
+        index.search_batch_rp(q[:8], k=K, ef=16)  # build mirror
+        log(f"hnsw enable_rp: {time.perf_counter() - t0:.0f}s")
+        results["hnsw_rp"] = []
+        for ef in [200, 400, 600]:
+            def run(v, ef=ef):
+                return index.search_batch_rp(np.asarray(v), k=K, ef=ef,
+                                             expand=4)[0]
 
-        _, ids = index.search_batch_rp(q, k=K, ef=ef, expand=4)
-        qps = timed(run, qd, B)
-        rec = recall_of(ids, gt, K)
-        log(f"hnsw-rp ef={ef}: recall={rec:.3f} qps={qps:.0f}")
-        results["hnsw_rp"].append({"ef": ef, "recall": rec, "qps": qps})
+            _, ids = index.search_batch_rp(q, k=K, ef=ef, expand=4)
+            qps = timed(run, qd, B)
+            rec = recall_of(ids, gt, K)
+            log(f"hnsw-rp ef={ef}: recall={rec:.3f} qps={qps:.0f}")
+            results["hnsw_rp"].append({"ef": ef, "recall": rec, "qps": qps})
+        save()
 
-    t0 = time.perf_counter()
-    index.enable_pq(chunks=16, ksub=256, opq_iters=8)
-    log(f"enable_pq(opq): {time.perf_counter() - t0:.0f}s")
-    for ef in [400]:
+    if want("opq") or want("widepq"):
+        t0 = time.perf_counter()
+        index.enable_pq(chunks=16, ksub=256, opq_iters=8)
+        log(f"enable_pq(opq): {time.perf_counter() - t0:.0f}s")
+        if want("opq") and want("widepq"):
+            results["hnsw_opq"] = []
+    for ef in ([400] if want("opq") else []):
         def run(v, ef=ef):
             return index.search_batch_pq(np.asarray(v), k=K, ef=ef,
                                          expand=4)[0]
@@ -191,7 +226,8 @@ def main():
 
     # HNSW-over-PQ with wide-beam mechanics (round 3): ADC-scored
     # traversal from the PQ-decoded mirror, full-pool exact rerank
-    for ef, F, T in [(1536, 256, 10), (2048, 320, 10)]:
+    for ef, F, T in ([(1536, 256, 10), (2048, 320, 10)]
+                     if want("widepq") else []):
         def run(v, ef=ef, F=F, T=T):
             return index.search_batch_wide(
                 np.asarray(v), k=K, ef=ef, frontier=F, steps=T,
@@ -205,6 +241,11 @@ def main():
         results["hnsw_opq"].append(
             {"ef": ef, "F": F, "T": T, "mode": "wide", "recall": rec,
              "qps": qps})
+    save()
+
+    if not want("ivf"):
+        log(json.dumps(results))
+        return
 
     # ---- IVF modes: the scale-path ANN story ----
     # free the HNSW tables first (graph + PQ mirrors); the IVF index owns
