@@ -98,7 +98,10 @@ vector_db: {{file_path: {tmp}/data/vdb, dimension: {dim}, capacity: {n_docs + 10
 
         batch = int(os.environ.get("BENCH_API_INGEST_BATCH", 1000))
         t0 = time.perf_counter()
-        with httpx.Client(timeout=300) as client:
+        # generous read timeout: a batch that lands on a new power-of-two
+        # capacity bucket triggers an XLA recompile of the insert program
+        # (minutes on CPU at 100k scale) while the server holds the request
+        with httpx.Client(timeout=httpx.Timeout(1800, connect=10)) as client:
             for s in range(0, n_docs, batch):
                 docs = [doc(i) for i in range(s, min(s + batch, n_docs))]
                 r = client.post(base + "/embed/batch-docs", json={

@@ -782,11 +782,20 @@ class HNSW:
         nbr0 = self.graph.neighbors[:, : 2 * self.M]
         inline_tabs = (getattr(self, "_wb_inline_tabs", None)
                        if score == "exact" else None)
+        # mirror-row scoring: cap the per-step [B, F*W, dpa] gather temp
+        # at ~2M rows (one-shot at B=1024, F=256 is a 4 GB padded gather
+        # + f32 convert — OOMed 16G HBM at 1M x 768)
+        score_chunks = 1
+        if inline_tabs is None:
+            rows = queries.shape[0] * frontier * nbr0.shape[1]
+            while (rows // score_chunks > 2_097_152
+                   and (frontier * nbr0.shape[1]) % (2 * score_chunks) == 0):
+                score_chunks *= 2
         d_sq, slots = WB.wide_search(
             nbr0, aug, self._emb, self._has_emb, seeds, q_dev, qa,
             ef=ef, F=frontier, T=steps, k=k, rerank_k=rerank_k,
             dedup_window=dedup_window, seen_mask=seen_mask,
-            inline_tabs=inline_tabs,
+            inline_tabs=inline_tabs, score_chunks=score_chunks,
         )
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]

@@ -176,7 +176,7 @@ def aug_queries(
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "F", "T", "k", "rerank_k", "dedup_window",
-                     "seen_mask"),
+                     "seen_mask", "score_chunks"),
 )
 def wide_search(
     neighbors0: jnp.ndarray,   # int32[capacity, W] level-0 adjacency
@@ -194,6 +194,7 @@ def wide_search(
     dedup_window: int = 16,
     seen_mask: bool = True,
     inline_tabs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    score_chunks: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched wide-beam search. Returns (d_sq f32[B, k], slots int32[B, k])
     sorted ascending, (BIG, -1) padded; distances exact (difference-form
@@ -290,6 +291,24 @@ def wide_search(
                 - (2.0 * q_scale)[:, None, None] * scl
                 * dots.astype(jnp.float32)
             ).reshape(B, -1)
+        elif score_chunks > 1:
+            # bound the [B, K, dpa] mirror gather + f32 score temp: at
+            # B=1024, F=256, W=32 the one-shot gather is 4 GB padded
+            # (and XLA materializes an f32 convert of it) — chunking the
+            # candidate axis through a scan caps the live temp at
+            # ~B*K/score_chunks rows with no semantic change
+            Kc = cand.shape[1] // score_chunks
+            cs = jnp.maximum(cand, 0).reshape(
+                B, score_chunks, Kc).transpose(1, 0, 2)
+
+            def sc(_, cc):
+                d_c = jnp.einsum(
+                    "bkd,bd->bk", aug[cc], qa16,
+                    preferred_element_type=jnp.float32)
+                return None, d_c
+
+            _, d_parts = jax.lax.scan(sc, None, cs)
+            d_new = d_parts.transpose(1, 0, 2).reshape(B, -1)
         else:
             c_safe = jnp.maximum(cand, 0)
             rows = aug[c_safe]                        # [B, K, dpa]
