@@ -155,16 +155,23 @@ def _ivf_pq_probe_cells(
             # LUT lookups as a one-hot MXU contraction: per-element LUT
             # gathers execute at VPU scalar-issue rate (~4M/s measured) —
             # the 152-qps bottleneck of this mode at 1M x 128 (round-2
-            # BENCH_SIFT). bf16 LUT noise (~0.4% per subspace term) only
-            # affects SELECTION; the fetch-wide exact rerank reports true
-            # distances.
+            # BENCH_SIFT). The LUT rides the MXU as a hi+lo bf16 pair
+            # (hi = bf16 round, lo = bf16 of the remainder): the one-hot
+            # operand is exact 0/1, so two contractions reproduce the f32
+            # LUT sum to ~2^-16 — plain single-bf16 LUT noise (~0.4% per
+            # term) measurably cost 6 recall points at the fetch boundary
+            # (0.824 vs 0.885 at n_probe=16, 1M x 128).
             oh = (codes[:, :, None].astype(jnp.int32)
                   == jnp.arange(ksub, dtype=jnp.int32)[None, None, :]
                   ).astype(jnp.bfloat16)                     # [P, m, ksub]
-            d = jnp.einsum(
-                "pmk,mk->p", oh,
-                lut_row.reshape(m, ksub).astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
+            lut_mk = lut_row.reshape(m, ksub)
+            lut_hi = lut_mk.astype(jnp.bfloat16)
+            lut_lo = (lut_mk - lut_hi.astype(jnp.float32)
+                      ).astype(jnp.bfloat16)
+            d = (jnp.einsum("pmk,mk->p", oh, lut_hi,
+                            preferred_element_type=jnp.float32)
+                 + jnp.einsum("pmk,mk->p", oh, lut_lo,
+                              preferred_element_type=jnp.float32))
         else:
             idx = codes.astype(jnp.int32) + offs             # [P, m]
             d = jnp.sum(lut_row[idx], axis=-1)               # [P]
@@ -551,7 +558,11 @@ def _ivf_pq_scan_cells(
 
     def block_fn(args):
         q_b, lut_b, corr_b = args                      # [Q, ...]
+        # hi+lo bf16 LUT pair: the one-hot operand is exact, so two
+        # contractions recover the f32 LUT sum to ~2^-16 (single-bf16
+        # LUT rounding measurably cost recall at the fetch boundary)
         lut16 = lut_b.astype(jnp.bfloat16)             # [Q, m*ksub]
+        lut_lo = (lut_b - lut16.astype(jnp.float32)).astype(jnp.bfloat16)
 
         init = (jnp.full((qblock, fetch), BIG, jnp.float32),
                 jnp.full((qblock, fetch), -1, jnp.int32))
@@ -575,6 +586,9 @@ def _ivf_pq_scan_cells(
                 ).reshape(p_tile, gsz * ksub)
                 acc = acc + jnp.dot(
                     lut16[:, j0 * ksub:(j0 + gsz) * ksub], oh.T,
+                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(
+                    lut_lo[:, j0 * ksub:(j0 + gsz) * ksub], oh.T,
                     preferred_element_type=jnp.float32)
             score = acc + s_t.reshape(p_tile)[None]
             if residual:
