@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Retry on-chip (Mosaic) compilation of the two Pallas kernels and, when
+they compile, measure them against the XLA production paths.
+
+The remote relay's tpu_compile_helper has intermittently crashed (HTTP
+500) on Mosaic compiles — this script captures the FULL error text so a
+toolchain failure is distinguishable from a kernel bug, and merges the
+outcome into BENCH_PALLAS.json under "on_chip_r3".
+
+Run: python scripts/pallas_onchip.py (needs the real TPU).
+"""
+
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    from vector_db_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from vector_db_tpu.ops.pallas.adc_scan import adc_topk
+    from vector_db_tpu.ops.pallas.l2_topk import l2_topk
+
+    log(str(jax.devices()))
+    out = {"l2_topk": {}, "adc_topk": {}}
+
+    # ---- small-shape compile + correctness probes ----
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((4096, 128)).astype(np.float32))
+    valid = jnp.ones((4096,), bool)
+    q = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+
+    try:
+        t0 = time.perf_counter()
+        d, i = l2_topk(q, emb, valid, k=10, tile=1024)
+        jax.block_until_ready(i)
+        # host oracle
+        dd = ((np.asarray(q)[:, None, :] - np.asarray(emb)[None, :, :]) ** 2
+              ).sum(-1)
+        gt = np.argsort(dd, axis=1)[:, :10]
+        agree = float(np.mean([
+            len(set(np.asarray(i)[r].tolist()) & set(gt[r].tolist())) / 10
+            for r in range(8)]))
+        out["l2_topk"]["small"] = {
+            "compiled_on_chip": True,
+            "compile_run_s": round(time.perf_counter() - t0, 1),
+            "id_agreement_vs_host": agree,
+        }
+        log(f"l2_topk small OK (agreement {agree})")
+    except Exception:
+        out["l2_topk"]["small"] = {"compiled_on_chip": False,
+                                   "error": traceback.format_exc()[-3000:]}
+        log("l2_topk small FAILED")
+
+    codes = jnp.asarray(rng.integers(0, 256, (4096, 16)).astype(np.int32))
+    lut = jnp.asarray(rng.random((8, 16, 256)).astype(np.float32))
+    try:
+        t0 = time.perf_counter()
+        d, i = adc_topk(lut, codes, valid, k=10, tile=512)
+        jax.block_until_ready(i)
+        # oracle: interpret-mode kernel (tests prove it equals XLA ADC)
+        d2, i2 = adc_topk(lut, codes, valid, k=10, tile=512, interpret=True)
+        same = bool(np.array_equal(np.asarray(i), np.asarray(i2)))
+        out["adc_topk"]["small"] = {
+            "compiled_on_chip": True,
+            "compile_run_s": round(time.perf_counter() - t0, 1),
+            "ids_equal_interpret": same,
+        }
+        log(f"adc_topk small OK (ids_equal_interpret {same})")
+    except Exception:
+        out["adc_topk"]["small"] = {"compiled_on_chip": False,
+                                    "error": traceback.format_exc()[-3000:]}
+        log("adc_topk small FAILED")
+
+    # ---- 1M ADC head-to-head vs the XLA one-hot path (if compiled) ----
+    if out["adc_topk"]["small"].get("compiled_on_chip"):
+        N, M_SUB, KSUB, B = 1_000_000, 16, 256, 128
+        codes_b = jnp.asarray(
+            rng.integers(0, KSUB, (N, M_SUB)).astype(np.int32))
+        valid_b = jnp.ones((N,), bool)
+        lut_b = jnp.asarray(
+            rng.random((B, M_SUB, KSUB)).astype(np.float32))
+        try:
+            t0 = time.perf_counter()
+            d, i = adc_topk(lut_b, codes_b, valid_b, k=10, tile=2048)
+            jax.block_until_ready(i)
+            compile_s = time.perf_counter() - t0
+            ts = []
+            for r in range(3):
+                lv = lut_b * (1.0 + (r + 1) * 1e-6)
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    adc_topk(lv, codes_b, valid_b, k=10, tile=2048))
+                ts.append(time.perf_counter() - t0)
+            out["adc_topk"]["head_to_head_1M_m16_B128"] = {
+                "compile_s": round(compile_s, 1),
+                "pallas_qps": round(B / float(np.median(ts))),
+            }
+            log(f"adc 1M pallas qps={B / float(np.median(ts)):.0f}")
+        except Exception:
+            out["adc_topk"]["head_to_head_1M_m16_B128"] = {
+                "compiled_on_chip": False,
+                "error": traceback.format_exc()[-3000:]}
+            log("adc 1M FAILED")
+
+        # XLA one-hot ADC comparison at the same shape
+        try:
+            from vector_db_tpu.index.pq import _adc_search_matmul
+
+            dx, ix = _adc_search_matmul(lut_b, codes_b, valid_b,
+                                        top_k=10, k=KSUB)
+            jax.block_until_ready(ix)
+            ts = []
+            for r in range(3):
+                lv = lut_b * (1.0 + (r + 1) * 1e-6)
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    _adc_search_matmul(lv, codes_b, valid_b,
+                                       top_k=10, k=KSUB))
+                ts.append(time.perf_counter() - t0)
+            out["adc_topk"]["xla_onehot_same_shape_qps"] = round(
+                B / float(np.median(ts)))
+        except Exception:
+            out["adc_topk"]["xla_onehot_same_shape_qps"] = None
+
+    prev = json.loads(Path("BENCH_PALLAS.json").read_text())
+    prev["on_chip_r3"] = out
+    Path("BENCH_PALLAS.json").write_text(json.dumps(prev, indent=1))
+    log("wrote BENCH_PALLAS.json")
+
+
+if __name__ == "__main__":
+    main()
