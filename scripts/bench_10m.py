@@ -45,7 +45,11 @@ def main():
     import jax.numpy as jnp
 
     N = int(os.environ.get("BENCH10M_N", 10_000_000))
-    DIM, DP, B, K = 768, 128, 1000, 10
+    # DP=120 keeps the augmented row (DP + 8) at exactly 128 lanes: a
+    # 136-wide bf16 table tiles at (8,128)x2 = 1.9x padding waste — 4.8G
+    # instead of 2.6G for the 10M mirror, which (plus the search
+    # program's layout copy of it) OOMed the 16G chip
+    DIM, DP, B, K = 768, 120, 1000, 10
     QS = 100  # query slice per inner step: bounds phase-2 gather memory
     CHUNK = 131072
     n_chunks = (N + CHUNK - 1) // CHUNK

@@ -154,7 +154,7 @@ def main():
     # built when the exact-wide section runs; PQ-wide doesn't use them)
     if want("wide") or want("widepq"):
         t0 = time.perf_counter()
-        index.enable_wide(dims=128, seeds=16384, inline=want("wide"))
+        index.enable_wide(dims=120, seeds=16384, inline=want("wide"))
         log(f"enable_wide: {time.perf_counter() - t0:.0f}s")
     if want("wide"):
         index.search_batch_wide(q[:8], k=K, ef=64, frontier=16, steps=4)

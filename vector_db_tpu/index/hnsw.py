@@ -656,7 +656,7 @@ class HNSW:
         _, v = np.linalg.eigh(cov.astype(np.float64))
         return jnp.asarray(v[:, ::-1][:, :dims].astype(np.float32))
 
-    def enable_wide(self, dims: int | None = 128, seeds: int = 4096,
+    def enable_wide(self, dims: int | None = 120, seeds: int = 4096,
                     train_sample: int = 131072, seed: int = 0,
                     inline: bool = False) -> None:
         """Activate wide-beam search (see index/wide_beam.py): builds the
@@ -667,7 +667,12 @@ class HNSW:
 
         ``dims=None`` mirrors the full embedding (no projection) — exact
         bf16 traversal scores. The mirror itself rebuilds lazily per
-        search when the table or the graph changed."""
+        search when the table or the graph changed.
+
+        Default dims=120 keeps the augmented row (dims + 8) at exactly
+        128 lanes: a 136-wide bf16 mirror tiles at 1.9x padding on TPU,
+        which doubles every mirror-row gather and score matmul in the
+        hot loop (and the resident mirror itself)."""
         if self.graph is None or self.size == 0:
             raise ValueError("index must contain vectors before enable_wide")
         if dims is None or dims >= self._dim:

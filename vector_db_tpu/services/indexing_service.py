@@ -84,7 +84,9 @@ class IndexingService:
         # queries once active. dims: 0 = full-dim mirror.
         wide_cfg = index_config.get("wide") or {}
         self._wide_on = bool(wide_cfg.get("enabled", bool(wide_cfg)))
-        self._wide_dims = int(wide_cfg.get("dims", 128) or 0) or None
+        # 120 keeps the augmented mirror row at exactly 128 lanes (see
+        # HNSW.enable_wide)
+        self._wide_dims = int(wide_cfg.get("dims", 120) or 0) or None
         self._wide_seeds = int(wide_cfg.get("seeds", 4096))
         self._wide_frontier = int(wide_cfg.get("frontier", 0))
         self._wide_steps = int(wide_cfg.get("steps", 0))
