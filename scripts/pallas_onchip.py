@@ -70,10 +70,10 @@ def main():
     lut = jnp.asarray(rng.random((8, 16, 256)).astype(np.float32))
     try:
         t0 = time.perf_counter()
-        d, i = adc_topk(lut, codes, valid, k=10, tile=512)
+        d, i = adc_topk(lut, codes, valid, k=10, tile=1024)
         jax.block_until_ready(i)
         # oracle: interpret-mode kernel (tests prove it equals XLA ADC)
-        d2, i2 = adc_topk(lut, codes, valid, k=10, tile=512, interpret=True)
+        d2, i2 = adc_topk(lut, codes, valid, k=10, tile=1024, interpret=True)
         same = bool(np.array_equal(np.asarray(i), np.asarray(i2)))
         out["adc_topk"]["small"] = {
             "compiled_on_chip": True,
@@ -96,7 +96,7 @@ def main():
             rng.random((B, M_SUB, KSUB)).astype(np.float32))
         try:
             t0 = time.perf_counter()
-            d, i = adc_topk(lut_b, codes_b, valid_b, k=10, tile=2048)
+            d, i = adc_topk(lut_b, codes_b, valid_b, k=10, tile=1024)
             jax.block_until_ready(i)
             compile_s = time.perf_counter() - t0
             ts = []
@@ -104,7 +104,7 @@ def main():
                 lv = lut_b * (1.0 + (r + 1) * 1e-6)
                 t0 = time.perf_counter()
                 jax.block_until_ready(
-                    adc_topk(lv, codes_b, valid_b, k=10, tile=2048))
+                    adc_topk(lv, codes_b, valid_b, k=10, tile=1024))
                 ts.append(time.perf_counter() - t0)
             out["adc_topk"]["head_to_head_1M_m16_B128"] = {
                 "compile_s": round(compile_s, 1),

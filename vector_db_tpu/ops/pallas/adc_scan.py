@@ -9,13 +9,15 @@ work), and the per-query top-k state lives in revisited output blocks —
 same iterative min-extraction as ops.pallas.l2_topk, no sort, and no
 [B, N] distance matrix.
 
-Status: validated in interpret mode (tests) and correct vs the XLA ADC
-paths. On this environment's remote-compile TPU relay, Mosaic kernel
-compiles currently crash the compile-helper subprocess (all pallas kernels
-affected, including ones that compiled earlier in the session) — the XLA
-one-hot-matmul ADC path (index/pq.py:_adc_search_matmul) is the production
-route until the toolchain recovers; this kernel removes the [B, tile]
-HLO intermediates once it does.
+Status: compiles and executes ON-CHIP at tile=1024 (round 3), bit-equal
+to interpret mode; also validated vs the XLA ADC paths in tests. The 1-D
+operand blocks (codes column tiles, valid) must match XLA's 1-D layout
+tiling — T(1024) for these shapes — or Mosaic rejects the kernel
+("XLA layout does not match Mosaic layout"); tile=512 and tile=2048 both
+fail that check, so tile=1024 is the default and the supported setting.
+The XLA one-hot-matmul ADC path (index/pq.py:_adc_search_matmul) remains
+the production route for batch scans (it amortizes the LUT contraction
+over the whole query block); this kernel serves the latency mode.
 """
 
 from __future__ import annotations
@@ -80,7 +82,7 @@ def adc_topk(
     codes: jnp.ndarray,   # int32[N, m]
     valid: jnp.ndarray,   # bool[N]
     k: int,
-    tile: int = 512,
+    tile: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k smallest ADC distances. Returns (f32[B, k], int32[B, k]),
