@@ -33,3 +33,18 @@ def test_adc_topk_valid_mask(rng):
     _, ids = adc_topk(lut, jnp.asarray(codes, jnp.int32),
                       jnp.asarray(valid), 5, tile=64, interpret=True)
     assert 7 not in np.asarray(ids)[0]
+
+
+def test_adc_search_pallas_mode_matches_matmul(rng):
+    """PQCodec.adc_search(mode='pallas') routes through the fused kernel
+    (interpret off-TPU) and must agree with the production matmul path."""
+    from vector_db_tpu.index.pq import PQCodec
+
+    emb = rng.standard_normal((600, 32)).astype("float32")
+    codec = PQCodec(k=16, chunks=4, dim=32)
+    codec.train(emb, seed=0)
+    codes = codec.encode(emb)
+    q = rng.standard_normal((5, 32)).astype("float32")
+    d_m, i_m = codec.adc_search(q, codes, top_k=8, mode="matmul")
+    d_p, i_p = codec.adc_search(q, codes, top_k=8, mode="pallas")
+    assert (i_m == i_p).mean() > 0.9  # f32 sum-order ties may differ

@@ -357,7 +357,11 @@ class PQCodec:
         """Asymmetric-distance top-k over an encoded corpus.
 
         mode="matmul" (default) runs the one-hot MXU formulation; "gather"
-        is the direct LUT-gather reference semantics.
+        is the direct LUT-gather reference semantics; "pallas" runs the
+        fused on-chip kernel (ops/pallas/adc_scan.py) — measured 1.77x
+        the matmul path at 1M codes for a <=128-query block
+        (BENCH_PALLAS.json), the latency-mode winner. Off-TPU the pallas
+        route falls back to interpret mode (slow; tests only).
         Returns (approx squared L2 f32[B, top_k], row indices int32[B, top_k]).
         """
         lut = self.adc_lut(queries)
@@ -369,6 +373,14 @@ class PQCodec:
             d, i = _adc_search_matmul(
                 lut, codes, valid, int(top_k), self.k, tile=tile
             )
+        elif mode == "pallas":
+            import jax
+
+            from vector_db_tpu.ops.pallas.adc_scan import adc_topk
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            d, i = adc_topk(lut, codes, valid, int(top_k),
+                            interpret=interp)
         else:
             d, i = _adc_search(lut, codes, valid, int(top_k))
         return np.asarray(d), np.asarray(i)
