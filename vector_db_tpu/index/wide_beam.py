@@ -148,11 +148,20 @@ def build_inline_tables(
         emb, proj, preferred_element_type=jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(x_m), axis=1), 1e-9) / 127.0
     xi8 = jnp.round(x_m / scale[:, None]).astype(jnp.int8)
+    # pad the quantized mirror to a 128-lane multiple HERE: a [*, W, dp]
+    # int8 block with dp % 128 != 0 makes XLA materialize a padded
+    # layout COPY of the whole table inside the search program (3.8 GB
+    # at 1M, W=32, dp=120 — OOMed); explicit zero columns cost nothing
+    # in the dot products and keep the table in its final layout
+    lane_pad = (-xi8.shape[1]) % 128
+    if lane_pad:
+        xi8 = jnp.concatenate(
+            [xi8, jnp.zeros((xi8.shape[0], lane_pad), jnp.int8)], axis=1)
     xsq = jnp.sum(emb * emb, axis=-1)
     xsq = jnp.where(has_emb, xsq, BIG)
     safe = jnp.maximum(neighbors0, 0)
     ok = neighbors0 >= 0
-    nbr_i8 = xi8[safe]                                   # [cap, W, dp]
+    nbr_i8 = xi8[safe]                                   # [cap, W, dp128]
     nbr_scale = jnp.where(ok, scale[safe], 0.0)
     nbr_xsq = jnp.where(ok, xsq[safe], BIG)
     return nbr_i8, nbr_scale, nbr_xsq
@@ -245,9 +254,20 @@ def wide_search(
     if inline_tabs is not None:
         # int8 query mirror: int8 x int8 lands natively on the MXU and
         # skips the [B, K, dp] bf16 cast materialization (measured 24% of
-        # the step). Selection-only noise; rerank is exact.
+        # the step). Selection-only noise; rerank is exact. The inline
+        # table is lane-padded to a 128 multiple; columns at/after the
+        # aug xsq position (dpa-8) are not mirror data — zero them so the
+        # query's [.., 1, 0..] tail neither skews q_scale nor scores
+        # against the table's zero padding.
         dp_i = inline_tabs[0].shape[-1]
-        qm = queries_aug[:, :dp_i]
+        dp_real = queries_aug.shape[1] - 8
+        qm = queries_aug[:, : min(dp_i, queries_aug.shape[1])]
+        if qm.shape[1] < dp_i:
+            qm = jnp.concatenate(
+                [qm, jnp.zeros((B, dp_i - qm.shape[1]), qm.dtype)], axis=1)
+        if dp_i > dp_real:
+            qm = jnp.where(
+                jnp.arange(dp_i)[None, :] < dp_real, qm, 0.0)
         q_scale = jnp.maximum(jnp.max(jnp.abs(qm), axis=1), 1e-9) / 127.0
         q_i8 = jnp.round(qm / q_scale[:, None]).astype(jnp.int8)
 
