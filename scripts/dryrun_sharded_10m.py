@@ -114,8 +114,13 @@ def main():
             xi8 = jnp.round(x / scale[:, None]).astype(jnp.int8)
             return (-md, mids), (aug, xi8, scale, xsq)
 
-        init = (jnp.full((B, K), 3e38, jnp.float32),
-                jnp.full((B, K), -1, jnp.int32))
+        # the carry becomes shard-varying inside the scan (it folds
+        # sid-dependent chunks); the init must carry the same varying
+        # manual axes or shard_map rejects the scan body
+        init = jax.lax.pcast(
+            (jnp.full((B, K), 3e38, jnp.float32),
+             jnp.full((B, K), -1, jnp.int32)),
+            ("shard",), to="varying")
         (gd, gi), (aug, xi8, scales, xsq) = jax.lax.scan(
             body, init, jnp.arange(n_chunks, dtype=jnp.int32))
         return (gd.reshape(1, -1), aug.reshape(1, shard_pad, DP + 8),
@@ -157,7 +162,8 @@ def main():
         qa = jnp.concatenate(
             [qm, jnp.ones((B, 1), jnp.float32),
              jnp.zeros((B, 7), jnp.float32)], axis=1)
-        tile = CHUNK * 4
+        # largest CHUNK multiple <= 4 chunks that divides the shard
+        tile = CHUNK * max(m for m in range(1, 5) if n_chunks % m == 0)
 
         def p1(_, t):
             blk = jax.lax.dynamic_slice(aug, (t * tile, 0),
