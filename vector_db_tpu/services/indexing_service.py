@@ -90,6 +90,10 @@ class IndexingService:
         self._wide_seeds = int(wide_cfg.get("seeds", 4096))
         self._wide_frontier = int(wide_cfg.get("frontier", 0))
         self._wide_steps = int(wide_cfg.get("steps", 0))
+        # window dedup alone is the measured 1M pareto (~25% QPS for
+        # <=0.5 recall points, EXP_WIDE.json); set seen_mask: true to
+        # keep the pre-merge pool-membership compare
+        self._wide_seen = bool(wide_cfg.get("seen_mask", False))
         self._wide_min_size = int(wide_cfg.get("min_size", 4096))
         self._wide_active = False
 
@@ -343,7 +347,7 @@ class IndexingService:
             dists, ids = self.index.search_batch_wide(
                 np.asarray(query, np.float32)[None, :], k,
                 ef=max(4 * max(ef, k), 64), frontier=self._wide_frontier,
-                steps=self._wide_steps,
+                steps=self._wide_steps, seen_mask=self._wide_seen,
             )
             return self._resolve(dists, ids, k)
         if kwargs.get("filter_ids") is None and self._maybe_enable_hnsw_rp():
@@ -451,6 +455,7 @@ class IndexingService:
             return self.index.search_batch_wide(
                 queries, k, ef=max(4 * max(ef, k), 64),
                 frontier=self._wide_frontier, steps=self._wide_steps,
+                seen_mask=self._wide_seen,
             )
         return self.index.search_batch(queries, k, **kwargs)
 
