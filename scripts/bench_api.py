@@ -119,8 +119,14 @@ vector_db: {{file_path: {tmp}/data/vdb, dimension: {dim}, capacity: {n_docs + 10
         log(f"ingest: {n_docs / ingest_s:.0f} docs/s")
 
         # ---- single-query latency (sequential, percentiles) ----
+        # warm (untimed): the first search at the grown corpus size
+        # compiles a fresh kernel server-side (minutes on CPU) — do it
+        # outside the latency loop with a compile-sized timeout
+        with httpx.Client(timeout=httpx.Timeout(1800, connect=10)) as c:
+            c.post(base + "/search", json={"query": "warm", "top_k": 10,
+                                           "ef": 100}).raise_for_status()
         lat = []
-        with httpx.Client(timeout=60) as client:
+        with httpx.Client(timeout=600) as client:
             for i in range(200):
                 q = {"query": f"doc {rng.integers(n_docs)}: alpha beta",
                      "top_k": 10, "ef": 100}
@@ -142,8 +148,13 @@ vector_db: {{file_path: {tmp}/data/vdb, dimension: {dim}, capacity: {n_docs + 10
         queries = [f"doc {rng.integers(n_docs)}: " +
                    " ".join(rng.choice(words, size=4))
                    for _ in range(n_queries)]
+        with httpx.Client(timeout=httpx.Timeout(1800, connect=10)) as c:
+            # warm the batch shape (fresh compile server-side)
+            c.post(base + "/search/batch", json={
+                "queries": queries[:qbatch], "top_k": 10,
+                "ef": 100}).raise_for_status()
         t0 = time.perf_counter()
-        with httpx.Client(timeout=300) as client:
+        with httpx.Client(timeout=600) as client:
             for s in range(0, n_queries, qbatch):
                 r = client.post(base + "/search/batch", json={
                     "queries": queries[s : s + qbatch], "top_k": 10,
@@ -156,7 +167,7 @@ vector_db: {{file_path: {tmp}/data/vdb, dimension: {dim}, capacity: {n_docs + 10
         log(f"batch search: {n_queries / el:.0f} qps (batch={qbatch})")
 
         # ---- filtered search sanity + latency ----
-        with httpx.Client(timeout=60) as client:
+        with httpx.Client(timeout=600) as client:
             t0 = time.perf_counter()
             r = client.post(base + "/search", json={
                 "query": "doc 5: alpha", "top_k": 5,
