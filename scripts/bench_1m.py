@@ -128,18 +128,22 @@ def main():
         from vector_db_tpu.ops.exact import block_select_search
 
         for name, tab, extra in [
-            ("blocksel_exact", index._emb, {"exact_phase1": True}),
-            ("blocksel_bf16", emb16, {}),
+            # exact block selection (round-3 fix): blocks_k=K is lossless,
+            # so blocksel_exact is provably recall 1.0
+            ("blocksel_exact", index._emb,
+             {"exact_phase1": True, "blocks_k": K}),
+            ("blocksel_bf16", emb16, {"blocks_k": 2 * K}),
+            ("blocksel_bf16_k", emb16, {"blocks_k": K}),
         ]:
             # tile must be a multiple of block=128 (kernel pads N to tile)
             def run(v, tab=tab, extra=extra):
                 return block_select_search(
                     v, tab, v, x_sq, index._emb, index._has_emb, K,
-                    tile=131072, blocks_k=2 * K, **extra)[0]
+                    tile=131072, **extra)[0]
 
             _, ids = block_select_search(
                 qd, tab, qd, x_sq, index._emb, index._has_emb, K,
-                tile=131072, blocks_k=2 * K, **extra)
+                tile=131072, **extra)
             qps = timed(run, qd, B)
             rec = recall_of(np.asarray(ids), gt, K)
             log(f"{name}: recall={rec:.4f} qps={qps:.0f}")

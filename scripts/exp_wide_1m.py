@@ -134,10 +134,10 @@ def main():
         grid = [(256, 32, 12, 16, True)]
     else:
         grid = [
-            (1536, 240, 10, 16, False),
-            (1536, 288, 10, 16, False),
-            (1792, 288, 9, 16, False),
             (1280, 224, 10, 16, False),
+            (1280, 224, 9, 16, False),
+            (1280, 256, 8, 16, False),
+            (1280, 192, 11, 16, False),
         ]
     results = []
     for ef, F, T, W, seen in grid:

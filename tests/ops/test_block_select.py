@@ -53,6 +53,33 @@ def test_bf16_phase1_high_recall_exact_distances(data):
                                    rtol=1e-4)
 
 
+def test_exact_phase1_minimal_blocks_k_still_lossless(data):
+    # the selection identity needs only blocks_k >= k under EXACT block
+    # selection (the default); blocks_k=k halves phase-2 gather traffic
+    xd, qd, valid = data
+    xsq = jnp.sum(xd * xd, -1)
+    gd, gi = exact_search_tiled(qd, xd, valid, 10, tile=4096)
+    dd, ii = block_select_search(qd, xd, qd, xsq, xd, valid, 10,
+                                 tile=4096, block=128, blocks_k=10,
+                                 exact_phase1=True)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(gi))
+
+
+def test_approx_blocks_opt_in(data):
+    # approx_blocks=True restores the hardware partial-reduce; recall may
+    # drop below 1.0 but the path must stay valid and exact-distance
+    xd, qd, valid = data
+    xsq = jnp.sum(xd * xd, -1)
+    gd, gi = exact_search_tiled(qd, xd, valid, 10, tile=4096)
+    dd, ii = block_select_search(qd, xd, qd, xsq, xd, valid, 10,
+                                 tile=4096, block=128, exact_phase1=True,
+                                 approx_blocks=True)
+    ii, gi = np.asarray(ii), np.asarray(gi)
+    rec = np.mean([len(set(ii[i].tolist()) & set(gi[i].tolist())) / 10
+                   for i in range(len(gi))])
+    assert rec >= 0.9
+
+
 def test_masked_rows_never_returned(data):
     xd, qd, valid = data
     xsq = jnp.sum(xd * xd, -1)
