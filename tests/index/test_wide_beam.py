@@ -121,3 +121,29 @@ def test_wide_small_batch_padding(built):
     idx.enable_wide(dims=None, seeds=512)
     d1, i1 = idx.search_batch_wide(q[:3], k=7, ef=128, frontier=16, steps=10)
     assert d1.shape == (3, 7) and i1.shape == (3, 7)
+
+
+def test_beam_recall_vs_brute_force(built):
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    dists, ids = idx.search_batch_beam(q, k=10, frontier=48, steps=14)
+    assert _recall(ids, gt) >= 0.9
+
+
+def test_beam_exact_distances_sorted_no_dups(built):
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    dists, ids = idx.search_batch_beam(q, k=10, frontier=32, steps=10)
+    for i in range(len(q)):
+        valid = ids[i][ids[i] >= 0]
+        assert len(set(valid.tolist())) == len(valid)
+        dref = np.sqrt(((q[i] - x[valid]) ** 2).sum(-1))
+        np.testing.assert_allclose(dists[i][: len(valid)], dref, rtol=1e-4)
+        assert np.all(np.diff(dists[i][: len(valid)]) >= -1e-5)
+
+
+def test_beam_inline_tables_agree(built):
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512, inline=True)
+    _, ids = idx.search_batch_beam(q, k=10, frontier=48, steps=14)
+    assert _recall(ids, gt) >= 0.9

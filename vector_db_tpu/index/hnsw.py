@@ -811,6 +811,63 @@ class HNSW:
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
 
+    def search_batch_beam(
+        self,
+        queries: np.ndarray,
+        k: int,
+        frontier: int = 224,
+        steps: int = 12,
+        rerank_k: int = 0,
+        hist: int = 2,
+        bucket: bool = True,
+        score: str = "exact",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pool-free beam search (requires enable_wide): the merge-light
+        wide-beam variant — see :func:`wide_beam.beam_search`. Same
+        contract as search_batch; ``score="pq"`` traverses on ADC
+        estimates from the PQ-decoded mirror."""
+        from vector_db_tpu.index import wide_beam as WB
+
+        if not hasattr(self, "_wb_n_seeds"):
+            raise ValueError("call enable_wide() first")
+        if score == "pq" and getattr(self, "_pq", None) is None:
+            raise ValueError("score='pq' requires enable_pq()")
+        queries = np.asarray(queries, np.float32)
+        b_orig, k_orig = queries.shape[0], k
+        if self.size == 0 or self.graph is None:
+            return (np.full((b_orig, k), np.inf, np.float32),
+                    np.full((b_orig, k), -1, np.int64))
+        if bucket:
+            def up2(v: int, lo: int = 8) -> int:
+                return max(lo, 1 << (int(v) - 1).bit_length())
+
+            k = up2(k, lo=8)
+            b_pad = up2(b_orig, lo=8) - b_orig
+            if b_pad:
+                queries = np.concatenate(
+                    [queries,
+                     np.zeros((b_pad, queries.shape[1]), np.float32)])
+        rerank_k = rerank_k or max(4 * k, 64)
+        if score == "pq":
+            aug, seeds = self._wide_tables_pq()
+        else:
+            aug, seeds = self._wide_tables()
+        q_dev = jnp.asarray(queries)
+        qa = WB.aug_queries(q_dev, self._wb_proj, aug.shape[1])
+        nbr0 = self.graph.neighbors[:, : 2 * self.M]
+        inline_tabs = (getattr(self, "_wb_inline_tabs", None)
+                       if score == "exact" else None)
+        d_sq, slots = WB.beam_search(
+            nbr0, aug, self._emb, self._has_emb, seeds, q_dev, qa,
+            F=frontier, T=steps, k=k, rerank_k=rerank_k, hist=hist,
+            inline_tabs=inline_tabs,
+        )
+        d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
+        slots = np.asarray(slots)[:b_orig, :k_orig]
+        ids = np.where(slots >= 0, self._id_of_slot[np.maximum(slots, 0)], -1)
+        dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
+        return dists.astype(np.float32), ids
+
     def refresh_pq_codes(self) -> None:
         """Re-encode the device table with the existing codebooks (call
         after inserts/deletes when PQ traversal is active; encoding streams

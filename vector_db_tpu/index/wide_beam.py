@@ -184,6 +184,152 @@ def aug_queries(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("F", "T", "k", "rerank_k", "hist", "dedup_window"),
+)
+def beam_search(
+    neighbors0: jnp.ndarray,   # int32[capacity, W] level-0 adjacency
+    aug: jnp.ndarray,          # bf16[capacity, dpa] scoring mirror
+    emb: jnp.ndarray,          # f32[capacity, dim] exact rerank table
+    has_emb: jnp.ndarray,      # bool[capacity]
+    seed_slots: jnp.ndarray,   # int32[S], -1 padded
+    queries: jnp.ndarray,      # f32[B, dim]
+    queries_aug: jnp.ndarray,  # f32[B, dpa]
+    F: int,
+    T: int,
+    k: int,
+    rerank_k: int,
+    hist: int = 2,
+    dedup_window: int = 8,
+    inline_tabs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pool-free beam traversal: the merge-light wide-beam variant.
+
+    :func:`wide_search` keeps an ef-wide best-so-far pool and pays three
+    selection passes per step over it (pop ``approx_min_k`` over P, merge
+    over P+K, and the pool permutation gather) — measured ~65% of the
+    step at 1M (EXP_WIDE_PROFILE.json). This variant removes the pool
+    from the loop entirely:
+
+    - the next frontier is the top-F of THIS step's K=F·W candidate
+      scores — one partial-reduce at a 16x reduction ratio (where the
+      PartialReduce hardware is efficient) and one [B, F] gather, instead
+      of three pool-wide passes;
+    - every step's frontier (scores + slots) is EMITTED through the scan's
+      stacked outputs — no running merge; one deferred ``approx_min_k``
+      over the [B, (T+1)·F] trajectory picks the rerank set at the end,
+      and the exact rerank reports full-precision distances;
+    - revisit control is a sliding HISTORY mask against the last ``hist``
+      frontiers (graph edges are near-symmetric, so unmasked traversal
+      oscillates parent<->child): [K, hist·F] compares, ~4x cheaper than
+      the pool-membership mask wide_search dropped for cost.
+
+    Trade-off vs wide_search: a candidate seen but not chosen at step t
+    cannot be revisited later (no pool memory), so per-step recall is
+    lower at equal (F, T) — but each step is ~2x cheaper, buying more
+    steps or wider frontiers at equal latency. Returns the
+    :func:`wide_search` contract: (d_sq f32[B, k], slots int32[B, k]).
+    """
+    B = queries.shape[0]
+    qa16 = queries_aug.astype(jnp.bfloat16)
+
+    # ---- seed: score the fixed seed set, take the first frontier ----
+    seed_safe = jnp.maximum(seed_slots, 0)
+    seed_rows = aug[seed_safe]
+    d_seed = jnp.dot(qa16, seed_rows.T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # [B, S]
+    d_seed = jnp.where(seed_slots[None, :] >= 0, d_seed, BIG)
+    fd, fpos = jax.lax.approx_min_k(d_seed, F)
+    frontier = jnp.where(fd < BIG_THRESH, seed_slots[fpos], -1)
+
+    if inline_tabs is not None:
+        dp_i = inline_tabs[0].shape[-1]
+        dp_real = queries_aug.shape[1] - 8
+        qm = queries_aug[:, : min(dp_i, queries_aug.shape[1])]
+        if qm.shape[1] < dp_i:
+            qm = jnp.concatenate(
+                [qm, jnp.zeros((B, dp_i - qm.shape[1]), qm.dtype)], axis=1)
+        if dp_i > dp_real:
+            qm = jnp.where(jnp.arange(dp_i)[None, :] < dp_real, qm, 0.0)
+        q_scale = jnp.maximum(jnp.max(jnp.abs(qm), axis=1), 1e-9) / 127.0
+        q_i8 = jnp.round(qm / q_scale[:, None]).astype(jnp.int8)
+
+    hist0 = jnp.full((B, max(hist, 1) * F), -1, jnp.int32)
+
+    def step(carry, _):
+        frontier, fd, seen = carry
+        fvalid = frontier >= 0
+        f_safe = jnp.maximum(frontier, 0)
+        cand = neighbors0[f_safe]                     # [B, F, W]
+        cand = jnp.where(fvalid[:, :, None], cand, -1)
+        cand = cand.reshape(B, -1)                    # [B, K]
+        if inline_tabs is not None:
+            nbr_i8, nbr_scale, nbr_xsq = inline_tabs
+            blk = nbr_i8[f_safe]                      # [B, F, W, dp] int8
+            scl = nbr_scale[f_safe]
+            nxq = nbr_xsq[f_safe]
+            dots = jnp.einsum("bfnd,bd->bfn", blk, q_i8,
+                              preferred_element_type=jnp.int32)
+            d_new = (nxq - (2.0 * q_scale)[:, None, None] * scl
+                     * dots.astype(jnp.float32)).reshape(B, -1)
+        else:
+            c_safe = jnp.maximum(cand, 0)
+            d_new = jnp.einsum(
+                "bkd,bd->bk", aug[c_safe].astype(jnp.bfloat16), qa16,
+                preferred_element_type=jnp.float32)
+        # mask invalid + recently-expanded (history window, incl. the
+        # CURRENT frontier — its members are already emitted)
+        recent = jnp.concatenate([seen[:, F:], frontier], axis=1) \
+            if hist > 1 else frontier
+        dup = jnp.any(cand[:, :, None] == recent[:, None, :], axis=-1)
+        d_new = jnp.where((cand >= 0) & ~dup, d_new, BIG)
+
+        nd, npos = jax.lax.approx_min_k(d_new, F)
+        nfront = jnp.take_along_axis(cand, npos, axis=1)
+        nfront = jnp.where(nd < BIG_THRESH, nfront, -1)
+        # window dedup WITHIN the new frontier: equal scores (same slot
+        # multi-path) land adjacent in the partial-reduce output
+        if dedup_window > 0:
+            d = jnp.zeros((B, F), bool)
+            for w in range(1, dedup_window + 1):
+                s_r = jnp.pad(nfront[:, :-w], ((0, 0), (w, 0)),
+                              constant_values=-3)
+                d = d | (nfront == s_r)
+            nd = jnp.where(d, BIG, nd)
+            nfront = jnp.where(d, -1, nfront)
+        seen = recent if hist > 1 else frontier
+        return (nfront, nd, seen), (fd, frontier)
+
+    (lf, lfd, _), (ds, ss) = jax.lax.scan(
+        step, (frontier, fd, hist0), None, length=T)
+    # trajectory = T emitted frontiers + the last one still in carry
+    ds = jnp.concatenate(
+        [jnp.moveaxis(ds, 0, 1).reshape(B, -1), lfd], axis=1)
+    ss = jnp.concatenate(
+        [jnp.moveaxis(ss, 0, 1).reshape(B, -1), lf], axis=1)
+
+    # ---- one deferred selection + exact rerank ----
+    R = min(max(rerank_k, k), ds.shape[1])
+    rd, rpos = jax.lax.approx_min_k(ds, R)
+    rs = jnp.take_along_axis(ss, rpos, axis=1)
+    dup = jnp.any(
+        (rs[:, :, None] == rs[:, None, :])
+        & (jnp.arange(R)[None, :] < jnp.arange(R)[:, None])[None, :, :],
+        axis=-1,
+    )
+    ok = (rs >= 0) & ~dup & has_emb[jnp.maximum(rs, 0)]
+    r_safe = jnp.maximum(rs, 0)
+    diff = emb[r_safe] - queries[:, None, :]
+    d_ex = jnp.sum(diff * diff, axis=-1)
+    d_ex = jnp.where(ok, d_ex, BIG)
+    neg, pos = jax.lax.top_k(-d_ex, k)
+    out_d = -neg
+    out_s = jnp.take_along_axis(rs, pos, axis=1)
+    out_s = jnp.where(out_d < BIG_THRESH, out_s, -1)
+    return out_d, out_s
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("ef", "F", "T", "k", "rerank_k", "dedup_window",
                      "seen_mask", "score_chunks"),
 )
