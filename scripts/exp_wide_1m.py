@@ -67,7 +67,11 @@ def get_index(N, DIM, B):
 
     index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
                  capacity=N, l_max=5)
-    gpath = CACHE / "graph.npz"
+    # EXP_ALPHA != 1.0 builds (and caches) the alpha-occlusion-diversified
+    # graph variant (clustered rows pruned to M diverse forward edges)
+    alpha = float(os.environ.get("EXP_ALPHA", "1.0"))
+    gpath = CACHE / ("graph.npz" if alpha == 1.0
+                     else f"graph_a{alpha:g}.npz")
     if gpath.exists():
         log("loading cached graph...")
         with np.load(gpath) as z:
@@ -87,7 +91,7 @@ def get_index(N, DIM, B):
         jax.block_until_ready(index.graph.neighbors)
     else:
         t0 = time.perf_counter()
-        index.bulk_build(list(range(N)), x)
+        index.bulk_build(list(range(N)), x, alpha=alpha)
         jax.block_until_ready(index.graph.neighbors)
         log(f"build: {time.perf_counter() - t0:.0f}s")
         CACHE.mkdir(exist_ok=True)

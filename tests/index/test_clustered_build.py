@@ -40,3 +40,36 @@ def test_clustered_forward_no_self_edges(rng):
     _, fwd_i = _clustered_forward(x, deg=4, seed=1)
     for i in range(0, n, 97):
         assert i not in fwd_i[i]
+
+
+def test_occlusion_prune_tiled_matches_unitary(rng):
+    import jax.numpy as jnp
+
+    from vector_db_tpu.ops.graph_build import (
+        occlusion_prune,
+        occlusion_prune_tiled,
+    )
+
+    n, dim, k, deg = 512, 16, 12, 6
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    sq = (x * x).sum(1)
+    d = sq[:, None] - 2 * (x @ x.T) + sq[None, :]
+    np.fill_diagonal(d, np.inf)
+    order = np.argsort(d, axis=1)[:, :k]
+    fwd_i = order.astype(np.int32)
+    fwd_d = np.take_along_axis(d, order, axis=1).astype(np.float32)
+
+    td, ti = occlusion_prune_tiled(
+        jnp.asarray(x), jnp.asarray(fwd_d), jnp.asarray(fwd_i),
+        deg=deg, chunk=128, alpha=1.2)
+    rd, ri = occlusion_prune(
+        jnp.asarray(fwd_d), jnp.asarray(fwd_i),
+        jnp.asarray(x[np.maximum(fwd_i, 0)]), deg=deg, alpha=1.2)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+
+    # alpha-occlusion always keeps the closest candidate, rows stay full
+    ti = np.asarray(ti)
+    assert (ti[:, 0] == fwd_i[:, 0]).all()
+    assert (ti >= 0).all()
+    # selection diversifies: some row must differ from plain closest-deg
+    assert (ti != fwd_i[:, :deg]).any()

@@ -390,6 +390,33 @@ class HNSW:
                 fwd_d, fwd_i = _clustered_forward(
                     embeddings[sub], min(width, sub.size - 1), seed=level
                 )
+                if alpha != 1.0:
+                    # diversify to M alpha-occluded forward edges (the
+                    # exact path's shape: reverse merge refills rows back
+                    # to `width` with backlinks). alpha=1.0 keeps the
+                    # legacy plain closest-K rows.
+                    from vector_db_tpu.ops.graph_build import (
+                        occlusion_prune_tiled,
+                    )
+
+                    p_chunk = 2048
+                    p_pad = (-fwd_i.shape[0]) % p_chunk
+                    fd_p = np.concatenate(
+                        [fwd_d, np.full((p_pad, fwd_d.shape[1]),
+                                        np.float32(3e38))]) \
+                        if p_pad else fwd_d
+                    fi_p = np.concatenate(
+                        [fwd_i, np.full((p_pad, fwd_i.shape[1]), -1,
+                                        np.int32)]) if p_pad else fwd_i
+                    pe_src = np.zeros(
+                        (sub.size + p_pad, embeddings.shape[1]), np.float32)
+                    pe_src[: sub.size] = embeddings[sub]
+                    od, oi = occlusion_prune_tiled(
+                        jnp.asarray(pe_src), jnp.asarray(fd_p),
+                        jnp.asarray(fi_p), deg=deg, chunk=p_chunk,
+                        alpha=alpha)
+                    fwd_d = np.asarray(od[: sub.size])
+                    fwd_i = np.asarray(oi[: sub.size])
             elif sub.size <= host_threshold:
                 # tiny level: plain numpy, naive closest-deg selection (the
                 # reference's own selection rule, hnsw.py:136-141)

@@ -330,6 +330,41 @@ def nn_descent_round(
     return out_d.reshape(n, deg), out_i.reshape(n, deg)
 
 
+@functools.partial(jax.jit, static_argnames=("deg", "chunk", "alpha"))
+def occlusion_prune_tiled(
+    emb: jnp.ndarray,     # f32[N_any, dim] embedding table (gather source)
+    fwd_d: jnp.ndarray,   # f32[N, K] ascending candidate distances
+    fwd_i: jnp.ndarray,   # int32[N, K] candidate ids (-1 padded)
+    deg: int,
+    chunk: int = 2048,
+    alpha: float = 1.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming occlusion prune over whole forward-edge tables.
+
+    The 1M-scale clustered build produces plain closest-K rows; this pass
+    diversifies them to ``deg`` alpha-occlusion-selected edges (DiskANN's
+    alpha > 1 keeps longer "highway" edges that pure closest-K bunches
+    away — the known search-recall lever on navigable graphs), with
+    closest-rejected refill so rows stay full. One ``lax.scan`` over row
+    chunks; per chunk one [chunk, K, dim] gather + [chunk, K, K] pairwise
+    block. N must be a multiple of ``chunk`` (callers pad with -1 rows).
+    """
+    n, k = fwd_i.shape
+    assert n % chunk == 0, "caller pads N to a multiple of chunk"
+
+    def body(_, c):
+        cd, ci = c
+        ce = emb[jnp.maximum(ci, 0)]
+        sd, si = _occlusion_prune_core(cd, ci, ce, deg, alpha)
+        return None, (sd, si)
+
+    _, (od, oi) = lax.scan(
+        body, None,
+        (fwd_d.reshape(-1, chunk, k), fwd_i.reshape(-1, chunk, k)),
+    )
+    return od.reshape(n, deg), oi.reshape(n, deg)
+
+
 @functools.partial(jax.jit, static_argnames=("deg",))
 def occlusion_prune(
     cand_d: jnp.ndarray,    # f32[C, K] ascending (BIG = padding)
