@@ -269,3 +269,23 @@ def test_sharded_wide_beam_recall(rng):
     idx.enable_wide(dims=8, seeds=64)
     d2, i2 = idx.search_batch_wide(x[:4], k=1, ef=64, frontier=16, steps=8)
     assert list(i2[:, 0]) == [0, 1, 2, 3]
+
+
+def test_sharded_beam_recall(rng):
+    """Pool-free beam fan-out over the mesh: per-shard merge-light
+    traversal + hierarchical merge reaches brute-force-level recall."""
+    from vector_db_tpu.parallel.sharded import ShardedHNSW
+
+    mesh = make_mesh()
+    idx = ShardedHNSW(M=8, ef_construction=50, mesh=mesh, dim=16,
+                      capacity_per_shard=128, l_max=4)
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    idx.bulk_build(list(range(400)), x)
+
+    idx.enable_wide(dims=None, seeds=64)
+    q = rng.standard_normal((16, 16)).astype(np.float32)
+    d = ((q[:, None] - x[None]) ** 2).sum(-1)
+    want = np.argsort(d, 1)[:, :5]
+    dists, ids = idx.search_batch_beam(q, k=5, frontier=16, steps=10)
+    rec = np.mean([len(set(ids[i]) & set(want[i])) / 5 for i in range(16)])
+    assert rec >= 0.85, rec

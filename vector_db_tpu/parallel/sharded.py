@@ -380,6 +380,7 @@ class ShardedHNSW:
         self._wb_seeds = int(seeds)
         self._wb_src = None
         self._wide_fn = self._build_wide_fn()
+        self._beam_fn = None  # rebuilt lazily (captures the seed count)
 
     def _wide_aug(self):
         from vector_db_tpu.index import wide_beam as WB
@@ -452,6 +453,68 @@ class ShardedHNSW:
             self._neighbors, self._levels, self._emb, self._has_emb,
             aug, q, qa, ef=max(ef, k), F=frontier, T=steps, k=k,
             rerank_k=rerank_k,
+        )
+        d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
+        ids = np.where(
+            gslots >= 0, self._id_of_gslot[np.maximum(gslots, 0)], -1
+        )
+        dists = np.where(gslots >= 0, np.sqrt(np.maximum(d_sq, 0)), np.inf)
+        return dists.astype(np.float32), ids
+
+    def _build_beam_fn(self):
+        from vector_db_tpu.index import wide_beam as WB
+
+        M, cap = self.M, self.cap
+        mesh = self.mesh
+        axes, sizes = self._axes, self._axis_sizes
+        S = min(self._wb_seeds, cap)
+
+        @functools.partial(
+            jax.jit, static_argnames=("F", "T", "k", "rerank_k", "hist"))
+        def _bsearch(neighbors, levels, emb, has_emb, aug, queries, qa,
+                     F, T, k, rerank_k, hist):
+            def per_shard(neighbors, levels, emb, has_emb, aug, q, qa):
+                lv, seed_idx = jax.lax.top_k(levels, S)
+                seed_slots = jnp.where(
+                    lv >= 0, seed_idx.astype(jnp.int32), -1)
+                ld, ls = WB.beam_search(
+                    neighbors[:, : 2 * M], aug, emb, has_emb, seed_slots,
+                    q, qa, F=F, T=T, k=k, rerank_k=rerank_k, hist=hist,
+                )
+                return _merge_gathered(
+                    ld, _globalize(ls, cap, axes, sizes), k, axes)
+
+            spec = P(axes)
+            return jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(spec,) * 5 + (P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(neighbors, levels, emb, has_emb, aug, queries, qa)
+
+        return _bsearch
+
+    def search_batch_beam(
+        self, queries: np.ndarray, k: int, frontier: int = 64,
+        steps: int = 12, rerank_k: int = 0, hist: int = 2,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pool-free beam fan-out (see wide_beam.beam_search): every shard
+        runs the merge-light traversal, results merge hierarchically.
+        Requires enable_wide()."""
+        from vector_db_tpu.index import wide_beam as WB
+
+        if not hasattr(self, "_wb_seeds"):
+            raise ValueError("call enable_wide() first")
+        if getattr(self, "_beam_fn", None) is None:
+            self._beam_fn = self._build_beam_fn()
+        aug = self._wide_aug()
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        qa = WB.aug_queries(q, self._wb_proj, aug.shape[1])
+        rerank_k = rerank_k or max(4 * k, 64)
+        d_sq, gslots = self._beam_fn(
+            self._neighbors, self._levels, self._emb, self._has_emb,
+            aug, q, qa, F=frontier, T=steps, k=k, rerank_k=rerank_k,
+            hist=hist,
         )
         d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
         ids = np.where(
