@@ -184,6 +184,28 @@ def main():
                  "qps": qps})
         save()
 
+    if want("beam"):
+        # pool-free beam traversal (merge-light wide-beam variant)
+        if not hasattr(index, "_wb_n_seeds"):
+            index.enable_wide(dims=120, seeds=16384, inline=True)
+        index.search_batch_beam(q[:8], k=K, frontier=16, steps=4)
+        results["hnsw_beam"] = []
+        for F, T, H in [(224, 12, 2), (256, 14, 2), (320, 12, 2)]:
+            def run(v, F=F, T=T, H=H):
+                return index.search_batch_beam(np.asarray(v), k=K,
+                                               frontier=F, steps=T,
+                                               hist=H)[0]
+
+            _, ids = index.search_batch_beam(q, k=K, frontier=F, steps=T,
+                                             hist=H)
+            qps = timed(run, qd, B)
+            rec = recall_of(ids, gt, K)
+            log(f"hnsw-beam F={F} T={T} hist={H}: "
+                f"recall={rec:.3f} qps={qps:.0f}")
+            results["hnsw_beam"].append(
+                {"F": F, "T": T, "hist": H, "recall": rec, "qps": qps})
+        save()
+
     if want("hnsw"):
         results["hnsw"] = []
         for ef in [200, 400]:
