@@ -39,3 +39,31 @@ def test_ivf_pq_requires_enable(rng):
     with pytest.raises(ValueError, match="enable_pq"):
         index.search_batch(np.zeros((1, dim), np.float32), n_probe=2,
                            top_k=1, pq=True)
+
+
+def test_ivf_pq_probe_adc_modes_agree(rng):
+    """Probe path (n_probe < k): the three LUT-scoring formulations —
+    f32 gather, hi/lo bf16 one-hot, int8 hi/lo one-hot — must select the
+    same results after exact rerank (quantization noise stays below the
+    fetch boundary)."""
+    n, dim = 600, 32
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    nodes = [Node(id=i, embedding=x[i]) for i in range(n)]
+    index = IvfIndex(k=16)
+    index.build_index(nodes)
+    index.enable_pq(chunks=8, ksub=32)
+
+    q = rng.standard_normal((8, dim)).astype(np.float32)
+    outs = {}
+    for adc in ("gather", "onehot", "onehot8"):
+        dd, ids = index.search_batch(q, n_probe=4, top_k=5, pq=True,
+                                     adc=adc)
+        outs[adc] = (dd, ids)
+    for adc in ("onehot", "onehot8"):
+        ref_i = outs["gather"][1]
+        got_i = outs[adc][1]
+        overlap = np.mean([
+            len(set(got_i[i].tolist()) & set(ref_i[i].tolist())) / 5
+            for i in range(len(q))])
+        assert overlap >= 0.9, (adc, overlap)
+        np.testing.assert_array_equal(got_i[:, 0], ref_i[:, 0])

@@ -151,7 +151,37 @@ def _ivf_pq_probe_cells(
     def one(q, probe_row, lut_row, cdp_row):
         slots = cell_slots[probe_row].reshape(-1)            # [P]
         codes = cell_codes[probe_row].reshape(-1, m)         # [P, m]
-        if adc == "onehot":
+        if adc == "onehot8":
+            # int8 one-hot + hi/lo int8 LUT pair: the bf16 one-hot's
+            # [P, m, ksub] transient is what bounds this mode (measured
+            # ~0.5 GB of HBM write+read per query at 1M, n_probe=16);
+            # int8 halves it and the s8 x s8 contraction is MXU-native.
+            # Quantization: per-subspace offset (folds into a constant),
+            # one SHARED scale s (the contraction mixes subspaces) with
+            # hi = floor(lut/s) in 0..254 stored biased by -127, and a
+            # second int8 of the remainder at s/254 — total absolute
+            # error <= m * s/508 ~ range/8000, well under the bf16-pair
+            # noise that already preserved exact selection.
+            lut_mk = lut_row.reshape(m, ksub)
+            off = jnp.min(lut_mk, axis=1)                    # [m]
+            lt = lut_mk - off[:, None]
+            s = jnp.maximum(jnp.max(lt), 1e-20) / 254.0
+            hi = jnp.floor(lt / s)
+            hi8 = (hi - 127.0).astype(jnp.int8).reshape(-1)
+            s2 = s / 254.0
+            lo = jnp.round((lt - hi * s) / s2)
+            lo8 = (jnp.clip(lo, 0.0, 254.0) - 127.0
+                   ).astype(jnp.int8).reshape(-1)
+            oh8 = (codes[:, :, None].astype(jnp.int32)
+                   == jnp.arange(ksub, dtype=jnp.int32)[None, None, :]
+                   ).astype(jnp.int8).reshape(-1, m * ksub)  # [P, m*ksub]
+            dot_hi = jnp.dot(oh8, hi8, preferred_element_type=jnp.int32)
+            dot_lo = jnp.dot(oh8, lo8, preferred_element_type=jnp.int32)
+            bias = jnp.float32(127.0 * m)
+            d = (s * (dot_hi.astype(jnp.float32) + bias)
+                 + s2 * (dot_lo.astype(jnp.float32) + bias)
+                 + jnp.sum(off))
+        elif adc == "onehot":
             # LUT lookups as a one-hot MXU contraction: per-element LUT
             # gathers execute at VPU scalar-issue rate (~4M/s measured) —
             # the 152-qps bottleneck of this mode at 1M x 128 (round-2
@@ -1295,13 +1325,18 @@ class IvfIndex:
         self, queries: np.ndarray, n_probe: int, top_k: int,
         pq: bool = False, rp: bool = False, rerank: bool = True,
         filter_ids=None, fetch: Optional[int] = None,
+        adc: str = "onehot8",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Device fast path: (L2 f32[B, top_k], ids int64[B, top_k]).
         ``filter_ids`` masks candidates in-kernel (exact path only).
         ``pq`` scores probes by (residual) ADC; ``rp`` by the projected
         bf16 mirror (``enable_rp``). ``fetch`` widens the approximate
         candidate front that gets exact re-ranking; default
-        ``max(4*top_k, 100)``."""
+        ``max(4*top_k, 100)``. ``adc`` picks the probe-mode LUT scoring
+        formulation: "onehot8" (int8 one-hot + hi/lo int8 LUT pair —
+        half the transient traffic of bf16), "onehot" (hi/lo bf16), or
+        "gather" (f32 per-element gathers; always used when un-reranked
+        distances are returned)."""
         if self.centroids is None:
             raise ValueError("Index must be built before searching")
         q = jnp.asarray(np.asarray(queries, np.float32))
@@ -1397,9 +1432,10 @@ class IvfIndex:
                 # keep it under ~256MB
                 m_, ksub_ = self._pq.chunks, self._pq.k
                 p_tot = int(n_probe) * cell_slots.shape[1]
+                bpe = 1 if adc == "onehot8" else 2
                 qblock = 64
                 while qblock > 4 and \
-                        qblock * p_tot * m_ * ksub_ * 2 > 268_435_456:
+                        qblock * p_tot * m_ * ksub_ * bpe > 268_435_456:
                     qblock //= 2
                 d_sq, slots = _ivf_pq_probe_cells(
                     self._centroids_dev, cell_slots, cell_codes, cell_s,
@@ -1408,7 +1444,7 @@ class IvfIndex:
                     n_probe=int(n_probe), top_k=int(top_k),
                     fetch=int(fetch), rerank=rerank,
                     residual=getattr(self, "_pq_residual", False),
-                    qblock=qblock,
+                    qblock=qblock, adc=adc,
                 )
         else:
             d_sq, slots = _ivf_search_batch(
