@@ -365,3 +365,24 @@ def test_hnsw_wide_mode_service(tmp_path, rng):
     resf = svc.search(nodes[9].embedding, k=3, ef=32,
                       filter_ids={n.id for n in nodes[:5]})
     assert all(n.id < 5 for n, _ in resf)
+
+
+def test_hnsw_wide_beam_mode_service(tmp_path, rng):
+    """index.wide.mode: beam routes unfiltered hnsw queries to the
+    pool-free beam traversal."""
+    cfg = make_config(
+        tmp_path, "hnsw",
+        wide={"dims": 0, "seeds": 64, "frontier": 16, "steps": 10,
+              "min_size": 16, "mode": "beam"},
+    )
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 40)
+    svc.insert_nodes(nodes)
+    res = svc.search(nodes[9].embedding, k=3, ef=32)
+    assert svc._wide_active and svc._wide_mode == "beam"
+    assert res[0][0].id == 9
+    assert res[0][1] < 1e-3
+    d, ids = svc.search_batch(
+        np.stack([n.embedding for n in nodes[:4]]), k=1, ef=32)
+    assert list(ids[:, 0]) == [0, 1, 2, 3]

@@ -95,6 +95,10 @@ class IndexingService:
         # keep the pre-merge pool-membership compare
         self._wide_seen = bool(wide_cfg.get("seen_mask", False))
         self._wide_min_size = int(wide_cfg.get("min_size", 4096))
+        # mode: "pool" (wide_search, ef-wide best-so-far pool) or "beam"
+        # (beam_search — pool-free, merge-light; see index/wide_beam.py)
+        self._wide_mode = str(wide_cfg.get("mode", "pool"))
+        self._wide_hist = int(wide_cfg.get("hist", 2))
         self._wide_active = False
 
         rng = random.Random(42)
@@ -344,11 +348,8 @@ class IndexingService:
             return self._sharded_search(query, k, **kwargs)
         if kwargs.get("filter_ids") is None and self._maybe_enable_wide():
             ef = int(kwargs.get("ef", 50) or 50)
-            dists, ids = self.index.search_batch_wide(
-                np.asarray(query, np.float32)[None, :], k,
-                ef=max(4 * max(ef, k), 64), frontier=self._wide_frontier,
-                steps=self._wide_steps, seen_mask=self._wide_seen,
-            )
+            dists, ids = self._wide_dispatch(
+                np.asarray(query, np.float32)[None, :], k, ef)
             return self._resolve(dists, ids, k)
         if kwargs.get("filter_ids") is None and self._maybe_enable_hnsw_rp():
             ef = int(kwargs.get("ef", 50) or 50)
@@ -452,12 +453,22 @@ class IndexingService:
                 and kwargs.get("filter_ids") is None
                 and self._maybe_enable_wide()):
             ef = int(kwargs.get("ef", 50) or 50)
-            return self.index.search_batch_wide(
-                queries, k, ef=max(4 * max(ef, k), 64),
-                frontier=self._wide_frontier, steps=self._wide_steps,
-                seen_mask=self._wide_seen,
-            )
+            return self._wide_dispatch(queries, k, ef)
         return self.index.search_batch(queries, k, **kwargs)
+
+    def _wide_dispatch(self, queries: np.ndarray, k: int, ef: int):
+        """Route an unfiltered hnsw batch to the configured wide-beam
+        formulation (index.wide.mode: pool | beam)."""
+        if self._wide_mode == "beam":
+            return self.index.search_batch_beam(
+                queries, k, frontier=self._wide_frontier or 224,
+                steps=self._wide_steps or 12, hist=self._wide_hist,
+            )
+        return self.index.search_batch_wide(
+            queries, k, ef=max(4 * max(ef, k), 64),
+            frontier=self._wide_frontier, steps=self._wide_steps,
+            seen_mask=self._wide_seen,
+        )
 
     def save_index(self) -> None:
         with self._lock:
