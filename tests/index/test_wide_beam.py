@@ -147,3 +147,26 @@ def test_beam_inline_tables_agree(built):
     idx.enable_wide(dims=None, seeds=512, inline=True)
     _, ids = idx.search_batch_beam(q, k=10, frontier=48, steps=14)
     assert _recall(ids, gt) >= 0.9
+
+
+def test_beam_pq_score_exact_distances(built):
+    """ADC-scored pool-free beam (HNSW-over-PQ with beam mechanics):
+    selection from the PQ-decoded mirror, exact reported distances."""
+    idx, x, q, gt = built
+    if getattr(idx, "_pq", None) is None:
+        idx.enable_pq(chunks=6, ksub=32, opq_iters=2)
+    idx.enable_wide(dims=None, seeds=512)
+    d_ex, i_ex = idx.search_batch_beam(q, k=10, frontier=64, steps=14,
+                                       rerank_k=512)
+    d_pq, i_pq = idx.search_batch_beam(q, k=10, frontier=64, steps=14,
+                                       score="pq", rerank_k=512)
+    # iid Gaussian is PQ's worst case, and beam has no pool memory to
+    # recover ADC-misranked candidates: bound the selection loss
+    # relative to the exact-scored beam (1M clustered quality is the
+    # measured artifact, BENCH_1M.json)
+    assert _recall(i_pq, gt) >= _recall(i_ex, gt) - 0.35
+    assert _recall(i_pq, gt) >= 0.5
+    for i in range(4):
+        sel = i_pq[i][i_pq[i] >= 0]
+        dref = np.sqrt(((q[i] - x[sel]) ** 2).sum(-1))
+        np.testing.assert_allclose(d_pq[i][: len(sel)], dref, rtol=1e-4)
