@@ -201,6 +201,20 @@ def bench_ours(x: np.ndarray, q: np.ndarray, k: int, target: float):
     rec_w = recall_at_k(outs_w[-1], gt, k)
     log(f"  ours(wide) n={n} ef={ef_w}: recall@{k}={rec_w:.3f} qps={qps_w:.0f}")
     chosen["wide"] = {"ef": ef_w, "recall": rec_w, "qps": qps_w}
+
+    # pool-free beam variant (merge-light traversal) at the same corpus
+    def run_beam(qv):
+        d, s = index.search_batch_beam(np.asarray(qv), k=k, frontier=64,
+                                       steps=12)
+        dd = np.asarray(d, np.float64)
+        return np.asarray(s), dd[dd < 1e37].sum()
+
+    qps_b, outs_b = timed_qps(run_beam, qd, len(q), warmups=3,
+                              label=f"hnsw_beam_n{n}")
+    rec_b = recall_at_k(outs_b[-1], gt, k)
+    log(f"  ours(beam) n={n} F=64 T=12: recall@{k}={rec_b:.3f} "
+        f"qps={qps_b:.0f}")
+    chosen["beam"] = {"F": 64, "T": 12, "recall": rec_b, "qps": qps_b}
     return chosen
 
 
