@@ -143,16 +143,19 @@ def main():
             (1280, 256, 8, 16, False),
             (1280, 192, 11, 16, False),
         ]
+    # EXP_MERGE_KERNEL=1 routes every row's pool merge through the
+    # Pallas bitonic kernel (ops/pallas/bitonic_merge.py)
+    mk = os.environ.get("EXP_MERGE_KERNEL", "0") == "1"
     results = []
     for ef, F, T, W, seen in grid:
         def run(v, ef=ef, F=F, T=T, W=W, seen=seen):
             return index.search_batch_wide(
                 np.asarray(v), k=K10, ef=ef, frontier=F, steps=T,
-                dedup_window=W, seen_mask=seen)[0]
+                dedup_window=W, seen_mask=seen, merge_kernel=mk)[0]
 
         _, ids = index.search_batch_wide(q, k=K10, ef=ef, frontier=F,
                                          steps=T, dedup_window=W,
-                                         seen_mask=seen)
+                                         seen_mask=seen, merge_kernel=mk)
         qps = timed(run, q, B)
         rec = recall_of(ids, gt, K10)
         log(f"wide ef={ef} F={F} T={T} W={W} seen={seen}: "

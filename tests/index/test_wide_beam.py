@@ -170,3 +170,20 @@ def test_beam_pq_score_exact_distances(built):
         sel = i_pq[i][i_pq[i] >= 0]
         dref = np.sqrt(((q[i] - x[sel]) ** 2).sum(-1))
         np.testing.assert_allclose(d_pq[i][: len(sel)], dref, rtol=1e-4)
+
+
+def test_wide_merge_kernel_parity(built):
+    """merge_kernel=True (Pallas bitonic pool merge, interpret on CPU)
+    is an EXACT merge — recall must be >= the approx_min_k path's at the
+    same shape, and the output contract holds."""
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    d0, i0 = idx.search_batch_wide(q, k=10, ef=128, frontier=16, steps=8)
+    d1, i1 = idx.search_batch_wide(q, k=10, ef=128, frontier=16, steps=8,
+                                   merge_kernel=True)
+    assert _recall(i1, gt) >= _recall(i0, gt) - 0.02
+    for i in range(4):
+        valid = i1[i][i1[i] >= 0]
+        assert len(set(valid.tolist())) == len(valid)
+        dref = np.sqrt(((q[i] - x[valid]) ** 2).sum(-1))
+        np.testing.assert_allclose(d1[i][: len(valid)], dref, rtol=1e-4)

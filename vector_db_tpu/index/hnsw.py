@@ -768,9 +768,12 @@ class HNSW:
         score: str = "exact",
         dedup_window: int = 16,
         seen_mask: bool = True,
+        merge_kernel: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam search (requires enable_wide). Same contract as
         search_batch: (L2 dists f32[B, k], node ids int64[B, k]).
+        ``merge_kernel`` routes the per-step pool merge through the
+        Pallas bitonic kernel (exact top-P, fused payload permutation).
 
         ``score="pq"`` traverses on ADC estimates from the PQ-decoded
         mirror (requires enable_pq too) — the HNSW-over-PQ hybrid with
@@ -831,6 +834,7 @@ class HNSW:
             ef=ef, F=frontier, T=steps, k=k, rerank_k=rerank_k,
             dedup_window=dedup_window, seen_mask=seen_mask,
             inline_tabs=inline_tabs, score_chunks=score_chunks,
+            merge_kernel=merge_kernel,
         )
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]

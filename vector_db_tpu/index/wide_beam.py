@@ -331,7 +331,7 @@ def beam_search(
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "F", "T", "k", "rerank_k", "dedup_window",
-                     "seen_mask", "score_chunks"),
+                     "seen_mask", "score_chunks", "merge_kernel"),
 )
 def wide_search(
     neighbors0: jnp.ndarray,   # int32[capacity, W] level-0 adjacency
@@ -350,6 +350,7 @@ def wide_search(
     seen_mask: bool = True,
     inline_tabs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
     score_chunks: int = 1,
+    merge_kernel: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched wide-beam search. Returns (d_sq f32[B, k], slots int32[B, k])
     sorted ascending, (BIG, -1) padded; distances exact (difference-form
@@ -360,6 +361,11 @@ def wide_search(
     node — W× fewer gather issues on issue-bound HBM gathers.
     ``seen_mask`` toggles the pre-merge pool-membership mask (the [K, P]
     broadcast compare); the post-merge window dedup stays either way.
+    ``merge_kernel`` routes the per-step pool merge through the Pallas
+    bitonic sort-by-key kernel (ops/pallas/bitonic_merge.py): EXACT
+    top-P in VMEM with the packed payload riding the exchanges — one
+    fused pass instead of approx_min_k + an issue-bound permutation
+    gather.
     """
     B = queries.shape[0]
     P = ef
@@ -493,8 +499,18 @@ def wide_search(
         cat_d = jnp.concatenate([pool_d, d_new.astype(pool_d.dtype)],
                                 axis=1)
         cat_se = jnp.concatenate([pool_se, cand * 2], axis=1)
-        pool_d, mi = jax.lax.approx_min_k(cat_d, P)
-        pool_se = jnp.take_along_axis(cat_se, mi, axis=1)
+        if merge_kernel:
+            from vector_db_tpu.ops.pallas.bitonic_merge import sorted_topk
+
+            nbit = 1 << (cat_d.shape[1] - 1).bit_length()
+            pool_d, pool_se = sorted_topk(
+                cat_d, cat_se, P, block_b=32 if nbit > 4096 else 64,
+                # trace-time constant: Mosaic on the device, interpret
+                # everywhere else (CPU tests)
+                interpret=jax.default_backend() == "cpu")
+        else:
+            pool_d, mi = jax.lax.approx_min_k(cat_d, P)
+            pool_se = jnp.take_along_axis(cat_se, mi, axis=1)
         pool_se = jnp.where(pool_d < BIG_THRESH, pool_se, -2)
 
         # Duplicate kill: a slot re-entering the merge (multi-path within
