@@ -161,7 +161,7 @@ def main():
         log(f"wide ef={ef} F={F} T={T} W={W} seen={seen}: "
             f"recall={rec:.4f} qps={qps:.0f}")
         results.append({"ef": ef, "F": F, "T": T, "W": W, "seen": seen,
-                        "recall": rec, "qps": qps})
+                        "merge_kernel": mk, "recall": rec, "qps": qps})
 
     Path("EXP_WIDE.json").write_text(json.dumps(
         {"N": N, "dim": DIM, "results": results}, indent=2))
