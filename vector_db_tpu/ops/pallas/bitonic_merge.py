@@ -47,11 +47,14 @@ def _kernel(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk):
         j = ksz // 2
         while j >= 1:
             # partner = pos ^ j: within blocks of 2j, swap the two
-            # j-halves (a pure layout flip — no gathers)
+            # j-halves (static slices + stack — a pure layout move, no
+            # gathers; negative-stride slicing may not lower in Mosaic)
             d4 = d.reshape(b, n // (2 * j), 2, j)
             v4 = v.reshape(b, n // (2 * j), 2, j)
-            pd = d4[:, :, ::-1, :].reshape(b, n)
-            pv = v4[:, :, ::-1, :].reshape(b, n)
+            pd = jnp.stack(
+                [d4[:, :, 1, :], d4[:, :, 0, :]], axis=2).reshape(b, n)
+            pv = jnp.stack(
+                [v4[:, :, 1, :], v4[:, :, 0, :]], axis=2).reshape(b, n)
             ppos = pos ^ j
             # strict total order (position tie-break) so the pair's two
             # decisions are complementary even on equal keys
