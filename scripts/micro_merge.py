@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Micro-benchmark: Pallas bitonic pool merge vs the XLA formulation.
+
+Times the wide-beam step's pool-maintenance pattern at the production
+shape ([B, P+K] -> top-P with an int32 payload): (a) approx_min_k +
+take_along_axis (what wide_search does today), (b) the bitonic
+sort-by-key kernel. Writes MICRO_MERGE.json. Run on the real chip:
+python scripts/micro_merge.py
+"""
+
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, reps=5):
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    from vector_db_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from vector_db_tpu.ops.pallas.bitonic_merge import sorted_topk
+
+    log(str(jax.devices()))
+    out = {}
+    rng = np.random.default_rng(0)
+    for B, P, K in [(1000, 1280, 3584), (1000, 1536, 3840),
+                    (128, 1280, 3584)]:
+        n = P + K
+        d = jnp.asarray(rng.random((B, n)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        v = jnp.asarray(rng.integers(0, 1 << 21, (B, n)).astype(np.int32))
+        key = f"B{B}_P{P}_K{K}"
+        row = {}
+
+        @jax.jit
+        def xla_merge(d, v):
+            pd, mi = jax.lax.approx_min_k(d.astype(jnp.float32), P)
+            return pd, jnp.take_along_axis(v, mi, axis=1)
+
+        try:
+            row["xla_approx_taa_ms"] = round(
+                timeit(xla_merge, d, v) * 1e3, 2)
+        except Exception:
+            row["xla_approx_taa_ms"] = traceback.format_exc()[-500:]
+
+        for bb in (32, 64):
+            try:
+                f = functools.partial(sorted_topk, topk=P, block_b=bb)
+                jf = jax.jit(lambda d, v, f=f: f(d, v))
+                row[f"bitonic_b{bb}_ms"] = round(timeit(jf, d, v) * 1e3, 2)
+                # correctness vs host (top-P set by key)
+                od, ov = jf(d, v)
+                dd = np.asarray(d, np.float32)
+                want = np.sort(dd, axis=1)[:, :P]
+                got = np.sort(np.asarray(od, np.float32), axis=1)
+                row[f"bitonic_b{bb}_exact"] = bool(
+                    np.allclose(got, want))
+            except Exception:
+                row[f"bitonic_b{bb}_ms"] = traceback.format_exc()[-1500:]
+        out[key] = row
+        log(f"{key}: {row}")
+
+    Path("MICRO_MERGE.json").write_text(json.dumps(out, indent=1))
+    log("wrote MICRO_MERGE.json")
+
+
+if __name__ == "__main__":
+    main()
