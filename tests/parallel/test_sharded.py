@@ -289,3 +289,22 @@ def test_sharded_beam_recall(rng):
     dists, ids = idx.search_batch_beam(q, k=5, frontier=16, steps=10)
     rec = np.mean([len(set(ids[i]) & set(want[i])) / 5 for i in range(16)])
     assert rec >= 0.85, rec
+
+
+def test_sharded_wide_merge_kernel(rng):
+    """Pallas bitonic pool merge composes with shard_map on the mesh
+    (interpret mode on CPU): recall parity with the approx merge."""
+    from vector_db_tpu.parallel.sharded import ShardedHNSW
+
+    mesh = make_mesh()
+    idx = ShardedHNSW(M=8, ef_construction=50, mesh=mesh, dim=16,
+                      capacity_per_shard=128, l_max=4)
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    idx.bulk_build(list(range(400)), x)
+    idx.enable_wide(dims=None, seeds=64)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    d0, i0 = idx.search_batch_wide(q, k=5, ef=64, frontier=16, steps=8)
+    d1, i1 = idx.search_batch_wide(q, k=5, ef=64, frontier=16, steps=8,
+                                   merge_kernel=True)
+    same = np.mean([len(set(i0[i]) & set(i1[i])) / 5 for i in range(8)])
+    assert same >= 0.8, same

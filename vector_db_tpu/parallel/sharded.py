@@ -408,9 +408,11 @@ class ShardedHNSW:
         S = min(self._wb_seeds, cap)
 
         @functools.partial(
-            jax.jit, static_argnames=("ef", "F", "T", "k", "rerank_k"))
+            jax.jit,
+            static_argnames=("ef", "F", "T", "k", "rerank_k",
+                             "merge_kernel"))
         def _wsearch(neighbors, levels, emb, has_emb, aug, queries, qa,
-                     ef, F, T, k, rerank_k):
+                     ef, F, T, k, rerank_k, merge_kernel=False):
             def per_shard(neighbors, levels, emb, has_emb, aug, q, qa):
                 # per-shard seeds: the shard's highest-level nodes (the
                 # navigation hierarchy, selected on device)
@@ -420,6 +422,7 @@ class ShardedHNSW:
                 ld, ls = WB.wide_search(
                     neighbors[:, : 2 * M], aug, emb, has_emb, seed_slots,
                     q, qa, ef=ef, F=F, T=T, k=k, rerank_k=rerank_k,
+                    merge_kernel=merge_kernel,
                 )
                 return _merge_gathered(
                     ld, _globalize(ls, cap, axes, sizes), k, axes)
@@ -437,10 +440,12 @@ class ShardedHNSW:
     def search_batch_wide(
         self, queries: np.ndarray, k: int, ef: int = 256,
         frontier: int = 32, steps: int = 12, rerank_k: int = 0,
+        merge_kernel: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam fan-out: every shard runs the frontier-parallel
         search, results merge hierarchically (ICI first). Requires
-        enable_wide()."""
+        enable_wide(). ``merge_kernel`` routes each shard's pool merge
+        through the Pallas bitonic kernel."""
         from vector_db_tpu.index import wide_beam as WB
 
         if not hasattr(self, "_wb_seeds"):
@@ -452,7 +457,7 @@ class ShardedHNSW:
         d_sq, gslots = self._wide_fn(
             self._neighbors, self._levels, self._emb, self._has_emb,
             aug, q, qa, ef=max(ef, k), F=frontier, T=steps, k=k,
-            rerank_k=rerank_k,
+            rerank_k=rerank_k, merge_kernel=merge_kernel,
         )
         d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
         ids = np.where(
