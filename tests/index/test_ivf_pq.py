@@ -55,11 +55,11 @@ def test_ivf_pq_probe_adc_modes_agree(rng):
 
     q = rng.standard_normal((8, dim)).astype(np.float32)
     outs = {}
-    for adc in ("gather", "onehot", "onehot8"):
+    for adc in ("gather", "onehot", "onehot8", "pallas"):
         dd, ids = index.search_batch(q, n_probe=4, top_k=5, pq=True,
                                      adc=adc)
         outs[adc] = (dd, ids)
-    for adc in ("onehot", "onehot8"):
+    for adc in ("onehot", "onehot8", "pallas"):
         ref_i = outs["gather"][1]
         got_i = outs[adc][1]
         overlap = np.mean([

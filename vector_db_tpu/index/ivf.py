@@ -148,6 +148,42 @@ def _ivf_pq_probe_cells(
     if not rerank:
         adc = "gather"
 
+    def _select_rerank(q, d, slots):
+        """Shared tail: pad to ``fetch``, ADC top-``fetch``, exact
+        re-score, final top-k (or direct top-k when un-reranked)."""
+        if pad > 0:
+            d = jnp.concatenate([d, jnp.full((pad,), BIG, d.dtype)])
+            slots = jnp.concatenate(
+                [slots, jnp.full((pad,), -1, slots.dtype)])
+        if not rerank:
+            return masked_top_k_smallest(d, slots, top_k)
+        fd, fi = masked_top_k_smallest(d, slots, fetch)
+        fd = gather_l2_sq(q, emb, fi, fi >= 0)
+        return masked_top_k_smallest(fd, fi, top_k)
+
+    def blk_pallas(qs, probe_b, lutf_b, cdp_b):
+        # whole-block fused scoring: the one-hot lives only in VMEM
+        # inside the kernel (ops/pallas/adc_probe.py); the only HBM
+        # transients are the gathered cell blocks and the [qb, P] panel
+        from vector_db_tpu.ops.pallas.adc_probe import adc_probe_scores
+
+        qb = qs.shape[0]
+        L = cell_slots.shape[1]
+        slots_b = cell_slots[probe_b].reshape(qb, -1)         # [qb, P]
+        codes_b = cell_codes[probe_b].astype(jnp.int32)
+        codes_t = jnp.transpose(
+            codes_b.reshape(qb, -1, m), (0, 2, 1))            # [qb, m, P]
+        if residual:
+            corr = (cell_s[probe_b].reshape(qb, -1)
+                    + jnp.repeat(cdp_b, L, axis=1))
+        else:
+            corr = jnp.zeros(slots_b.shape, jnp.float32)
+        ok = (slots_b >= 0) & has_emb[jnp.maximum(slots_b, 0)]
+        d = adc_probe_scores(
+            lutf_b.reshape(qb, m, ksub), codes_t, corr, ok,
+            interpret=(adc == "pallas_interp"))
+        return jax.vmap(_select_rerank)(qs, d, slots_b)
+
     def one(q, probe_row, lut_row, cdp_row):
         slots = cell_slots[probe_row].reshape(-1)            # [P]
         codes = cell_codes[probe_row].reshape(-1, m)         # [P, m]
@@ -211,16 +247,7 @@ def _ivf_pq_probe_cells(
             d = d + s + jnp.repeat(cdp_row, L)
         ok = (slots >= 0) & has_emb[jnp.maximum(slots, 0)]
         d = jnp.where(ok, d, BIG)
-        if pad > 0:
-            d = jnp.concatenate([d, jnp.full((pad,), BIG, d.dtype)])
-            slots = jnp.concatenate(
-                [slots, jnp.full((pad,), -1, slots.dtype)]
-            )
-        if not rerank:
-            return masked_top_k_smallest(d, slots, top_k)
-        fd, fi = masked_top_k_smallest(d, slots, fetch)
-        fd = gather_l2_sq(q, emb, fi, fi >= 0)
-        return masked_top_k_smallest(fd, fi, top_k)
+        return _select_rerank(q, d, slots)
 
     # queries stream in qblock chunks under lax.map: the vmapped ADC
     # intermediates are O(B · n_probe · L · m); unchunked at B=1000 that
@@ -240,8 +267,10 @@ def _ivf_pq_probe_cells(
     def blk(a):
         return a.reshape((nblk, qblock) + a.shape[1:])
 
+    body = (blk_pallas if adc in ("pallas", "pallas_interp")
+            else lambda *a: jax.vmap(one)(*a))
     dd, ii = jax.lax.map(
-        lambda args: jax.vmap(one)(*args),
+        lambda args: body(*args),
         (blk(queries), blk(probe), blk(lut_flat), blk(cdp)),
     )
     kk = dd.shape[-1]
@@ -1333,10 +1362,12 @@ class IvfIndex:
         bf16 mirror (``enable_rp``). ``fetch`` widens the approximate
         candidate front that gets exact re-ranking; default
         ``max(4*top_k, 100)``. ``adc`` picks the probe-mode LUT scoring
-        formulation: "onehot8" (int8 one-hot + hi/lo int8 LUT pair —
-        half the transient traffic of bf16), "onehot" (hi/lo bf16), or
-        "gather" (f32 per-element gathers; always used when un-reranked
-        distances are returned)."""
+        formulation: "pallas" (fused VMEM one-hot kernel,
+        ops/pallas/adc_probe.py — no HBM one-hot transient; interpret
+        fallback off-TPU), "onehot8" (int8 one-hot + hi/lo int8 LUT
+        pair — half the transient traffic of bf16), "onehot" (hi/lo
+        bf16), or "gather" (f32 per-element gathers; always used when
+        un-reranked distances are returned)."""
         if self.centroids is None:
             raise ValueError("Index must be built before searching")
         q = jnp.asarray(np.asarray(queries, np.float32))
@@ -1432,11 +1463,22 @@ class IvfIndex:
                 # keep it under ~256MB
                 m_, ksub_ = self._pq.chunks, self._pq.k
                 p_tot = int(n_probe) * cell_slots.shape[1]
-                bpe = 1 if adc == "onehot8" else 2
-                qblock = 64
-                while qblock > 4 and \
-                        qblock * p_tot * m_ * ksub_ * bpe > 268_435_456:
-                    qblock //= 2
+                if adc == "pallas" and jax.default_backend() not in (
+                        "tpu", "axon"):
+                    adc = "pallas_interp"
+                if adc in ("pallas", "pallas_interp"):
+                    # no one-hot transient: the gathered int32 code
+                    # blocks [qb, m, P] are the large intermediate
+                    qblock = 64
+                    while qblock > 4 and \
+                            qblock * p_tot * m_ * 4 > 268_435_456:
+                        qblock //= 2
+                else:
+                    bpe = 1 if adc == "onehot8" else 2
+                    qblock = 64
+                    while qblock > 4 and \
+                            qblock * p_tot * m_ * ksub_ * bpe > 268_435_456:
+                        qblock //= 2
                 d_sq, slots = _ivf_pq_probe_cells(
                     self._centroids_dev, cell_slots, cell_codes, cell_s,
                     self._pq.codebooks, self._emb, self._has_emb, q,
