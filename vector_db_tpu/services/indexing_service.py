@@ -71,6 +71,9 @@ class IndexingService:
         self._pq_opq_iters = int(pq_cfg.get("opq_iters", 0))
         # residual IVFADC is the recall-correct default for index.type: ivf
         self._pq_residual = bool(pq_cfg.get("residual", True))
+        # probe-mode LUT scoring formulation (IvfIndex.search_batch adc=):
+        # "onehot8" | "onehot" | "gather" | "pallas" (fused VMEM kernel)
+        self._pq_adc = str(pq_cfg.get("adc", "onehot8"))
         self._pq_active = False
         # Residual-projection scoring (config: index.rp: {dims, min_size}) —
         # the gather-free bf16 IVF mode; preferred over pq when both are set
@@ -419,6 +422,7 @@ class IndexingService:
         dists, ids = self.index.search_batch(
             np.asarray(query, np.float32)[None, :], n_probe=n_probe,
             top_k=k, filter_ids=filter_ids, pq=use_pq, rp=use_rp,
+            adc=self._pq_adc,
         )
         results = []
         for nid, d in zip(ids[0], dists[0]):
@@ -443,6 +447,7 @@ class IndexingService:
             return self.index.search_batch(
                 queries, n_probe=n_probe, top_k=k,
                 filter_ids=filter_ids, pq=use_pq, rp=use_rp,
+                adc=self._pq_adc,
             )
         if self.index_type == "flat":
             # exact search has no ef/beam knobs
