@@ -136,6 +136,39 @@ def main():
     # (ef, F, T, W, seen)
     if mode == "quick":
         grid = [(256, 32, 12, 16, True)]
+    elif mode == "sched":
+        # frontier schedules (wide early / narrow late) vs the fixed-F
+        # pareto at matched and reduced expansion budgets (sum F*T)
+        sched_grid = [
+            ("fixed-2240", None, 224, 10),
+            ("matched-2304", ((448, 2), (224, 4), (128, 4)), 224, 10),
+            ("reduced-1856", ((320, 3), (160, 4), (64, 4)), 224, 10),
+            ("steep-1664", ((512, 2), (128, 5)), 224, 10),
+        ]
+        mk = os.environ.get("EXP_MERGE_KERNEL", "0") == "1"
+        results = []
+        for name, sched, F, T in sched_grid:
+            kw = dict(k=K10, ef=1280, dedup_window=16, seen_mask=False,
+                      merge_kernel=mk)
+            if sched is None:
+                kw.update(frontier=F, steps=T)
+            else:
+                kw.update(schedule=sched)
+
+            def run(v, kw=kw):
+                return index.search_batch_wide(np.asarray(v), **kw)[0]
+
+            _, ids = index.search_batch_wide(q, **kw)
+            qps = timed(run, q, B)
+            rec = recall_of(ids, gt, K10)
+            log(f"sched {name}: recall={rec:.4f} qps={qps:.0f}")
+            results.append({"name": name, "schedule": sched,
+                            "merge_kernel": mk, "recall": rec,
+                            "qps": qps})
+        Path("EXP_SCHED.json").write_text(json.dumps(
+            {"N": N, "dim": DIM, "results": results}, indent=2))
+        log("wrote EXP_SCHED.json")
+        return
     else:
         grid = [
             (1280, 224, 10, 16, False),

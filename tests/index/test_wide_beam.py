@@ -43,6 +43,20 @@ def test_wide_recall_vs_brute_force(built):
     assert _recall(ids, gt) >= 0.9
 
 
+def test_wide_frontier_schedule(built):
+    """A shrinking frontier schedule at the same total expansion budget
+    must stay within noise of the fixed-F recall (the wide-early /
+    narrow-late shape is the cheaper way to spend the same budget)."""
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    _, ids_fixed = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                         steps=12)
+    # budget 32*12 = 384 = 64*3 + 32*3 + 16*6
+    _, ids_sched = idx.search_batch_wide(
+        q, k=10, ef=256, schedule=((64, 3), (32, 3), (16, 6)))
+    assert _recall(ids_sched, gt) >= _recall(ids_fixed, gt) - 0.03
+
+
 def test_wide_exact_distances_sorted_no_dups(built):
     idx, x, q, gt = built
     idx.enable_wide(dims=None, seeds=512)

@@ -769,11 +769,15 @@ class HNSW:
         dedup_window: int = 16,
         seen_mask: bool = True,
         merge_kernel: bool = False,
+        schedule=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam search (requires enable_wide). Same contract as
         search_batch: (L2 dists f32[B, k], node ids int64[B, k]).
         ``merge_kernel`` routes the per-step pool merge through the
         Pallas bitonic kernel (exact top-P, fused payload permutation).
+        ``schedule`` = ((F1, T1), (F2, T2), ...) overrides the fixed
+        frontier/steps with a per-segment frontier width (wide early,
+        narrow late — see wide_beam.wide_search).
 
         ``score="pq"`` traverses on ADC estimates from the PQ-decoded
         mirror (requires enable_pq too) — the HNSW-over-PQ hybrid with
@@ -824,10 +828,14 @@ class HNSW:
         # at ~2M rows (one-shot at B=1024, F=256 is a 4 GB padded gather
         # + f32 convert — OOMed 16G HBM at 1M x 768)
         score_chunks = 1
+        seg_fs = ([f for f, _ in schedule] if schedule else [frontier])
+        f_max = max(seg_fs)
         if inline_tabs is None:
-            rows = queries.shape[0] * frontier * nbr0.shape[1]
+            # chunk count must divide every segment's F*W candidate width
+            rows = queries.shape[0] * f_max * nbr0.shape[1]
             while (rows // score_chunks > 2_097_152
-                   and (frontier * nbr0.shape[1]) % (2 * score_chunks) == 0):
+                   and all((f * nbr0.shape[1]) % (2 * score_chunks) == 0
+                           for f in seg_fs)):
                 score_chunks *= 2
         d_sq, slots = WB.wide_search(
             nbr0, aug, self._emb, self._has_emb, seeds, q_dev, qa,
@@ -835,6 +843,8 @@ class HNSW:
             dedup_window=dedup_window, seen_mask=seen_mask,
             inline_tabs=inline_tabs, score_chunks=score_chunks,
             merge_kernel=merge_kernel,
+            schedule=(tuple(tuple(map(int, s)) for s in schedule)
+                      if schedule else None),
         )
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]

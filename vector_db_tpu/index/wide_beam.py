@@ -331,7 +331,8 @@ def beam_search(
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "F", "T", "k", "rerank_k", "dedup_window",
-                     "seen_mask", "score_chunks", "merge_kernel"),
+                     "seen_mask", "score_chunks", "merge_kernel",
+                     "schedule"),
 )
 def wide_search(
     neighbors0: jnp.ndarray,   # int32[capacity, W] level-0 adjacency
@@ -351,6 +352,7 @@ def wide_search(
     inline_tabs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
     score_chunks: int = 1,
     merge_kernel: bool = False,
+    schedule: Tuple[Tuple[int, int], ...] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched wide-beam search. Returns (d_sq f32[B, k], slots int32[B, k])
     sorted ascending, (BIG, -1) padded; distances exact (difference-form
@@ -366,6 +368,12 @@ def wide_search(
     top-P in VMEM with the packed payload riding the exchanges — one
     fused pass instead of approx_min_k + an issue-bound permutation
     gather.
+    ``schedule`` replaces the fixed (F, T) loop with segments
+    ``((F1, T1), (F2, T2), ...)``: T1 steps at frontier F1, then T2 at
+    F2, ... — early steps explore wide, later steps refine narrow, so
+    the per-step expansion cost (gather + score + merge all scale with
+    F·W) shrinks as the pool converges. Each distinct F compiles one
+    scan body (segments stay O(segments) in HLO size, not O(T)).
     """
     B = queries.shape[0]
     P = ef
@@ -423,7 +431,8 @@ def wide_search(
         q_scale = jnp.maximum(jnp.max(jnp.abs(qm), axis=1), 1e-9) / 127.0
         q_i8 = jnp.round(qm / q_scale[:, None]).astype(jnp.int8)
 
-    def step(carry, _):
+    def make_step(F):
+      def step(carry, _):
         pool_d, pool_se = carry
         big = jnp.asarray(BIG, pool_d.dtype)
         pool_sid = pool_se >> 1
@@ -548,9 +557,11 @@ def wide_search(
             pool_d = jnp.where(dup, big, pool_d)
             pool_se = jnp.where(dup, -1, pool_se)  # slot -1, e=1 (husk)
         return (pool_d, pool_se), None
+      return step
 
-    (pool_d, pool_se), _ = jax.lax.scan(
-        step, (pool_d, pool_se), None, length=T)
+    for seg_f, seg_t in (schedule if schedule is not None else ((F, T),)):
+        (pool_d, pool_se), _ = jax.lax.scan(
+            make_step(seg_f), (pool_d, pool_se), None, length=seg_t)
     pool_s = pool_se >> 1
 
     # ---- exact rerank of the R best pool entries ----
