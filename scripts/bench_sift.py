@@ -178,15 +178,21 @@ def main():
     ivf2.search_batch(q[:8], n_probe=8, top_k=K, pq=True)
     log(f"enable_pq(residual m=16): {time.perf_counter() - t0:.0f}s")
     results["ivf_pq_residual"] = []
-    # n_probe=k routes through the one-hot-matmul full-scan ADC kernel
-    for n_probe, fetch, kk in [(16, 128, 10), (k_cells, 128, 10),
-                               (16, 256, 100)]:
-        def run(v, n_probe=n_probe, fetch=fetch, kk=kk):
+    # n_probe=k routes through the one-hot-matmul full-scan ADC kernel;
+    # probe rows (n_probe<k) time both onehot8 and the fused Pallas
+    # probe kernel (adc="pallas", ops/pallas/adc_probe.py)
+    for n_probe, fetch, kk, adc in [(16, 128, 10, "onehot8"),
+                                    (16, 128, 10, "pallas"),
+                                    (k_cells, 128, 10, "onehot8"),
+                                    (16, 256, 100, "onehot8"),
+                                    (16, 256, 100, "pallas")]:
+        def run(v, n_probe=n_probe, fetch=fetch, kk=kk, adc=adc):
             return ivf2.search_batch(np.asarray(v), n_probe=n_probe,
-                                     top_k=kk, pq=True, fetch=fetch)[0]
+                                     top_k=kk, pq=True, fetch=fetch,
+                                     adc=adc)[0]
 
         _, ids = ivf2.search_batch(q, n_probe=n_probe, top_k=kk, pq=True,
-                                   fetch=fetch)
+                                   fetch=fetch, adc=adc)
         if kk == K:
             rec = recall_of(ids)
         else:
@@ -198,10 +204,10 @@ def main():
                      & set(gtk_ids[i].tolist())) / kk for i in range(B)]
             ))
         qps = timed(run, qd, B)
-        log(f"ivf-pq(res) n_probe={n_probe} fetch={fetch} k={kk}: "
-            f"recall={rec:.4f} qps={qps:.0f}")
+        log(f"ivf-pq(res) n_probe={n_probe} fetch={fetch} k={kk} "
+            f"adc={adc}: recall={rec:.4f} qps={qps:.0f}")
         results["ivf_pq_residual"].append(
-            {"n_probe": n_probe, "fetch": fetch, "k": kk,
+            {"n_probe": n_probe, "fetch": fetch, "k": kk, "adc": adc,
              "recall": rec, "qps": qps})
 
     Path("BENCH_SIFT.json").write_text(json.dumps(results, indent=2))
