@@ -220,6 +220,38 @@ def main():
             results["hnsw"].append({"ef": ef, "recall": rec, "qps": qps})
         save()
 
+    if want("filter"):
+        # filtered serving: classic two-pool beam vs the filtered wide
+        # path (two-pool wide-beam, round 3) on a 10% random filter set
+        from vector_db_tpu.ops.exact import exact_search_tiled
+
+        rngf = np.random.default_rng(11)
+        fslots = rngf.choice(N, size=N // 10, replace=False)
+        filt = set(int(i) for i in fslots)  # slot==id in this bench
+        fmask = np.zeros((index._capacity,), bool)
+        fmask[fslots] = True
+        vmask = jnp.asarray(fmask) & index._has_emb
+        gt_f = np.asarray(exact_search_tiled(
+            qd, index._emb, vmask, K, tile=31250)[1])
+        if not hasattr(index, "_wb_n_seeds"):
+            index.enable_wide(dims=120, seeds=16384, inline=True)
+        results["hnsw_filtered"] = []
+        for name, run_f in [
+            ("wide", lambda v: index.search_batch_wide(
+                np.asarray(v), k=K, ef=1280, frontier=224, steps=10,
+                rerank_k=256, seen_mask=False, filter_ids=filt)),
+            ("classic", lambda v: index.search_batch(
+                np.asarray(v), k=K, ef=400, expand=4, filter_ids=filt)),
+        ]:
+            _, ids = run_f(q)
+            qps = timed(lambda v: run_f(v)[0], qd, B)
+            rec = recall_of(ids, gt_f, K)
+            log(f"hnsw-filtered {name}: recall={rec:.3f} qps={qps:.0f}")
+            results["hnsw_filtered"].append(
+                {"engine": name, "selectivity": 0.1, "recall": rec,
+                 "qps": qps})
+        save()
+
     if want("rp"):
         # projected traversal (pHNSW-style): PCA-128 bf16 mirror beam
         t0 = time.perf_counter()

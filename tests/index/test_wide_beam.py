@@ -57,6 +57,40 @@ def test_wide_frontier_schedule(built):
     assert _recall(ids_sched, gt) >= _recall(ids_fixed, gt) - 0.03
 
 
+def test_wide_filter_ids(built):
+    """Reference filter contract (reference hnsw.py:81-88,127-131):
+    only matching ids in results; recall vs brute force over the filter
+    set; non-matching nodes still navigate."""
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    rng = np.random.default_rng(3)
+    allowed = set(int(i) for i in
+                  rng.choice(len(x), size=len(x) // 5, replace=False))
+    dists, ids = idx.search_batch_wide(
+        q, k=10, ef=256, frontier=32, steps=12, rerank_k=128,
+        filter_ids=allowed)
+    al = np.asarray(sorted(allowed))
+    d = ((q[:, None] - x[al][None]) ** 2).sum(-1)
+    gt_f = al[np.argsort(d, 1)[:, :10]]
+    for i in range(len(q)):
+        got = [int(v) for v in ids[i] if v >= 0]
+        assert all(g in allowed for g in got), "non-matching id returned"
+    assert _recall(ids, gt_f) >= 0.85
+
+
+def test_wide_filter_tiny_set(built):
+    """A filter of a handful of ids must never return outsiders (results
+    may be partial: navigation is unfiltered, per the reference)."""
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    allowed = {5, 77, 1234}
+    _, ids = idx.search_batch_wide(q[:8], k=3, ef=256, frontier=32,
+                                   steps=12, filter_ids=allowed)
+    for i in range(8):
+        got = set(int(v) for v in ids[i] if v >= 0)
+        assert got <= allowed
+
+
 def test_wide_exact_distances_sorted_no_dups(built):
     idx, x, q, gt = built
     idx.enable_wide(dims=None, seeds=512)

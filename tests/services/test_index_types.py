@@ -361,10 +361,15 @@ def test_hnsw_wide_mode_service(tmp_path, rng):
     d, ids = svc.search_batch(
         np.stack([n.embedding for n in nodes[:4]]), k=1, ef=32)
     assert list(ids[:, 0]) == [0, 1, 2, 3]
-    # filtered queries fall back to the reference-faithful beam
+    # filtered queries route through the two-pool wide path (pool mode):
+    # only matching ids may appear, and the nearest matching node wins
     resf = svc.search(nodes[9].embedding, k=3, ef=32,
                       filter_ids={n.id for n in nodes[:5]})
     assert all(n.id < 5 for n, _ in resf)
+    emb9 = nodes[9].embedding
+    want = min(range(5),
+               key=lambda i: float(np.sum((emb9 - nodes[i].embedding) ** 2)))
+    assert resf[0][0].id == want
 
 
 def test_hnsw_wide_beam_mode_service(tmp_path, rng):

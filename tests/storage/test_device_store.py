@@ -72,3 +72,35 @@ def test_dim_mismatch():
     s.ensure_dim(2)
     with pytest.raises(ValueError):
         s.ensure_dim(3)
+
+
+def test_filter_mask_vectorized_path(rng):
+    """Large filter sets route through the cached sorted-id view; the
+    result must match the per-id loop across mutations (adds, deletes,
+    unknown ids, negative ids)."""
+    import numpy as np
+
+    n = 6000
+    s = DeviceVectorStore(capacity=8192)
+    s.ensure_dim(4)
+    ids = [int(i) * 7 + 3 for i in range(n)]   # sparse, non-contiguous
+    s.take_slots(ids)
+    # delete a scattered subset (mutation invalidates the cache)
+    for nid in ids[::17]:
+        s.release(nid)
+    live = [i for k, i in enumerate(ids) if k % 17 != 0]
+    big = set(live[: n // 2]) | {-5, 10**9, 4}  # unknowns + negative
+    got = s.filter_mask(big)
+
+    want = np.zeros((s.capacity,), bool)
+    for nid in big:
+        slot = s.slot_of(int(nid))
+        if slot is not None:
+            want[slot] = True
+    np.testing.assert_array_equal(got, want)
+    # cache reuse on a second call must stay correct
+    np.testing.assert_array_equal(s.filter_mask(big), want)
+    # mutate, then query again (stale-cache guard)
+    s.take_slot(12345)
+    got2 = s.filter_mask(set(list(big) + [12345]))
+    assert got2[s.slot_of(12345)]

@@ -770,6 +770,7 @@ class HNSW:
         seen_mask: bool = True,
         merge_kernel: bool = False,
         schedule=None,
+        filter_ids=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam search (requires enable_wide). Same contract as
         search_batch: (L2 dists f32[B, k], node ids int64[B, k]).
@@ -778,6 +779,10 @@ class HNSW:
         ``schedule`` = ((F1, T1), (F2, T2), ...) overrides the fixed
         frontier/steps with a per-segment frontier width (wide early,
         narrow late — see wide_beam.wide_search).
+        ``filter_ids`` applies the reference's filter contract
+        (hnsw.py:81-88): non-matching nodes navigate but never enter
+        results (two-pool wide-beam; widen ``rerank_k``/``ef`` for very
+        selective filters).
 
         ``score="pq"`` traverses on ADC estimates from the PQ-decoded
         mirror (requires enable_pq too) — the HNSW-over-PQ hybrid with
@@ -837,6 +842,8 @@ class HNSW:
                    and all((f * nbr0.shape[1]) % (2 * score_chunks) == 0
                            for f in seg_fs)):
                 score_chunks *= 2
+        res_mask = (jnp.asarray(self._store.filter_mask(filter_ids))
+                    if filter_ids is not None else None)
         d_sq, slots = WB.wide_search(
             nbr0, aug, self._emb, self._has_emb, seeds, q_dev, qa,
             ef=ef, F=frontier, T=steps, k=k, rerank_k=rerank_k,
@@ -845,6 +852,7 @@ class HNSW:
             merge_kernel=merge_kernel,
             schedule=(tuple(tuple(map(int, s)) for s in schedule)
                       if schedule else None),
+            res_mask=res_mask,
         )
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]

@@ -353,6 +353,7 @@ def wide_search(
     score_chunks: int = 1,
     merge_kernel: bool = False,
     schedule: Tuple[Tuple[int, int], ...] | None = None,
+    res_mask: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched wide-beam search. Returns (d_sq f32[B, k], slots int32[B, k])
     sorted ascending, (BIG, -1) padded; distances exact (difference-form
@@ -374,6 +375,11 @@ def wide_search(
     the per-step expansion cost (gather + score + merge all scale with
     F·W) shrinks as the pool converges. Each distinct F compiles one
     scan body (segments stay O(segments) in HLO size, not O(T)).
+    ``res_mask`` (bool[capacity]) is the filter-ids contract (reference
+    hnsw.py:81-88,96-97,127-131): masked-out nodes still navigate (the
+    main pool is unchanged) but only matching nodes enter a separate
+    result pool [B, R] merged per step — the wide-beam analog of the
+    classic beam's two-pool filtered mode (hnsw_kernels.beam_layer).
     """
     B = queries.shape[0]
     P = ef
@@ -411,6 +417,13 @@ def wide_search(
     # arithmetic >> 1 unpacks both signs correctly.
     pool_se = pool_s0 * 2
 
+    if res_mask is not None:
+        ok_seed = (seed_b >= 0) & res_mask[jnp.maximum(seed_b, 0)]
+        d_seed_m = jnp.where(ok_seed, d_seed, BIG)
+        res_d, rpos0 = jax.lax.approx_min_k(d_seed_m, R)
+        res_s = jnp.take_along_axis(seed_b, rpos0, axis=1)
+        res_s = jnp.where(res_d < BIG_THRESH, res_s, -1)
+
     if inline_tabs is not None:
         # int8 query mirror: int8 x int8 lands natively on the MXU and
         # skips the [B, K, dp] bf16 cast materialization (measured 24% of
@@ -433,7 +446,10 @@ def wide_search(
 
     def make_step(F):
       def step(carry, _):
-        pool_d, pool_se = carry
+        if res_mask is not None:
+            pool_d, pool_se, res_d, res_s = carry
+        else:
+            pool_d, pool_se = carry
         big = jnp.asarray(BIG, pool_d.dtype)
         pool_sid = pool_se >> 1
         pool_e = (pool_se & 1) == 1
@@ -496,6 +512,18 @@ def wide_search(
             d_new = jnp.einsum(
                 "bkd,bd->bk", rows.astype(jnp.bfloat16), qa16,
                 preferred_element_type=jnp.float32)
+        # result-pool merge BEFORE the seen mask: a matching node first
+        # scored this step must enter results even if it is already
+        # pooled for navigation
+        if res_mask is not None:
+            ok_res = (cand >= 0) & res_mask[jnp.maximum(cand, 0)]
+            d_res = jnp.where(ok_res, d_new, BIG)
+            res_d, rpos = jax.lax.approx_min_k(
+                jnp.concatenate([res_d, d_res], axis=1), R)
+            res_s = jnp.take_along_axis(
+                jnp.concatenate([res_s, cand], axis=1), rpos, axis=1)
+            res_s = jnp.where(res_d < BIG_THRESH, res_s, -1)
+
         # mask invalid (+ optionally already-pooled)
         ok_new = cand >= 0
         if seen_mask:
@@ -556,17 +584,28 @@ def wide_search(
             pool_se = (sid * 2) | prop
             pool_d = jnp.where(dup, big, pool_d)
             pool_se = jnp.where(dup, -1, pool_se)  # slot -1, e=1 (husk)
+        if res_mask is not None:
+            return (pool_d, pool_se, res_d, res_s), None
         return (pool_d, pool_se), None
       return step
 
+    carry = ((pool_d, pool_se, res_d, res_s) if res_mask is not None
+             else (pool_d, pool_se))
     for seg_f, seg_t in (schedule if schedule is not None else ((F, T),)):
-        (pool_d, pool_se), _ = jax.lax.scan(
-            make_step(seg_f), (pool_d, pool_se), None, length=seg_t)
+        carry, _ = jax.lax.scan(make_step(seg_f), carry, None, length=seg_t)
+    if res_mask is not None:
+        pool_d, pool_se, res_d, res_s = carry
+    else:
+        pool_d, pool_se = carry
     pool_s = pool_se >> 1
 
     # ---- exact rerank of the R best pool entries ----
-    rd, rpos = jax.lax.approx_min_k(pool_d, R)
-    rs = jnp.take_along_axis(pool_s, rpos, axis=1)    # [B, R]
+    if res_mask is not None:
+        # filtered: rerank the matching-only result pool
+        rd, rs = res_d, res_s                         # [B, R]
+    else:
+        rd, rpos = jax.lax.approx_min_k(pool_d, R)
+        rs = jnp.take_along_axis(pool_s, rpos, axis=1)  # [B, R]
     # drop duplicate slots (multi-path copies): keep first occurrence
     dup = jnp.any(
         (rs[:, :, None] == rs[:, None, :])
@@ -574,6 +613,8 @@ def wide_search(
         axis=-1,
     )
     ok = (rs >= 0) & ~dup & has_emb[jnp.maximum(rs, 0)]
+    if res_mask is not None:
+        ok = ok & res_mask[jnp.maximum(rs, 0)]
     r_safe = jnp.maximum(rs, 0)
     r_rows = emb[r_safe]                              # [B, R, dim]
     # difference form, not the matmul expansion: R is small, and the

@@ -349,10 +349,13 @@ class IndexingService:
             return self._ivf_search(query, k, **kwargs)
         if self.index_type == "sharded-hnsw":
             return self._sharded_search(query, k, **kwargs)
-        if kwargs.get("filter_ids") is None and self._maybe_enable_wide():
+        if ((kwargs.get("filter_ids") is None
+             or self._wide_mode == "pool")
+                and self._maybe_enable_wide()):
             ef = int(kwargs.get("ef", 50) or 50)
             dists, ids = self._wide_dispatch(
-                np.asarray(query, np.float32)[None, :], k, ef)
+                np.asarray(query, np.float32)[None, :], k, ef,
+                kwargs.get("filter_ids"))
             return self._resolve(dists, ids, k)
         if kwargs.get("filter_ids") is None and self._maybe_enable_hnsw_rp():
             ef = int(kwargs.get("ef", 50) or 50)
@@ -455,15 +458,20 @@ class IndexingService:
                 queries, k, filter_ids=kwargs.get("filter_ids")
             )
         if (self.index_type == "hnsw"
-                and kwargs.get("filter_ids") is None
+                and (kwargs.get("filter_ids") is None
+                     or self._wide_mode == "pool")
                 and self._maybe_enable_wide()):
             ef = int(kwargs.get("ef", 50) or 50)
-            return self._wide_dispatch(queries, k, ef)
+            return self._wide_dispatch(queries, k, ef,
+                                       kwargs.get("filter_ids"))
         return self.index.search_batch(queries, k, **kwargs)
 
-    def _wide_dispatch(self, queries: np.ndarray, k: int, ef: int):
-        """Route an unfiltered hnsw batch to the configured wide-beam
-        formulation (index.wide.mode: pool | beam)."""
+    def _wide_dispatch(self, queries: np.ndarray, k: int, ef: int,
+                       filter_ids=None):
+        """Route an hnsw batch to the configured wide-beam formulation
+        (index.wide.mode: pool | beam). Filtered queries run the
+        two-pool wide path (pool mode only; beam mode carries no result
+        pool, so filtered queries never reach it — see search_batch)."""
         if self._wide_mode == "beam":
             return self.index.search_batch_beam(
                 queries, k, frontier=self._wide_frontier or 224,
@@ -472,7 +480,7 @@ class IndexingService:
         return self.index.search_batch_wide(
             queries, k, ef=max(4 * max(ef, k), 64),
             frontier=self._wide_frontier, steps=self._wide_steps,
-            seen_mask=self._wide_seen,
+            seen_mask=self._wide_seen, filter_ids=filter_ids,
         )
 
     def save_index(self) -> None:
