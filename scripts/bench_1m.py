@@ -66,38 +66,64 @@ def main():
 
     def want(s):
         return "all" in SEC or s in SEC
-    log(f"generating {N}x{DIM} (clustered embedding-like)...")
-    t0 = time.perf_counter()
-    data = embedding_like(N + B, DIM, 0)
-    x, q = data[:N], data[N:]
-    log(f"data {time.perf_counter() - t0:.0f}s")
 
-    t0 = time.perf_counter()
-    index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
-                 capacity=N, l_max=5)
-    index.bulk_build(list(range(N)), x)
-    jax.block_until_ready(index.graph.neighbors)
-    build_s = time.perf_counter() - t0
-    log(f"build: {build_s:.0f}s = {N / build_s:.0f} vec/s")
+    # corpus/graph/gt shared with the exp_* scripts via /tmp/wide1m_cache
+    # (identical generator seed + build params). BENCH_1M_CACHE=0 forces
+    # a fresh build — the only way to produce a new build_s headline.
+    use_cache = os.environ.get("BENCH_1M_CACHE", "1") == "1"
+    build_s = None
+    if use_cache:
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from exp_wide_1m import get_index
+
+        index, x, q, gt = get_index(N, DIM, B)
+        log("corpus/graph/gt from wide1m cache (BENCH_1M_CACHE=0 for a "
+            "fresh build timing)")
+    else:
+        log(f"generating {N}x{DIM} (clustered embedding-like)...")
+        t0 = time.perf_counter()
+        data = embedding_like(N + B, DIM, 0)
+        x, q = data[:N], data[N:]
+        log(f"data {time.perf_counter() - t0:.0f}s")
+
+        t0 = time.perf_counter()
+        index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
+                     capacity=N, l_max=5)
+        index.bulk_build(list(range(N)), x)
+        jax.block_until_ready(index.graph.neighbors)
+        build_s = time.perf_counter() - t0
+        log(f"build: {build_s:.0f}s = {N / build_s:.0f} vec/s")
 
     qd = jnp.asarray(q)
     tile = 31250 if N % 31250 == 0 else 25000
-    t0 = time.perf_counter()
-    gt = np.asarray(
-        exact_search_tiled(qd, index._emb, index._has_emb, K, tile=tile)[1]
-    )
-    log(f"exact gt: {time.perf_counter() - t0:.1f}s")
+    if not use_cache:
+        t0 = time.perf_counter()
+        gt = np.asarray(
+            exact_search_tiled(qd, index._emb, index._has_emb, K,
+                               tile=tile)[1]
+        )
+        log(f"exact gt: {time.perf_counter() - t0:.1f}s")
 
     results = {"N": N, "dim": DIM, "data": "clustered rank-64 embedding-like",
-               "build_s": build_s, "build_vps": N / build_s,
                "hnsw": [], "hnsw_opq": []}
+    if build_s is not None:
+        results.update({"build_s": build_s, "build_vps": N / build_s})
     prev_path = Path("BENCH_1M.json")
-    if "all" not in SEC and prev_path.exists():
+    if prev_path.exists():
         prev = json.loads(prev_path.read_text())
         if prev.get("N") == N:
-            prev.update({k: results[k] for k in ("build_s", "build_vps")})
-            results = prev
-            log(f"resuming into existing BENCH_1M.json (sections: {SEC})")
+            if build_s is None:
+                # keep the previously measured fresh-build headline
+                for kk in ("build_s", "build_vps"):
+                    if kk in prev:
+                        results[kk] = prev[kk]
+            if "all" not in SEC:
+                for kk in ("build_s", "build_vps"):
+                    if kk in results:
+                        prev[kk] = results[kk]
+                results = prev
+                log(f"resuming into existing BENCH_1M.json "
+                    f"(sections: {SEC})")
 
     def save():
         prev_path.write_text(json.dumps(results, indent=2))

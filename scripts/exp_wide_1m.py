@@ -21,6 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 CACHE = Path("/tmp/wide1m_cache")
 
 
+def cache_for(n: int) -> Path:
+    """Per-N cache dir: cross-N runs must never clobber the
+    expensive 1M corpus/graph artifacts."""
+    return CACHE if n == 1_000_000 else Path(f"{CACHE}_{n}")
+
+
 def log(m):
     print(m, file=sys.stderr, flush=True)
 
@@ -53,16 +59,27 @@ def get_index(N, DIM, B):
     from vector_db_tpu.index import hnsw_kernels as K
     from vector_db_tpu.index.hnsw import HNSW
 
-    dpath = CACHE / "data.npy"
+    cache = cache_for(N)
+    dpath = cache / "data.npy"
     if dpath.exists():
         log("loading cached corpus...")
         data = np.load(dpath, mmap_mode="r")
-        data = np.asarray(data)
+        if data.shape != (N + B, DIM):  # stale cache from a different N
+            log(f"cache shape {data.shape} != {(N + B, DIM)}; regenerating")
+            data = None
+        else:
+            data = np.asarray(data)
     else:
+        data = None
+    if data is None:
         log(f"generating {N}x{DIM}...")
         data = embedding_like(N + B, DIM, 0)
-        CACHE.mkdir(exist_ok=True)
+        cache.mkdir(exist_ok=True)
         np.save(dpath, data)
+        # downstream caches derive from the corpus: drop them with it
+        for stale in cache.glob("graph*.npz"):
+            stale.unlink()
+        (cache / "gt.npy").unlink(missing_ok=True)
     x, q = data[:N], data[N:]
 
     index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
@@ -70,8 +87,11 @@ def get_index(N, DIM, B):
     # EXP_ALPHA != 1.0 builds (and caches) the alpha-occlusion-diversified
     # graph variant (clustered rows pruned to M diverse forward edges)
     alpha = float(os.environ.get("EXP_ALPHA", "1.0"))
-    gpath = CACHE / ("graph.npz" if alpha == 1.0
+    gpath = cache / ("graph.npz" if alpha == 1.0
                      else f"graph_a{alpha:g}.npz")
+    if gpath.exists() and np.load(gpath)["neighbors"].shape[0] != N:
+        log("graph cache is for a different N; rebuilding")
+        gpath.unlink()
     if gpath.exists():
         log("loading cached graph...")
         with np.load(gpath) as z:
@@ -94,17 +114,18 @@ def get_index(N, DIM, B):
         index.bulk_build(list(range(N)), x, alpha=alpha)
         jax.block_until_ready(index.graph.neighbors)
         log(f"build: {time.perf_counter() - t0:.0f}s")
-        CACHE.mkdir(exist_ok=True)
+        cache.mkdir(exist_ok=True)
         np.savez(gpath,
                  neighbors=np.asarray(index.graph.neighbors),
                  levels=np.asarray(index.graph.levels),
                  entry=np.asarray(index.graph.entry),
                  entry_level=np.asarray(index.graph.entry_level))
 
-    gt_path = CACHE / "gt.npy"
-    if gt_path.exists():
-        gt = np.load(gt_path)
-    else:
+    gt_path = cache / "gt.npy"
+    gt = np.load(gt_path) if gt_path.exists() else None
+    if gt is not None and gt.shape[0] != B:
+        gt = None
+    if gt is None:
         from vector_db_tpu.ops.exact import exact_search_tiled
 
         t0 = time.perf_counter()

@@ -36,6 +36,12 @@ def enable_compilation_cache(path: Optional[str] = None) -> str:
     turns this on. Returns the cache directory.
     """
     global _CACHE_ENABLED
+    # VDB_FORCE_PLATFORM=cpu lets any entry point (bench scripts
+    # included) run off-TPU: the env var JAX_PLATFORMS alone is
+    # overridden by the axon plugin, only the config flag holds
+    forced = os.environ.get("VDB_FORCE_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
     cache_dir = path or os.environ.get(
         "VDB_TPU_COMPILE_CACHE",
         str(Path(__file__).resolve().parent.parent / ".jax_cache"),
