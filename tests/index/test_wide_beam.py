@@ -78,6 +78,25 @@ def test_wide_filter_ids(built):
     assert _recall(ids, gt_f) >= 0.85
 
 
+def test_wide_filter_with_schedule(built):
+    """filter_ids composes with a frontier schedule (both touch the scan
+    carry): subset contract and recall must hold together."""
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    rng = np.random.default_rng(5)
+    allowed = set(int(i) for i in
+                  rng.choice(len(x), size=len(x) // 4, replace=False))
+    _, ids = idx.search_batch_wide(
+        q, k=10, ef=256, schedule=((64, 4), (32, 4), (16, 4)),
+        rerank_k=128, filter_ids=allowed)
+    al = np.asarray(sorted(allowed))
+    d = ((q[:, None] - x[al][None]) ** 2).sum(-1)
+    gt_f = al[np.argsort(d, 1)[:, :10]]
+    for i in range(len(q)):
+        assert all(int(v) in allowed for v in ids[i] if v >= 0)
+    assert _recall(ids, gt_f) >= 0.85
+
+
 def test_wide_filter_tiny_set(built):
     """A filter of a handful of ids must never return outsiders (results
     may be partial: navigation is unfiltered, per the reference)."""
