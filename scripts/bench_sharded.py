@@ -135,11 +135,28 @@ def main():
     assert not (set(victims) & set(ids3.ravel().tolist()))
     log(f"hnsw insert 1024: {ins_s:.1f}s; delete {len(victims)}: {del_s:.1f}s")
 
+    # filtered sharded search: 25% random filter set, subset contract +
+    # recall vs masked brute force (filter semantics ride the SPMD path)
+    fset = set(int(i) for i in
+               rng.choice(n2, size=n2 // 4, replace=False))
+    fset -= set(victims)
+    _, fids = idx.search_batch(q2, k=10, ef=160, filter_ids=fset)
+    alf = np.asarray(sorted(fset))
+    df = ((q2[:, None] - x2[alf][None]) ** 2).sum(-1)
+    gtf = alf[np.argsort(df, axis=1)[:, :10]]
+    assert all(int(v) in fset for row in fids for v in row if v >= 0)
+    rec_f = float(np.mean([
+        len(set(fids[i].tolist()) & set(gtf[i].tolist())) / 10
+        for i in range(32)
+    ]))
+    log(f"hnsw sharded filtered search (25%): recall@10={rec_f:.3f}")
+
     results["hnsw_256k"] = {
         "n": n2, "dim": dim2, "bulk_build_s": build_s,
         "build_vps_cpu": n2 / build_s, "recall_at_10_ef120": rec,
         "search_qps_cpu": qps, "insert_1024_s": ins_s,
-        "delete_256_s": del_s,
+        "delete_256_s": del_s, "filtered_recall_at_10_ef160": rec_f,
+        "filtered_selectivity": 0.25,
     }
 
     Path("BENCH_SHARDED.json").write_text(json.dumps(results, indent=2))
