@@ -254,3 +254,21 @@ def test_wide_merge_kernel_parity(built):
         assert len(set(valid.tolist())) == len(valid)
         dref = np.sqrt(((q[i] - x[valid]) ** 2).sum(-1))
         np.testing.assert_allclose(d1[i][: len(valid)], dref, rtol=1e-4)
+
+
+def test_beam_filter_ids(built):
+    """Pool-free beam filter: subset contract + recall vs masked brute
+    force at moderate selectivity (trajectory mask)."""
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    rng = np.random.default_rng(9)
+    allowed = set(int(i) for i in
+                  rng.choice(len(x), size=len(x) // 4, replace=False))
+    _, ids = idx.search_batch_beam(q, k=10, frontier=48, steps=14,
+                                   rerank_k=256, filter_ids=allowed)
+    al = np.asarray(sorted(allowed))
+    d = ((q[:, None] - x[al][None]) ** 2).sum(-1)
+    gt_f = al[np.argsort(d, 1)[:, :10]]
+    for i in range(len(q)):
+        assert all(int(v) in allowed for v in ids[i] if v >= 0)
+    assert _recall(ids, gt_f) >= 0.75  # trajectory-only memory

@@ -870,11 +870,15 @@ class HNSW:
         hist: int = 2,
         bucket: bool = True,
         score: str = "exact",
+        filter_ids=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Pool-free beam search (requires enable_wide): the merge-light
         wide-beam variant — see :func:`wide_beam.beam_search`. Same
         contract as search_batch; ``score="pq"`` traverses on ADC
-        estimates from the PQ-decoded mirror."""
+        estimates from the PQ-decoded mirror. ``filter_ids`` masks the
+        emitted trajectory (navigation unfiltered, reference contract);
+        very selective filters prefer search_batch_wide's two-pool
+        mode."""
         from vector_db_tpu.index import wide_beam as WB
 
         if not hasattr(self, "_wb_n_seeds"):
@@ -906,10 +910,12 @@ class HNSW:
         nbr0 = self.graph.neighbors[:, : 2 * self.M]
         inline_tabs = (getattr(self, "_wb_inline_tabs", None)
                        if score == "exact" else None)
+        res_mask = (jnp.asarray(self._store.filter_mask(filter_ids))
+                    if filter_ids is not None else None)
         d_sq, slots = WB.beam_search(
             nbr0, aug, self._emb, self._has_emb, seeds, q_dev, qa,
             F=frontier, T=steps, k=k, rerank_k=rerank_k, hist=hist,
-            inline_tabs=inline_tabs,
+            inline_tabs=inline_tabs, res_mask=res_mask,
         )
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]

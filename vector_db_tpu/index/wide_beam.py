@@ -201,6 +201,7 @@ def beam_search(
     hist: int = 2,
     dedup_window: int = 8,
     inline_tabs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    res_mask: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pool-free beam traversal: the merge-light wide-beam variant.
 
@@ -228,6 +229,14 @@ def beam_search(
     lower at equal (F, T) — but each step is ~2x cheaper, buying more
     steps or wider frontiers at equal latency. Returns the
     :func:`wide_search` contract: (d_sq f32[B, k], slots int32[B, k]).
+
+    ``res_mask`` (filter-ids contract, reference hnsw.py:81-88): the
+    emitted trajectory already holds every frontier node, so filtering
+    is one mask over the [B, (T+1)·F] trajectory scores before the
+    deferred selection — navigation stays unfiltered for free. Matching
+    candidates that were scored but never frontier-chosen are not in
+    the trajectory, so very selective filters prefer wide_search's
+    two-pool mode.
     """
     B = queries.shape[0]
     qa16 = queries_aug.astype(jnp.bfloat16)
@@ -308,6 +317,9 @@ def beam_search(
         [jnp.moveaxis(ss, 0, 1).reshape(B, -1), lf], axis=1)
 
     # ---- one deferred selection + exact rerank ----
+    if res_mask is not None:
+        ds = jnp.where(
+            (ss >= 0) & res_mask[jnp.maximum(ss, 0)], ds, BIG)
     R = min(max(rerank_k, k), ds.shape[1])
     rd, rpos = jax.lax.approx_min_k(ds, R)
     rs = jnp.take_along_axis(ss, rpos, axis=1)
@@ -317,6 +329,8 @@ def beam_search(
         axis=-1,
     )
     ok = (rs >= 0) & ~dup & has_emb[jnp.maximum(rs, 0)]
+    if res_mask is not None:
+        ok = ok & res_mask[jnp.maximum(rs, 0)]
     r_safe = jnp.maximum(rs, 0)
     diff = emb[r_safe] - queries[:, None, :]
     d_ex = jnp.sum(diff * diff, axis=-1)

@@ -349,9 +349,7 @@ class IndexingService:
             return self._ivf_search(query, k, **kwargs)
         if self.index_type == "sharded-hnsw":
             return self._sharded_search(query, k, **kwargs)
-        if ((kwargs.get("filter_ids") is None
-             or self._wide_mode == "pool")
-                and self._maybe_enable_wide()):
+        if self._maybe_enable_wide():
             ef = int(kwargs.get("ef", 50) or 50)
             dists, ids = self._wide_dispatch(
                 np.asarray(query, np.float32)[None, :], k, ef,
@@ -457,10 +455,7 @@ class IndexingService:
             return self.index.search_batch(
                 queries, k, filter_ids=kwargs.get("filter_ids")
             )
-        if (self.index_type == "hnsw"
-                and (kwargs.get("filter_ids") is None
-                     or self._wide_mode == "pool")
-                and self._maybe_enable_wide()):
+        if (self.index_type == "hnsw" and self._maybe_enable_wide()):
             ef = int(kwargs.get("ef", 50) or 50)
             return self._wide_dispatch(queries, k, ef,
                                        kwargs.get("filter_ids"))
@@ -470,12 +465,13 @@ class IndexingService:
                        filter_ids=None):
         """Route an hnsw batch to the configured wide-beam formulation
         (index.wide.mode: pool | beam). Filtered queries run the
-        two-pool wide path (pool mode only; beam mode carries no result
-        pool, so filtered queries never reach it — see search_batch)."""
+        two-pool wide path in pool mode, the trajectory mask in beam
+        mode (both keep the reference navigate-but-exclude contract)."""
         if self._wide_mode == "beam":
             return self.index.search_batch_beam(
                 queries, k, frontier=self._wide_frontier or 224,
                 steps=self._wide_steps or 12, hist=self._wide_hist,
+                filter_ids=filter_ids,
             )
         return self.index.search_batch_wide(
             queries, k, ef=max(4 * max(ef, k), 64),
