@@ -269,6 +269,18 @@ def test_sharded_wide_beam_recall(rng):
     idx.enable_wide(dims=8, seeds=64)
     d2, i2 = idx.search_batch_wide(x[:4], k=1, ef=64, frontier=16, steps=8)
     assert list(i2[:, 0]) == [0, 1, 2, 3]
+    # filtered fan-out: per-shard two-pool wide, subset contract + recall
+    allowed = set(int(i) for i in
+                  rng.choice(400, size=100, replace=False))
+    _, fi = idx.search_batch_wide(q, k=5, ef=64, frontier=16, steps=8,
+                                  rerank_k=64, filter_ids=allowed)
+    al = np.asarray(sorted(allowed))
+    df = ((q[:, None] - x[al][None]) ** 2).sum(-1)
+    want_f = al[np.argsort(df, 1)[:, :5]]
+    assert all(int(v) in allowed for row in fi for v in row if v >= 0)
+    rec_f = np.mean([len(set(fi[i]) & set(want_f[i])) / 5
+                     for i in range(16)])
+    assert rec_f >= 0.8, rec_f
 
 
 def test_sharded_beam_recall(rng):

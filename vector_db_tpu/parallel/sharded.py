@@ -410,10 +410,12 @@ class ShardedHNSW:
         @functools.partial(
             jax.jit,
             static_argnames=("ef", "F", "T", "k", "rerank_k",
-                             "merge_kernel"))
+                             "merge_kernel", "use_filter"))
         def _wsearch(neighbors, levels, emb, has_emb, aug, queries, qa,
-                     ef, F, T, k, rerank_k, merge_kernel=False):
-            def per_shard(neighbors, levels, emb, has_emb, aug, q, qa):
+                     fmask, ef, F, T, k, rerank_k, merge_kernel=False,
+                     use_filter=False):
+            def per_shard(neighbors, levels, emb, has_emb, aug, q, qa,
+                          fmask):
                 # per-shard seeds: the shard's highest-level nodes (the
                 # navigation hierarchy, selected on device)
                 lv, seed_idx = jax.lax.top_k(levels, S)
@@ -423,6 +425,7 @@ class ShardedHNSW:
                     neighbors[:, : 2 * M], aug, emb, has_emb, seed_slots,
                     q, qa, ef=ef, F=F, T=T, k=k, rerank_k=rerank_k,
                     merge_kernel=merge_kernel,
+                    res_mask=fmask if use_filter else None,
                 )
                 return _merge_gathered(
                     ld, _globalize(ls, cap, axes, sizes), k, axes)
@@ -430,22 +433,35 @@ class ShardedHNSW:
             spec = P(axes)
             return jax.shard_map(
                 per_shard, mesh=mesh,
-                in_specs=(spec,) * 5 + (P(), P()),
+                in_specs=(spec,) * 5 + (P(), P(), spec),
                 out_specs=(P(), P()),
                 check_vma=False,
-            )(neighbors, levels, emb, has_emb, aug, queries, qa)
+            )(neighbors, levels, emb, has_emb, aug, queries, qa, fmask)
 
         return _wsearch
+
+    def _filter_gmask(self, filter_ids):
+        """bool[n_shards*cap] device mask (sharded) from a set of ids."""
+        mask = np.zeros((self.n_shards * self.cap,), bool)
+        if filter_ids is not None:
+            for nid in filter_ids:
+                g = self._gslot_of_id.get(int(nid))
+                if g is not None:
+                    mask[g] = True
+        return jax.device_put(
+            jnp.asarray(mask), NamedSharding(self.mesh, P(self._axes))
+        )
 
     def search_batch_wide(
         self, queries: np.ndarray, k: int, ef: int = 256,
         frontier: int = 32, steps: int = 12, rerank_k: int = 0,
-        merge_kernel: bool = False,
+        merge_kernel: bool = False, filter_ids=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam fan-out: every shard runs the frontier-parallel
         search, results merge hierarchically (ICI first). Requires
         enable_wide(). ``merge_kernel`` routes each shard's pool merge
-        through the Pallas bitonic kernel."""
+        through the Pallas bitonic kernel. ``filter_ids`` applies the
+        two-pool filtered wide path per shard (navigate-but-exclude)."""
         from vector_db_tpu.index import wide_beam as WB
 
         if not hasattr(self, "_wb_seeds"):
@@ -456,8 +472,10 @@ class ShardedHNSW:
         rerank_k = rerank_k or min(ef, max(4 * k, 64))
         d_sq, gslots = self._wide_fn(
             self._neighbors, self._levels, self._emb, self._has_emb,
-            aug, q, qa, ef=max(ef, k), F=frontier, T=steps, k=k,
+            aug, q, qa, self._filter_gmask(filter_ids),
+            ef=max(ef, k), F=frontier, T=steps, k=k,
             rerank_k=rerank_k, merge_kernel=merge_kernel,
+            use_filter=filter_ids is not None,
         )
         d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
         ids = np.where(
