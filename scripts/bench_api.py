@@ -15,6 +15,7 @@ Writes BENCH_API.json. Run: python scripts/bench_api.py
 
 import json
 import os
+import signal
 import statistics
 import subprocess
 import sys
@@ -26,6 +27,11 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+# an outer `timeout N` sends SIGTERM, which skips `finally` unless it is
+# turned into an exception — orphaned service children then hold the TPU
+# claim indefinitely (the 2026-08-17 relay-outage trigger)
+signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
 
 
 def log(m):
