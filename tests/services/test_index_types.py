@@ -391,3 +391,21 @@ def test_hnsw_wide_beam_mode_service(tmp_path, rng):
     d, ids = svc.search_batch(
         np.stack([n.embedding for n in nodes[:4]]), k=1, ef=32)
     assert list(ids[:, 0]) == [0, 1, 2, 3]
+
+
+def test_hnsw_wide_schedule_config(tmp_path, rng):
+    """index.wide.schedule routes pool-mode queries through the
+    per-segment frontier schedule."""
+    cfg = make_config(
+        tmp_path, "hnsw",
+        wide={"dims": 0, "seeds": 64, "min_size": 16,
+              "schedule": [[32, 3], [16, 4]]},
+    )
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    assert svc._wide_schedule == ((32, 3), (16, 4))
+    nodes = make_nodes(rng, 40)
+    svc.insert_nodes(nodes)
+    res = svc.search(nodes[7].embedding, k=3, ef=32)
+    assert svc._wide_active
+    assert res[0][0].id == 7 and res[0][1] < 1e-3

@@ -102,6 +102,11 @@ class IndexingService:
         # (beam_search — pool-free, merge-light; see index/wide_beam.py)
         self._wide_mode = str(wide_cfg.get("mode", "pool"))
         self._wide_hist = int(wide_cfg.get("hist", 2))
+        # optional frontier schedule [[F1, T1], [F2, T2], ...] (pool
+        # mode): overrides frontier/steps — wide early, narrow late
+        sched = wide_cfg.get("schedule")
+        self._wide_schedule = (
+            tuple((int(f), int(t)) for f, t in sched) if sched else None)
         self._wide_active = False
 
         rng = random.Random(42)
@@ -477,6 +482,7 @@ class IndexingService:
             queries, k, ef=max(4 * max(ef, k), 64),
             frontier=self._wide_frontier, steps=self._wide_steps,
             seen_mask=self._wide_seen, filter_ids=filter_ids,
+            schedule=self._wide_schedule,
         )
 
     def save_index(self) -> None:
