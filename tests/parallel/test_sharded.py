@@ -301,6 +301,17 @@ def test_sharded_beam_recall(rng):
     dists, ids = idx.search_batch_beam(q, k=5, frontier=16, steps=10)
     rec = np.mean([len(set(ids[i]) & set(want[i])) / 5 for i in range(16)])
     assert rec >= 0.85, rec
+    # filtered fan-out: trajectory mask per shard, subset contract
+    allowed = set(int(i) for i in rng.choice(400, 120, replace=False))
+    _, fi = idx.search_batch_beam(q, k=5, frontier=16, steps=10,
+                                  rerank_k=128, filter_ids=allowed)
+    assert all(int(v) in allowed for row in fi for v in row if v >= 0)
+    al = np.asarray(sorted(allowed))
+    df = ((q[:, None] - x[al][None]) ** 2).sum(-1)
+    want_f = al[np.argsort(df, 1)[:, :5]]
+    rec_f = np.mean([len(set(fi[i]) & set(want_f[i])) / 5
+                     for i in range(16)])
+    assert rec_f >= 0.7, rec_f
 
 
 def test_sharded_wide_merge_kernel(rng):

@@ -493,16 +493,19 @@ class ShardedHNSW:
         S = min(self._wb_seeds, cap)
 
         @functools.partial(
-            jax.jit, static_argnames=("F", "T", "k", "rerank_k", "hist"))
+            jax.jit, static_argnames=("F", "T", "k", "rerank_k", "hist",
+                                      "use_filter"))
         def _bsearch(neighbors, levels, emb, has_emb, aug, queries, qa,
-                     F, T, k, rerank_k, hist):
-            def per_shard(neighbors, levels, emb, has_emb, aug, q, qa):
+                     fmask, F, T, k, rerank_k, hist, use_filter=False):
+            def per_shard(neighbors, levels, emb, has_emb, aug, q, qa,
+                          fmask):
                 lv, seed_idx = jax.lax.top_k(levels, S)
                 seed_slots = jnp.where(
                     lv >= 0, seed_idx.astype(jnp.int32), -1)
                 ld, ls = WB.beam_search(
                     neighbors[:, : 2 * M], aug, emb, has_emb, seed_slots,
                     q, qa, F=F, T=T, k=k, rerank_k=rerank_k, hist=hist,
+                    res_mask=fmask if use_filter else None,
                 )
                 return _merge_gathered(
                     ld, _globalize(ls, cap, axes, sizes), k, axes)
@@ -510,20 +513,22 @@ class ShardedHNSW:
             spec = P(axes)
             return jax.shard_map(
                 per_shard, mesh=mesh,
-                in_specs=(spec,) * 5 + (P(), P()),
+                in_specs=(spec,) * 5 + (P(), P(), spec),
                 out_specs=(P(), P()),
                 check_vma=False,
-            )(neighbors, levels, emb, has_emb, aug, queries, qa)
+            )(neighbors, levels, emb, has_emb, aug, queries, qa, fmask)
 
         return _bsearch
 
     def search_batch_beam(
         self, queries: np.ndarray, k: int, frontier: int = 64,
         steps: int = 12, rerank_k: int = 0, hist: int = 2,
+        filter_ids=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Pool-free beam fan-out (see wide_beam.beam_search): every shard
         runs the merge-light traversal, results merge hierarchically.
-        Requires enable_wide()."""
+        Requires enable_wide(). ``filter_ids`` masks each shard's emitted
+        trajectory (navigate-but-exclude)."""
         from vector_db_tpu.index import wide_beam as WB
 
         if not hasattr(self, "_wb_seeds"):
@@ -536,8 +541,9 @@ class ShardedHNSW:
         rerank_k = rerank_k or max(4 * k, 64)
         d_sq, gslots = self._beam_fn(
             self._neighbors, self._levels, self._emb, self._has_emb,
-            aug, q, qa, F=frontier, T=steps, k=k, rerank_k=rerank_k,
-            hist=hist,
+            aug, q, qa, self._filter_gmask(filter_ids),
+            F=frontier, T=steps, k=k, rerank_k=rerank_k,
+            hist=hist, use_filter=filter_ids is not None,
         )
         d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
         ids = np.where(
