@@ -31,6 +31,7 @@ EOF
   run micro_merge      python scripts/micro_merge.py
   run micro_adc_probe  python scripts/micro_adc_probe.py
   run pallas_onchip    python scripts/pallas_onchip.py
+  run cache_probe      python scripts/cache_probe_tpu.py
 fi
 
 if [ "$phase" = all ] || [ "$phase" = sections ]; then
