@@ -150,3 +150,30 @@ def test_search_batch(built, rng):
     assert dists.shape == (6, 3)
     assert np.all(ids >= 0)
     assert np.all(np.diff(dists, axis=1) >= -1e-6)
+
+
+def test_ivf_rp_filter_ids(rng):
+    """RP-mode filtered search: subset contract + brute-force parity at
+    full probe (rp projection lossless at dims=dim)."""
+    n, dim = 400, 24
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    index = IvfIndex(k=8)
+    index.build_index([Node(id=i, embedding=x[i]) for i in range(n)])
+    index.enable_rp(dims=dim)
+
+    allowed = set(int(i) for i in rng.choice(n, 120, replace=False))
+    q = rng.standard_normal((5, dim)).astype(np.float32)
+    for n_probe in (4, 8):  # probe path and full-scan path
+        _, ids = index.search_batch(q, n_probe=n_probe, top_k=5, rp=True,
+                                    filter_ids=allowed, fetch=128)
+        for i in range(5):
+            got = [int(v) for v in ids[i] if v >= 0]
+            assert all(g in allowed for g in got), (n_probe, got)
+    al = np.asarray(sorted(allowed))
+    d = ((q[:, None] - x[al][None]) ** 2).sum(-1)
+    want = al[np.argsort(d, 1)[:, :5]]
+    _, ids = index.search_batch(q, n_probe=8, top_k=5, rp=True,
+                                filter_ids=allowed, fetch=128)
+    for i in range(5):
+        assert set(int(v) for v in ids[i] if v >= 0) == set(
+            want[i].tolist())

@@ -67,3 +67,26 @@ def test_ivf_pq_probe_adc_modes_agree(rng):
             for i in range(len(q))])
         assert overlap >= 0.9, (adc, overlap)
         np.testing.assert_array_equal(got_i[:, 0], ref_i[:, 0])
+
+
+def test_ivf_pq_filter_ids(rng):
+    """Filters fold into the validity mask in the approximate kernels:
+    only matching ids return, and full-probe + rerank matches brute
+    force over the filter set."""
+    n, dim = 500, 32
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    index = IvfIndex(k=8)
+    index.build_index([Node(id=i, embedding=x[i]) for i in range(n)])
+    index.enable_pq(chunks=8, ksub=32, residual=True)
+
+    allowed = set(int(i) for i in rng.choice(n, 150, replace=False))
+    q = rng.standard_normal((6, dim)).astype(np.float32)
+    _, ids = index.search_batch(q, n_probe=8, top_k=5, pq=True,
+                                filter_ids=allowed, fetch=128)
+    al = np.asarray(sorted(allowed))
+    d = ((q[:, None] - x[al][None]) ** 2).sum(-1)
+    want = al[np.argsort(d, 1)[:, :5]]
+    for i in range(6):
+        got = [int(v) for v in ids[i] if v >= 0]
+        assert all(g in allowed for g in got)
+        assert len(set(got) & set(want[i].tolist())) >= 4  # PQ noise only

@@ -1357,7 +1357,8 @@ class IvfIndex:
         adc: str = "onehot8",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Device fast path: (L2 f32[B, top_k], ids int64[B, top_k]).
-        ``filter_ids`` masks candidates in-kernel (exact path only).
+        ``filter_ids`` masks candidates in-kernel (every mode: the
+        filter folds into the validity mask for rp/pq paths).
         ``pq`` scores probes by (residual) ADC; ``rp`` by the projected
         bf16 mirror (``enable_rp``). ``fetch`` widens the approximate
         candidate front that gets exact re-ranking; default
@@ -1384,6 +1385,12 @@ class IvfIndex:
         spilled = getattr(self, "_spill", 1) > 1
         if fetch is None:
             fetch = max(4 * int(top_k), 100)
+        # IVF has no navigate-through requirement (unlike HNSW), so the
+        # filter contract for the approximate modes is exactly candidate
+        # masking: fold the filter into the validity mask every kernel
+        # already applies. No new kernel arguments, no recompiles (same
+        # shape/dtype).
+        has = (self._has_emb & fmask) if use_filter else self._has_emb
         if rp:
             if getattr(self, "_rp_dev", None) is None:
                 raise ValueError("call enable_rp() first")
@@ -1398,7 +1405,7 @@ class IvfIndex:
                 flat, u = self._rp_flat_tables()
                 d_sq, slots = _rp_flat_search(
                     q, self._rp_proj_dev, self._rp_mu_dev, flat, u,
-                    self._has_emb, self._emb,
+                    has, self._emb,
                     top_k=int(top_k), fetch=int(fetch), rerank=rerank,
                     tile=min(flat.shape[0], 131072),
                 )
@@ -1425,7 +1432,7 @@ class IvfIndex:
                 d_sq, slots = _ivf_rp_scan_cells(
                     self._centroids_dev, self._lists_dev,
                     self._cells_rp_dev, self._cells_xsq_dev, self._emb,
-                    self._has_emb, q, self._rp_proj_dev, self._rp_mu_dev,
+                    has, q, self._rp_proj_dev, self._rp_mu_dev,
                     top_k=int(top_k), fetch=int(fetch), rerank=rerank,
                     dedup=spilled, ctile=ctile, qblock=qblock,
                 )
@@ -1433,7 +1440,7 @@ class IvfIndex:
                 d_sq, slots = _ivf_rp_probe_cells(
                     self._centroids_dev, self._rp_mu_dev,
                     self._lists_dev, self._cells_rp_dev,
-                    self._cells_xsq_dev, self._emb, self._has_emb, q,
+                    self._cells_xsq_dev, self._emb, has, q,
                     self._rp_proj_dev,
                     n_probe=int(n_probe), top_k=int(top_k),
                     fetch=int(fetch), rerank=rerank, dedup=spilled,
@@ -1452,7 +1459,7 @@ class IvfIndex:
                              1 << (max(1, q.shape[0]) - 1).bit_length())
                 d_sq, slots = _ivf_pq_scan_cells(
                     self._centroids_dev, cell_slots, cell_codes, cell_s,
-                    self._pq.codebooks, self._emb, self._has_emb, q,
+                    self._pq.codebooks, self._emb, has, q,
                     self._pq.rotate_queries(q),
                     top_k=int(top_k), fetch=int(fetch), rerank=rerank,
                     residual=getattr(self, "_pq_residual", False),
@@ -1481,7 +1488,7 @@ class IvfIndex:
                         qblock //= 2
                 d_sq, slots = _ivf_pq_probe_cells(
                     self._centroids_dev, cell_slots, cell_codes, cell_s,
-                    self._pq.codebooks, self._emb, self._has_emb, q,
+                    self._pq.codebooks, self._emb, has, q,
                     self._pq.rotate_queries(q),
                     n_probe=int(n_probe), top_k=int(top_k),
                     fetch=int(fetch), rerank=rerank,

@@ -420,10 +420,10 @@ class IndexingService:
             return [(n, d) for d, n in cands[:k]]
         n_probe = int(kwargs.get("n_probe", 10) or 10)
         n_probe = max(1, min(n_probe, self.index.k))
-        # RP/PQ probing when configured; filtered searches take the exact
-        # probe path (the approximate kernels carry no filter mask)
-        use_rp = filter_ids is None and self._maybe_enable_rp()
-        use_pq = (not use_rp and filter_ids is None
+        # RP/PQ probing when configured; filters fold into the validity
+        # mask inside the approximate kernels (IvfIndex.search_batch)
+        use_rp = self._maybe_enable_rp()
+        use_pq = (not use_rp
                   and self._maybe_enable_pq(kwargs.get("pq_chunks")))
         dists, ids = self.index.search_batch(
             np.asarray(query, np.float32)[None, :], n_probe=n_probe,
@@ -447,8 +447,8 @@ class IndexingService:
             # filters implement tenancy/ACL — forward them (mirrors
             # _ivf_search; a dropped filter silently leaks excluded docs)
             filter_ids = kwargs.get("filter_ids")
-            use_rp = filter_ids is None and self._maybe_enable_rp()
-            use_pq = (not use_rp and filter_ids is None
+            use_rp = self._maybe_enable_rp()
+            use_pq = (not use_rp
                       and self._maybe_enable_pq(kwargs.get("pq_chunks")))
             return self.index.search_batch(
                 queries, n_probe=n_probe, top_k=k,
