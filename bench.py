@@ -320,9 +320,27 @@ def main() -> None:
     from vector_db_tpu.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # a dead relay makes jax.devices() hang FOREVER (no error, no log —
+    # the 2026-08-17/18 outage pattern); bound backend discovery so the
+    # driver gets a diagnosable JSON line instead of a silent hang
+    import signal
+
+    def _dead_relay(*_):
+        print(json.dumps({
+            "metric": "search_qps_at_recall", "value": 0, "unit": "qps",
+            "vs_baseline": 0,
+            "error": "TPU backend unreachable (relay down): "
+                     "jax.devices() exceeded 600s",
+        }))
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _dead_relay)
+    signal.alarm(600)
     import jax
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    signal.alarm(0)
     canary = relay_canary()
     log(f"relay canary: {canary}")
 
