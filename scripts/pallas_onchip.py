@@ -36,7 +36,8 @@ def main():
     from vector_db_tpu.ops.pallas.l2_topk import l2_topk
 
     log(str(jax.devices()))
-    out = {"l2_topk": {}, "adc_topk": {}}
+    out = {"l2_topk": {}, "adc_topk": {}, "bitonic_merge": {},
+           "adc_probe": {}}
 
     # ---- small-shape compile + correctness probes ----
     rng = np.random.default_rng(0)
@@ -136,6 +137,63 @@ def main():
                 B / float(np.median(ts)))
         except Exception:
             out["adc_topk"]["xla_onehot_same_shape_qps"] = None
+
+    # ---- bitonic pool-merge kernel (wide-beam merge) ----
+    try:
+        from vector_db_tpu.ops.pallas.bitonic_merge import sorted_topk
+
+        cat_d = jnp.asarray(
+            rng.standard_normal((32, 4864)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        cat_se = jnp.asarray(
+            rng.integers(0, 1 << 20, (32, 4864)).astype(np.int32))
+        t0 = time.perf_counter()
+        pd, ps = sorted_topk(cat_d, cat_se, 1280, block_b=32,
+                             interpret=False)
+        jax.block_until_ready(ps)
+        pd2, ps2 = sorted_topk(cat_d, cat_se, 1280, block_b=32,
+                               interpret=True)
+        same = bool(np.array_equal(np.asarray(ps), np.asarray(ps2)))
+        out["bitonic_merge"]["prod_shape"] = {
+            "compiled_on_chip": True,
+            "compile_run_s": round(time.perf_counter() - t0, 1),
+            "ids_equal_interpret": same,
+        }
+        log(f"bitonic_merge prod shape OK (ids_equal_interpret {same})")
+    except Exception:
+        out["bitonic_merge"]["prod_shape"] = {
+            "compiled_on_chip": False,
+            "error": traceback.format_exc()[-3000:]}
+        log("bitonic_merge FAILED")
+
+    # ---- fused ADC probe kernel (IVF-PQ probe path) ----
+    try:
+        from vector_db_tpu.ops.pallas.adc_probe import adc_probe_scores
+
+        bq, m_, ks, pp = 8, 16, 256, 4096
+        lutp = jnp.asarray(rng.random((bq, m_, ks)).astype(np.float32))
+        codesp = jnp.asarray(
+            rng.integers(0, ks, (bq, m_, pp)).astype(np.int32))
+        corrp = jnp.zeros((bq, pp), jnp.float32)
+        validp = jnp.ones((bq, pp), bool)
+        t0 = time.perf_counter()
+        dp = adc_probe_scores(lutp, codesp, corrp, validp, tile=1024)
+        jax.block_until_ready(dp)
+        dp2 = adc_probe_scores(lutp, codesp, corrp, validp, tile=1024,
+                               interpret=True)
+        close = bool(np.allclose(np.asarray(dp), np.asarray(dp2),
+                                 rtol=2e-4, atol=2e-3))
+        out["adc_probe"]["prod_shape"] = {
+            "compiled_on_chip": True,
+            "compile_run_s": round(time.perf_counter() - t0, 1),
+            "close_to_interpret": close,
+        }
+        log(f"adc_probe prod shape OK (close_to_interpret {close})")
+    except Exception:
+        out["adc_probe"]["prod_shape"] = {
+            "compiled_on_chip": False,
+            "error": traceback.format_exc()[-3000:]}
+        log("adc_probe FAILED")
 
     prev = json.loads(Path("BENCH_PALLAS.json").read_text())
     prev["on_chip_r3"] = out
