@@ -274,3 +274,36 @@ def test_delete_clears_incoming_edges(rng):
         assert not (table == slot).any(), (
             f"stale edges to deleted slot {slot} remain"
         )
+
+
+def test_search_batch_scan_modes(rng):
+    """Scan modes over the HNSW table: exact == brute force, bf16 is
+    recall-near-1 with exact reported distances; filters mask."""
+    import random as _random
+
+    from vector_db_tpu.index.hnsw import HNSW
+
+    n, dim = 3000, 32
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSW(M=8, ef_construction=60, rng=_random.Random(42), capacity=n)
+    idx.bulk_build(list(range(n)), x)
+    q = rng.standard_normal((16, dim)).astype(np.float32)
+    d = ((q[:, None] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d, 1)[:, :10]
+
+    de, ie = idx.search_batch_scan(q, k=10, mode="exact")
+    assert np.mean([len(set(ie[i]) & set(gt[i])) / 10
+                    for i in range(16)]) == 1.0
+    db, ib = idx.search_batch_scan(q, k=10, mode="bf16")
+    assert np.mean([len(set(ib[i]) & set(gt[i])) / 10
+                    for i in range(16)]) >= 0.95
+    # bf16 selection, exact reported distances
+    for i in range(4):
+        sel = ib[i][ib[i] >= 0]
+        dref = np.sqrt(((q[i] - x[sel]) ** 2).sum(-1))
+        np.testing.assert_allclose(db[i][: len(sel)], dref, rtol=1e-4)
+    # filters mask candidates
+    allowed = set(range(0, n, 3))
+    _, fi = idx.search_batch_scan(q, k=10, mode="exact",
+                                  filter_ids=allowed)
+    assert all(int(v) % 3 == 0 for row in fi for v in row if v >= 0)

@@ -409,3 +409,23 @@ def test_hnsw_wide_schedule_config(tmp_path, rng):
     res = svc.search(nodes[7].embedding, k=3, ef=32)
     assert svc._wide_active
     assert res[0][0].id == 7 and res[0][1] < 1e-3
+
+
+def test_scan_batch_threshold_routing(tmp_path, rng):
+    """index.scan_batch_threshold routes big batches to the bf16 scan
+    over the same table (batch-throughput mode); small batches keep the
+    wide graph path."""
+    cfg = make_config(
+        tmp_path, "hnsw",
+        scan_batch_threshold=8,
+        wide={"dims": 0, "seeds": 64, "min_size": 16},
+    )
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 40)
+    svc.insert_nodes(nodes)
+    qs = np.stack([n.embedding for n in nodes[:8]])
+    _, ids = svc.search_batch(qs, k=1)          # >= threshold -> scan
+    assert list(ids[:, 0]) == list(range(8))
+    _, ids2 = svc.search_batch(qs[:2], k=1, ef=32)  # below -> wide
+    assert list(ids2[:, 0]) == [0, 1]

@@ -923,6 +923,63 @@ class HNSW:
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)), np.inf)
         return dists.astype(np.float32), ids
 
+    def search_batch_scan(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mode: str = "bf16",
+        filter_ids=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact/bf16 corpus scan over THIS index's device table — no
+        graph traversal. The measured 1M reality (README): batched scans
+        amortize every HBM byte over the whole query batch, so at large
+        B a scan beats any per-query traversal at >=0.95 recall. Serving
+        one HNSW index can therefore pick per request: wide-beam for
+        latency, this scan for batch throughput — same table, no second
+        index. ``mode``: "bf16" (hardware top-k + exact rescore, recall
+        ~0.996 at 1M x 768) or "exact" (f32 HIGHEST, recall 1.0).
+        Same return contract as search_batch."""
+        from vector_db_tpu.ops.exact import (approx_search_tiled,
+                                             exact_search_tiled,
+                                             rescore_exact)
+
+        queries = np.asarray(queries, np.float32)
+        if self.size == 0 or self._emb is None:
+            return (np.full((queries.shape[0], k), np.inf, np.float32),
+                    np.full((queries.shape[0], k), -1, np.int64))
+        q = jnp.asarray(queries)
+        valid = self._has_emb
+        if filter_ids is not None:
+            valid = valid & jnp.asarray(self._store.filter_mask(filter_ids))
+        cap = self._emb.shape[0]
+        if mode == "bf16":
+            emb16, x_sq = self._scan_mirror()
+            d_sq, slots = approx_search_tiled(
+                q, emb16, valid, k, tile=min(cap, 125000), x_sq=x_sq)
+            d_sq, slots = rescore_exact(q, self._emb, slots)
+        else:
+            d_sq, slots = exact_search_tiled(q, self._emb, valid, k,
+                                             tile=min(cap, 32768))
+        d_sq = np.asarray(d_sq)
+        slots = np.asarray(slots)
+        ids = np.where(slots >= 0,
+                       self._id_of_slot[np.maximum(slots, 0)], -1)
+        dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)),
+                         np.inf)
+        return dists.astype(np.float32), ids
+
+    def _scan_mirror(self):
+        """Cached bf16 mirror + f32 norms for search_batch_scan; rebuilt
+        when the table generation changes (inserts/deletes swap arrays)."""
+        cur = id(self._emb)
+        cached = getattr(self, "_scan_mirror_cache", None)
+        if cached is not None and cached[0] == cur:
+            return cached[1], cached[2]
+        emb16 = self._emb.astype(jnp.bfloat16)
+        x_sq = jnp.sum(self._emb * self._emb, axis=-1)
+        self._scan_mirror_cache = (cur, emb16, x_sq)
+        return emb16, x_sq
+
     def refresh_pq_codes(self) -> None:
         """Re-encode the device table with the existing codebooks (call
         after inserts/deletes when PQ traversal is active; encoding streams

@@ -107,6 +107,11 @@ class IndexingService:
         sched = wide_cfg.get("schedule")
         self._wide_schedule = (
             tuple((int(f), int(t)) for f, t in sched) if sched else None)
+        # batch sizes >= this route to the bf16 scan instead of the
+        # graph (scans amortize HBM reads over the batch — the measured
+        # 1M pareto; 0 disables). Same table, recall ~0.996.
+        self._scan_batch_threshold = int(
+            index_config.get("scan_batch_threshold", 0) or 0)
         self._wide_active = False
 
         rng = random.Random(42)
@@ -460,6 +465,13 @@ class IndexingService:
             return self.index.search_batch(
                 queries, k, filter_ids=kwargs.get("filter_ids")
             )
+        if (self.index_type == "hnsw"
+                and self._scan_batch_threshold
+                and len(queries) >= self._scan_batch_threshold
+                and self.index.size >= self._wide_min_size):
+            # batch-throughput mode: the bf16 scan over the same table
+            return self.index.search_batch_scan(
+                queries, k, filter_ids=kwargs.get("filter_ids"))
         if (self.index_type == "hnsw" and self._maybe_enable_wide()):
             ef = int(kwargs.get("ef", 50) or 50)
             return self._wide_dispatch(queries, k, ef,
