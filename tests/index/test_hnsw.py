@@ -302,6 +302,10 @@ def test_search_batch_scan_modes(rng):
         sel = ib[i][ib[i] >= 0]
         dref = np.sqrt(((q[i] - x[sel]) ** 2).sum(-1))
         np.testing.assert_allclose(db[i][: len(sel)], dref, rtol=1e-4)
+    # blocksel: two-phase block-min select + exact block rerank
+    dbs, ibs = idx.search_batch_scan(q, k=10, mode="blocksel")
+    assert np.mean([len(set(ibs[i]) & set(gt[i])) / 10
+                    for i in range(16)]) >= 0.95
     # filters mask candidates
     allowed = set(range(0, n, 3))
     _, fi = idx.search_batch_scan(q, k=10, mode="exact",

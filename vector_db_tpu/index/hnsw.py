@@ -938,8 +938,13 @@ class HNSW:
         latency, this scan for batch throughput — same table, no second
         index. ``mode``: "bf16" (hardware top-k + exact rescore, recall
         ~0.996 at 1M x 768) or "exact" (f32 HIGHEST, recall 1.0).
-        Same return contract as search_batch."""
+        ``mode="blocksel"`` runs the two-phase block-min scan
+        (ops.exact.block_select_search): bf16 streaming block minima +
+        exact block rerank — lossless w.r.t. phase-1 scores at
+        blocks_k>=k, between the other two modes on the QPS/recall
+        curve. Same return contract as search_batch."""
         from vector_db_tpu.ops.exact import (approx_search_tiled,
+                                             block_select_search,
                                              exact_search_tiled,
                                              rescore_exact)
 
@@ -957,6 +962,14 @@ class HNSW:
             d_sq, slots = approx_search_tiled(
                 q, emb16, valid, k, tile=min(cap, 125000), x_sq=x_sq)
             d_sq, slots = rescore_exact(q, self._emb, slots)
+        elif mode == "blocksel":
+            emb16, x_sq = self._scan_mirror()
+            # any pow2 tile >= 128 works (the kernel pads the corpus to
+            # a tile multiple; block=128 only needs tile % 128 == 0)
+            tile = min(131072, max(128, 1 << (cap - 1).bit_length()))
+            d_sq, slots = block_select_search(
+                q, emb16, q, x_sq, self._emb, valid, k,
+                tile=tile, blocks_k=2 * k)
         else:
             d_sq, slots = exact_search_tiled(q, self._emb, valid, k,
                                              tile=min(cap, 32768))
