@@ -167,6 +167,10 @@ def main():
             ("steep-1664", ((512, 2), (128, 5)), 224, 10),
         ]
         mk = os.environ.get("EXP_MERGE_KERNEL", "0") == "1"
+        # EXP_RECALL_ONLY=1 skips the timing reps — recall-at-budget is
+        # hardware-independent, so schedule shapes can be picked on the
+        # CPU while the relay is down
+        rec_only = os.environ.get("EXP_RECALL_ONLY", "0") == "1"
         results = []
         for name, sched, F, T in sched_grid:
             kw = dict(k=K10, ef=1280, dedup_window=16, seen_mask=False,
@@ -180,15 +184,17 @@ def main():
                 return index.search_batch_wide(np.asarray(v), **kw)[0]
 
             _, ids = index.search_batch_wide(q, **kw)
-            qps = timed(run, q, B)
+            qps = None if rec_only else timed(run, q, B)
             rec = recall_of(ids, gt, K10)
-            log(f"sched {name}: recall={rec:.4f} qps={qps:.0f}")
+            log(f"sched {name}: recall={rec:.4f} qps={qps}")
             results.append({"name": name, "schedule": sched,
                             "merge_kernel": mk, "recall": rec,
                             "qps": qps})
-        Path("EXP_SCHED.json").write_text(json.dumps(
-            {"N": N, "dim": DIM, "results": results}, indent=2))
-        log("wrote EXP_SCHED.json")
+        out_name = "EXP_SCHED_CPU.json" if rec_only else "EXP_SCHED.json"
+        Path(out_name).write_text(json.dumps(
+            {"N": N, "dim": DIM, "recall_only": rec_only,
+             "results": results}, indent=2))
+        log(f"wrote {out_name}")
         return
     else:
         grid = [
