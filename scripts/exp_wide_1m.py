@@ -89,9 +89,12 @@ def get_index(N, DIM, B):
     alpha = float(os.environ.get("EXP_ALPHA", "1.0"))
     gpath = cache / ("graph.npz" if alpha == 1.0
                      else f"graph_a{alpha:g}.npz")
-    if gpath.exists() and np.load(gpath)["neighbors"].shape[0] != N:
-        log("graph cache is for a different N; rebuilding")
-        gpath.unlink()
+    if gpath.exists():
+        with np.load(gpath) as z:  # levels: O(N) read, no neighbor decomp
+            stale = z["levels"].shape[0] != N
+        if stale:
+            log("graph cache is for a different N; rebuilding")
+            gpath.unlink()
     if gpath.exists():
         log("loading cached graph...")
         with np.load(gpath) as z:

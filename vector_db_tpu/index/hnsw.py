@@ -949,9 +949,20 @@ class HNSW:
                                              rescore_exact)
 
         queries = np.asarray(queries, np.float32)
+        b_orig, k_orig = queries.shape[0], k
         if self.size == 0 or self._emb is None:
-            return (np.full((queries.shape[0], k), np.inf, np.float32),
-                    np.full((queries.shape[0], k), -1, np.int64))
+            return (np.full((b_orig, k), np.inf, np.float32),
+                    np.full((b_orig, k), -1, np.int64))
+        # pow2-bucket B and k: each distinct (shape, static) combination
+        # is a multi-minute cold compile through the relay (CLAUDE.md)
+        def up2(v: int, lo: int = 8) -> int:
+            return max(lo, 1 << (int(v) - 1).bit_length())
+
+        k = up2(k, lo=8)
+        b_pad = up2(b_orig, lo=8) - b_orig
+        if b_pad:
+            queries = np.concatenate(
+                [queries, np.zeros((b_pad, queries.shape[1]), np.float32)])
         q = jnp.asarray(queries)
         valid = self._has_emb
         if filter_ids is not None:
@@ -973,8 +984,8 @@ class HNSW:
         else:
             d_sq, slots = exact_search_tiled(q, self._emb, valid, k,
                                              tile=min(cap, 32768))
-        d_sq = np.asarray(d_sq)
-        slots = np.asarray(slots)
+        d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
+        slots = np.asarray(slots)[:b_orig, :k_orig]
         ids = np.where(slots >= 0,
                        self._id_of_slot[np.maximum(slots, 0)], -1)
         dists = np.where(slots >= 0, np.sqrt(np.maximum(d_sq, 0.0)),
@@ -983,14 +994,16 @@ class HNSW:
 
     def _scan_mirror(self):
         """Cached bf16 mirror + f32 norms for search_batch_scan; rebuilt
-        when the table generation changes (inserts/deletes swap arrays)."""
-        cur = id(self._emb)
+        when the table generation changes (inserts/deletes swap arrays).
+        Keyed on the source ARRAY identity, holding the reference —
+        ``id()`` alone can be recycled by a later allocation after the
+        old table is freed (same bug class _emb16_src avoids)."""
         cached = getattr(self, "_scan_mirror_cache", None)
-        if cached is not None and cached[0] == cur:
+        if cached is not None and cached[0] is self._emb:
             return cached[1], cached[2]
         emb16 = self._emb.astype(jnp.bfloat16)
         x_sq = jnp.sum(self._emb * self._emb, axis=-1)
-        self._scan_mirror_cache = (cur, emb16, x_sq)
+        self._scan_mirror_cache = (self._emb, emb16, x_sq)
         return emb16, x_sq
 
     def refresh_pq_codes(self) -> None:

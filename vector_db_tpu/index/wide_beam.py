@@ -537,6 +537,19 @@ def wide_search(
             res_s = jnp.take_along_axis(
                 jnp.concatenate([res_s, cand], axis=1), rpos, axis=1)
             res_s = jnp.where(res_d < BIG_THRESH, res_s, -1)
+            # window-dedup the result pool too: re-encountered matching
+            # nodes carry bit-identical scores (deterministic mirror
+            # scoring) and land adjacent in the sorted partial-reduce
+            # output; without this, duplicates of the few nearest
+            # matches crowd out farther DISTINCT matches under
+            # selective filters and the final dup-kill under-fills k
+            dupr = jnp.zeros(res_s.shape, bool)
+            for w in range(1, min(max(dedup_window, 1), 8) + 1):
+                s_r = jnp.pad(res_s[:, :-w], ((0, 0), (w, 0)),
+                              constant_values=-3)
+                dupr = dupr | (res_s == s_r)
+            res_d = jnp.where(dupr, BIG, res_d)
+            res_s = jnp.where(dupr, -1, res_s)
 
         # mask invalid (+ optionally already-pooled)
         ok_new = cand >= 0
@@ -606,7 +619,10 @@ def wide_search(
     carry = ((pool_d, pool_se, res_d, res_s) if res_mask is not None
              else (pool_d, pool_se))
     for seg_f, seg_t in (schedule if schedule is not None else ((F, T),)):
-        carry, _ = jax.lax.scan(make_step(seg_f), carry, None, length=seg_t)
+        # clamp to the pool width: approx_min_k(_, F) raises when F > P,
+        # and a service-configured schedule meets per-request ef values
+        carry, _ = jax.lax.scan(make_step(min(seg_f, P)), carry, None,
+                                length=seg_t)
     if res_mask is not None:
         pool_d, pool_se, res_d, res_s = carry
     else:

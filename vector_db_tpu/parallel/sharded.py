@@ -441,13 +441,25 @@ class ShardedHNSW:
         return _wsearch
 
     def _filter_gmask(self, filter_ids):
-        """bool[n_shards*cap] device mask (sharded) from a set of ids."""
+        """bool[n_shards*cap] device mask (sharded) from a set of ids.
+
+        The unfiltered placeholder is cached: rebuilding + device_put'ing
+        an n_shards*cap mask per call would add a host->device transfer
+        to every unfiltered search (per-call transfers cost ~1s through
+        the relay — the same rule as IvfIndex._zero_mask)."""
+        if filter_ids is None:
+            zm = getattr(self, "_zero_gmask", None)
+            if zm is None or zm.shape[0] != self.n_shards * self.cap:
+                zm = jax.device_put(
+                    jnp.zeros((self.n_shards * self.cap,), bool),
+                    NamedSharding(self.mesh, P(self._axes)))
+                self._zero_gmask = zm
+            return zm
         mask = np.zeros((self.n_shards * self.cap,), bool)
-        if filter_ids is not None:
-            for nid in filter_ids:
-                g = self._gslot_of_id.get(int(nid))
-                if g is not None:
-                    mask[g] = True
+        for nid in filter_ids:
+            g = self._gslot_of_id.get(int(nid))
+            if g is not None:
+                mask[g] = True
         return jax.device_put(
             jnp.asarray(mask), NamedSharding(self.mesh, P(self._axes))
         )
