@@ -51,6 +51,7 @@ fi
 
 if [ "$phase" = all ] || [ "$phase" = long ]; then
   run exp_alpha        env EXP_ALPHA=1.2 python scripts/exp_wide_1m.py
+  run exp_opq          python scripts/exp_opq_1m.py
   run bench_headline   python bench.py
   run bench_api        python scripts/bench_api.py
 fi
