@@ -157,6 +157,9 @@ async def stats_endpoint(request: web.Request) -> web.Response:
             out["index"]["clusters"] = (
                 indexing_service.index.get_cluster_stats()
             )
+        tuner = getattr(indexing_service, "_autotune", None)
+        if tuner is not None:
+            out["index"]["autotune"] = tuner.stats()
     if storage_service is not None:
         out["storage"] = {
             "size": storage_service.size(),

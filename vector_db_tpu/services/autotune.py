@@ -1,0 +1,262 @@
+"""Self-calibrating operating-point selection ("serve a recall target").
+
+The engine exposes several search formulations over one HNSW table —
+f32-exact scan, bf16 scan, two-phase block-select scan, wide-beam
+traversal at any ef — whose recall/cost ranking depends on corpus size,
+dimensionality, data distribution, and batch size (the measured 1M
+pareto: scans win large batches, traversal wins small ones; BENCH_1M).
+The reference leaves this choice to the caller entirely (a raw ``ef``
+knob, src/vector_db/api/models.py:19; no recall feedback of any kind).
+
+``AutoTuner`` closes the loop: given ``target_recall``, it draws
+calibration queries from the live corpus, computes exact ground truth
+on-device (f32, HIGHEST — the recall-1.0 contract path), measures each
+candidate mode's recall and wall-clock at the serving batch size, and
+routes to the cheapest mode that meets the target. Decisions are cached
+per (batch-bucket, target) and invalidated when the corpus grows or
+shrinks materially (recall at fixed budget drifts with N).
+
+TPU discipline: calibration reuses the exact bucketed shapes the serving
+paths already compile (pow2 B / ef / k), so on hardware it costs at most
+a handful of already-cached programs, not a fresh compile sweep; repeat
+timings perturb the queries so the relay's (executable, inputs)
+memoization cannot fake a fast mode (see bench.py).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _up2(v: int, lo: int = 8) -> int:
+    return max(lo, 1 << (int(v) - 1).bit_length())
+
+
+class AutoTuner:
+    """Calibrated mode router for one HNSW-backed service.
+
+    Parameters
+    ----------
+    target_recall : default recall@k floor a mode must meet.
+    sample : calibration query count (drawn from live rows; ground truth
+        and recall both exclude the query row itself, so no held-out set
+        is needed).
+    ef_ladder : wide-beam budgets to evaluate, cheapest first.
+    reps : timed repetitions per candidate (median taken).
+    grow_factor : recalibrate when size leaves
+        [size_at_cal / grow_factor, size_at_cal * grow_factor].
+    """
+
+    def __init__(
+        self,
+        target_recall: float = 0.95,
+        sample: int = 256,
+        k: int = 10,
+        ef_ladder: Tuple[int, ...] = (64, 128, 256, 512, 1024),
+        reps: int = 2,
+        grow_factor: float = 1.5,
+        seed: int = 0,
+    ) -> None:
+        self.target_recall = float(target_recall)
+        self.sample = int(sample)
+        self.k = int(k)
+        self.ef_ladder = tuple(int(e) for e in ef_ladder)
+        self.reps = int(reps)
+        self.grow_factor = float(grow_factor)
+        self.seed = int(seed)
+        # (batch_bucket, target) -> decision dict
+        self._decisions: Dict[Tuple[int, float], Dict[str, Any]] = {}
+        self._lock = threading.Lock()
+        self._cal_queries: Optional[np.ndarray] = None
+        self._cal_gt: Optional[np.ndarray] = None  # int64[sample, k]
+        self._cal_size = 0  # index size the calibration set was drawn at
+
+    # ---------------------------------------------------------------- state
+
+    def stats(self) -> Dict[str, Any]:
+        """Decision table for /stats: one row per (bucket, target)."""
+        return {
+            f"b{bucket}@{target:g}": {
+                kk: vv for kk, vv in dec.items() if kk != "candidates"
+            }
+            for (bucket, target), dec in self._decisions.items()
+        }
+
+    def invalidate(self) -> None:
+        self._decisions.clear()
+        self._cal_queries = None
+        self._cal_gt = None
+        self._cal_size = 0
+
+    def _fresh(self, size: int) -> bool:
+        if not self._cal_size:
+            return False
+        lo = self._cal_size / self.grow_factor
+        hi = self._cal_size * self.grow_factor
+        return lo <= size <= hi
+
+    # ---------------------------------------------------------- calibration
+
+    def _draw_calibration(self, index) -> None:
+        """Sample live rows as queries; exact GT excluding self."""
+        import jax
+
+        ids = np.fromiter(index._slot_of_id.keys(), dtype=np.int64)
+        rng = np.random.default_rng(self.seed)
+        take = min(self.sample, ids.size)
+        pick = rng.choice(ids, size=take, replace=False)
+        slots = np.asarray([index._slot_of_id[int(i)] for i in pick],
+                           np.int64)
+        q = np.asarray(index._emb[jax.numpy.asarray(slots)], np.float32)
+        # self-exclusion: ask for k+1 exact neighbors, drop the query row
+        _, gt_ids = index.search_batch_scan(q, self.k + 1, mode="exact")
+        gt = np.full((take, self.k), -1, np.int64)
+        for r in range(take):
+            row = [int(i) for i in gt_ids[r] if int(i) != int(pick[r])]
+            gt[r, : min(self.k, len(row))] = row[: self.k]
+        self._cal_queries = q
+        self._cal_ids = pick
+        self._cal_gt = gt
+        self._cal_size = index.size
+
+    def _recall(self, ids: np.ndarray) -> float:
+        """recall@k against the self-excluded ground truth; candidate
+        rows carry k+1 ids (ascending) so dropping the query row itself
+        still leaves k real candidates."""
+        gt = self._cal_gt
+        hits = 0
+        total = 0
+        for r in range(gt.shape[0]):
+            want = {int(i) for i in gt[r] if int(i) >= 0}
+            if not want:
+                continue
+            self_id = int(self._cal_ids[r])
+            got = [int(i) for i in ids[r]
+                   if int(i) >= 0 and int(i) != self_id][: self.k]
+            hits += len(set(got) & want)
+            total += len(want)
+        return hits / max(total, 1)
+
+    def _measure(
+        self, run: Callable[[np.ndarray], np.ndarray], bucket: int
+    ) -> Tuple[float, float]:
+        """(recall, queries/s) of ``run`` fed ``bucket``-sized batches.
+
+        Batches are padded to the bucket with repeated calibration rows
+        so the timing shape matches the serving shape even when the
+        sample is smaller than the batch (padding is identical across
+        candidates, so the ranking stays fair); recall only reads the
+        real rows."""
+        q = self._cal_queries
+        n = q.shape[0]
+        batches, real = [], []
+        for s in range(0, n, bucket):
+            b = q[s: s + bucket]
+            r = b.shape[0]
+            if r < bucket:
+                pad = np.tile(q, (-(-(bucket - r) // n), 1))[: bucket - r]
+                b = np.concatenate([b, pad])
+            batches.append(b)
+            real.append(r)
+        ids = np.concatenate(
+            [run(b)[:r] for b, r in zip(batches, real)], axis=0)  # warm
+        rec = self._recall(ids)
+        times: List[float] = []
+        for rep in range(self.reps):
+            jitter = 1.0 + (rep + 1) * 1e-6  # defeat relay memoization
+            t0 = time.perf_counter()
+            for b in batches:
+                run(b * jitter)
+            times.append(time.perf_counter() - t0)
+        return rec, n / float(np.median(times))
+
+    def _candidates(self, service, bucket: int):
+        """(name, params, run) per mode, roughly cheapest-first so ties
+        resolve toward the simpler program. Each run asks for k+1 ids:
+        calibration queries are live rows, so the row itself tops every
+        result list and _recall drops it."""
+        index = service.index
+        k = self.k + 1
+        out = []
+        out.append((
+            "scan-bf16", {"mode": "bf16"},
+            lambda b: index.search_batch_scan(b, k, mode="bf16")[1],
+        ))
+        out.append((
+            "scan-blocksel", {"mode": "blocksel"},
+            lambda b: index.search_batch_scan(b, k, mode="blocksel")[1],
+        ))
+        if service._maybe_enable_wide():
+            for ef in self.ef_ladder:
+                out.append((
+                    "wide", {"ef": ef},
+                    lambda b, ef=ef: index.search_batch_wide(
+                        b, k, ef=ef, seen_mask=service._wide_seen)[1],
+                ))
+        out.append((
+            "scan-exact", {"mode": "exact"},
+            lambda b: index.search_batch_scan(b, k, mode="exact")[1],
+        ))
+        return out
+
+    def decision_for(
+        self, service, batch_size: int, target: Optional[float] = None
+    ) -> Dict[str, Any]:
+        """Cached calibrated decision for this batch size and target."""
+        target = self.target_recall if target is None else float(target)
+        bucket = _up2(batch_size)
+        key = (bucket, target)
+        if self._fresh(service.index.size):
+            dec = self._decisions.get(key)
+            if dec is not None:
+                return dec
+        with self._lock:  # calibration mutates shared state; recheck
+            size = service.index.size
+            if not self._fresh(size):
+                self.invalidate()
+            dec = self._decisions.get(key)
+            if dec is not None:
+                return dec
+            if self._cal_queries is None:
+                self._draw_calibration(service.index)
+            rows = []
+            for name, params, run in self._candidates(service, bucket):
+                rec, qps = self._measure(run, bucket)
+                rows.append({"name": name, "params": params,
+                             "recall": round(rec, 4),
+                             "qps": round(qps, 1)})
+            meeting = [r for r in rows if r["recall"] >= target]
+            if meeting:
+                best = max(meeting, key=lambda r: r["qps"])
+            else:  # nothing meets the target: highest recall wins
+                best = max(rows, key=lambda r: (r["recall"], r["qps"]))
+            dec = {"mode": best["name"], "params": best["params"],
+                   "recall": best["recall"], "qps": best["qps"],
+                   "target": target, "met": best["recall"] >= target,
+                   "calibrated_at_size": size, "bucket": bucket,
+                   "candidates": rows}
+            self._decisions[key] = dec
+            return dec
+
+    # -------------------------------------------------------------- routing
+
+    def route(self, service, queries: np.ndarray, k: int,
+              target: Optional[float] = None):
+        """Run the calibrated best mode on ``queries``.
+
+        Returns the (dists, ids) pair of the underlying mode. ``k`` may
+        differ from the calibration k — recall transfers well across
+        nearby k for every mode here (all are budgeted by ef / scan
+        width, not by k)."""
+        dec = self.decision_for(service, len(queries), target)
+        index = service.index
+        if dec["mode"] == "wide":
+            return index.search_batch_wide(
+                queries, k, ef=int(dec["params"]["ef"]),
+                seen_mask=service._wide_seen)
+        return index.search_batch_scan(
+            queries, k, mode=dec["params"]["mode"])

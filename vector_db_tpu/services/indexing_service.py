@@ -113,6 +113,26 @@ class IndexingService:
         self._scan_batch_threshold = int(
             index_config.get("scan_batch_threshold", 0) or 0)
         self._wide_active = False
+        # Calibrated mode routing (config: index.autotune: {target_recall,
+        # sample, k, ef_ladder, min_size}) — measures each mode's recall
+        # and cost against on-device exact ground truth and serves the
+        # cheapest one meeting the target (services/autotune.py).
+        # Takes precedence over scan_batch_threshold/wide for unfiltered
+        # hnsw queries; per-request override via params.target_recall.
+        at_cfg = index_config.get("autotune") or {}
+        self._autotune = None
+        self._autotune_min_size = int(at_cfg.get("min_size", 4096))
+        if at_cfg.get("enabled", bool(at_cfg)):
+            from vector_db_tpu.services.autotune import AutoTuner
+
+            self._autotune = AutoTuner(
+                target_recall=float(at_cfg.get("target_recall", 0.95)),
+                sample=int(at_cfg.get("sample", 256)),
+                k=int(at_cfg.get("k", 10)),
+                ef_ladder=tuple(
+                    int(e) for e in at_cfg.get(
+                        "ef_ladder", (64, 128, 256, 512, 1024))),
+            )
 
         rng = random.Random(42)
         if self.index_type == "hnsw":
@@ -337,6 +357,15 @@ class IndexingService:
                     self._rp_active = True
         return self._rp_active
 
+    def _autotune_ready(self, kwargs) -> bool:
+        """Calibrated routing applies to unfiltered hnsw queries once the
+        corpus is big enough for the mode ranking to be meaningful (tiny
+        corpora: every mode is exact-ish and microseconds apart)."""
+        return (self.index_type == "hnsw"
+                and self._autotune is not None
+                and kwargs.get("filter_ids") is None
+                and self.index.size >= self._autotune_min_size)
+
     def _maybe_enable_wide(self) -> bool:
         """Activate wide-beam traversal for index.type: hnsw when
         index.wide is configured and the corpus crossed min_size."""
@@ -359,6 +388,11 @@ class IndexingService:
             return self._ivf_search(query, k, **kwargs)
         if self.index_type == "sharded-hnsw":
             return self._sharded_search(query, k, **kwargs)
+        if self._autotune_ready(kwargs):
+            dists, ids = self._autotune.route(
+                self, np.asarray(query, np.float32)[None, :], k,
+                kwargs.get("target_recall"))
+            return self._resolve(dists, ids, k)
         if self._maybe_enable_wide():
             ef = int(kwargs.get("ef", 50) or 50)
             dists, ids = self._wide_dispatch(
@@ -465,6 +499,10 @@ class IndexingService:
             return self.index.search_batch(
                 queries, k, filter_ids=kwargs.get("filter_ids")
             )
+        if self._autotune_ready(kwargs):
+            return self._autotune.route(
+                self, np.asarray(queries, np.float32), k,
+                kwargs.get("target_recall"))
         if (self.index_type == "hnsw"
                 and self._scan_batch_threshold
                 and len(queries) >= self._scan_batch_threshold
