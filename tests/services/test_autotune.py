@@ -92,6 +92,43 @@ def test_recalibrates_after_growth(tmp_path, rng):
     assert second["calibrated_at_size"] == 768
 
 
+def test_ivf_autotune_picks_n_probe(tmp_path, rng):
+    cfg = {
+        "embedding": {"model": "fake-16", "dimension": DIM},
+        "index": {
+            "M": 8, "ef_construction": 60, "flush_threshold": 100000,
+            "type": "ivf", "ivf_k": 16,
+            "autotune": {"enabled": True, "target_recall": 0.95,
+                         "sample": 24, "k": 5, "min_size": 64},
+        },
+        "vector_db": {"file_path": str(tmp_path / "vdb"),
+                      "dimension": DIM, "capacity": 2048},
+    }
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    storage = StorageService(str(tmp_path / "vdb"), dim=DIM, capacity=2048)
+    svc = IndexingService(storage=storage.storage, config_path=str(p))
+    nodes = [Node(id=i,
+                  embedding=rng.standard_normal(DIM).astype(np.float32),
+                  metadata={}) for i in range(512)]
+    svc.insert_nodes(nodes)
+    assert svc.index.centroids is not None
+
+    res = svc.search(nodes[17].embedding, k=5)
+    assert res[0][0].id == 17
+    stats = svc._autotune.stats()
+    dec = next(iter(stats.values()))
+    assert dec["mode"] == "ivf" and "n_probe" in dec["params"]
+    assert dec["met"] and dec["recall"] >= 0.95
+    # full probe (n_probe == k_cells) always reaches 1.0, so the chosen
+    # probe width must be <= the cell count and the target must be met
+    assert 1 <= dec["params"]["n_probe"] <= 16
+
+    q = np.stack([n.embedding for n in nodes[:16]])
+    dists, ids = svc.search_batch(q, k=3)
+    assert (ids[:, 0] == [n.id for n in nodes[:16]]).all()
+
+
 def test_filtered_queries_bypass_autotune(tmp_path, rng):
     svc, nodes = build_service(tmp_path, rng)
     allowed = {n.id for n in nodes if n.id % 2 == 0}

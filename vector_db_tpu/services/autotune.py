@@ -102,8 +102,14 @@ class AutoTuner:
     # ---------------------------------------------------------- calibration
 
     def _draw_calibration(self, index) -> None:
-        """Sample live rows as queries; exact GT excluding self."""
-        import jax
+        """Sample live rows as queries; exact GT excluding self.
+
+        Ground truth comes straight from the device table via
+        ``exact_search_tiled`` (f32 HIGHEST — the recall-1.0 contract
+        path), so it is identical for every index family."""
+        import jax.numpy as jnp
+
+        from vector_db_tpu.ops.exact import exact_search_tiled
 
         ids = np.fromiter(index._slot_of_id.keys(), dtype=np.int64)
         rng = np.random.default_rng(self.seed)
@@ -111,12 +117,20 @@ class AutoTuner:
         pick = rng.choice(ids, size=take, replace=False)
         slots = np.asarray([index._slot_of_id[int(i)] for i in pick],
                            np.int64)
-        q = np.asarray(index._emb[jax.numpy.asarray(slots)], np.float32)
+        q = np.asarray(index._emb[jnp.asarray(slots)], np.float32)
         # self-exclusion: ask for k+1 exact neighbors, drop the query row
-        _, gt_ids = index.search_batch_scan(q, self.k + 1, mode="exact")
+        cap = index._emb.shape[0]
+        _, gt_slots = exact_search_tiled(
+            jnp.asarray(q), index._emb, index._has_emb, self.k + 1,
+            tile=min(cap, 32768))
+        gt_slots = np.asarray(gt_slots)
+        id_of_slot = np.asarray(index._id_of_slot)
+        gt_ids = np.where(gt_slots >= 0,
+                          id_of_slot[np.maximum(gt_slots, 0)], -1)
         gt = np.full((take, self.k), -1, np.int64)
         for r in range(take):
-            row = [int(i) for i in gt_ids[r] if int(i) != int(pick[r])]
+            row = [int(i) for i in gt_ids[r]
+                   if int(i) >= 0 and int(i) != int(pick[r])]
             gt[r, : min(self.k, len(row))] = row[: self.k]
         self._cal_queries = q
         self._cal_ids = pick
@@ -181,6 +195,18 @@ class AutoTuner:
         result list and _recall drops it."""
         index = service.index
         k = self.k + 1
+        if service.index_type == "ivf":
+            use_rp = service._maybe_enable_rp()
+            use_pq = (not use_rp
+                      and service._maybe_enable_pq(None))
+            ladder = sorted({min(p, index.k) for p in (8, 16, 32, 64,
+                                                       128, 256, 512)})
+            return [(
+                "ivf", {"n_probe": np_, "rp": use_rp, "pq": use_pq},
+                lambda b, np_=np_: index.search_batch(
+                    b, n_probe=np_, top_k=k, pq=use_pq, rp=use_rp,
+                    adc=service._pq_adc)[1],
+            ) for np_ in ladder]
         out = []
         out.append((
             "scan-bf16", {"mode": "bf16"},
@@ -254,6 +280,12 @@ class AutoTuner:
         width, not by k)."""
         dec = self.decision_for(service, len(queries), target)
         index = service.index
+        if dec["mode"] == "ivf":
+            p = dec["params"]
+            return index.search_batch(
+                queries, n_probe=int(p["n_probe"]), top_k=k,
+                pq=bool(p["pq"]), rp=bool(p["rp"]),
+                adc=service._pq_adc)
         if dec["mode"] == "wide":
             return index.search_batch_wide(
                 queries, k, ef=int(dec["params"]["ef"]),

@@ -358,12 +358,19 @@ class IndexingService:
         return self._rp_active
 
     def _autotune_ready(self, kwargs) -> bool:
-        """Calibrated routing applies to unfiltered hnsw queries once the
-        corpus is big enough for the mode ranking to be meaningful (tiny
-        corpora: every mode is exact-ish and microseconds apart)."""
+        """Calibrated routing applies to unfiltered hnsw/ivf queries once
+        the corpus is big enough for the mode ranking to be meaningful
+        (tiny corpora: every mode is exact-ish and microseconds apart).
+        For ivf the tuner picks n_probe (recall at fixed n_probe swings
+        wildly with the corpus — BENCH_1M ivf_rp: 0.63 at 64 probes,
+        0.90 at 256), overriding the request's raw n_probe knob."""
+        if (self._autotune is None
+                or kwargs.get("filter_ids") is not None):
+            return False
+        if self.index_type == "ivf":
+            return (self.index.centroids is not None
+                    and self.index.size >= self._autotune_min_size)
         return (self.index_type == "hnsw"
-                and self._autotune is not None
-                and kwargs.get("filter_ids") is None
                 and self.index.size >= self._autotune_min_size)
 
     def _maybe_enable_wide(self) -> bool:
@@ -457,6 +464,18 @@ class IndexingService:
             ]
             cands.sort(key=lambda t: t[0])
             return [(n, d) for d, n in cands[:k]]
+        if self._autotune_ready(kwargs):
+            dists, ids = self._autotune.route(
+                self, np.asarray(query, np.float32)[None, :], k,
+                kwargs.get("target_recall"))
+            out = []
+            for nid, d in zip(ids[0], dists[0]):
+                if nid < 0:
+                    continue
+                node = self.storage.get(int(nid))
+                if node is not None:
+                    out.append((node, float(d)))
+            return out[:k]
         n_probe = int(kwargs.get("n_probe", 10) or 10)
         n_probe = max(1, min(n_probe, self.index.k))
         # RP/PQ probing when configured; filters fold into the validity
@@ -481,6 +500,10 @@ class IndexingService:
     def search_batch(self, queries: np.ndarray, k: int, **kwargs: Any):
         n_probe = kwargs.pop("n_probe", None)
         if self.index_type == "ivf":
+            if self._autotune_ready(kwargs):
+                return self._autotune.route(
+                    self, np.asarray(queries, np.float32), k,
+                    kwargs.get("target_recall"))
             n_probe = int(n_probe or 10)
             n_probe = max(1, min(n_probe, self.index.k))
             # filters implement tenancy/ACL — forward them (mirrors
