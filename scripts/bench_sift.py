@@ -210,7 +210,46 @@ def main():
             {"n_probe": n_probe, "fetch": fetch, "k": kk, "adc": adc,
              "recall": rec, "qps": qps})
 
-    Path("BENCH_SIFT.json").write_text(json.dumps(results, indent=2))
+    # BASELINE config 3 literal row: plain PQ m=16 nbits=8 (16 B/vector,
+    # 16 MB codes at 1M — the "equal memory" budget; the reference's PQ
+    # has no search path at all, inference/pq.py:77-108, so this is the
+    # ADC scan it would have needed), flat ADC over ALL codes, recall@100
+    # vs exact ground truth.
+    from vector_db_tpu.index.pq import PQCodec, _encode_scan
+
+    K100 = 100
+    codec = PQCodec(k=256, chunks=16, dim=DIM)
+    sample = np.asarray(x[:131072], np.float32)
+    t0 = time.perf_counter()
+    codec.train(sample, seed=0, restarts=2)
+    pad = (-N) % 8192
+    emb_for_codes = (
+        jnp.concatenate([ivf._emb,
+                         jnp.zeros((pad, DIM), jnp.float32)])
+        if pad else ivf._emb)
+    codes = _encode_scan(emb_for_codes, codec.codebooks, chunk=8192)[:N]
+    log(f"plain pq train+encode: {time.perf_counter() - t0:.0f}s")
+    gt100 = np.asarray(exact_search_tiled(
+        qd, ivf._emb, ivf._has_emb, K100, tile=tile)[1])
+    gt100_ids = ivf._store.ids_of(gt100)
+
+    def run_adc(v):
+        return codec.adc_search(np.asarray(v), codes, ivf._has_emb[:N],
+                                top_k=K100)[0]
+
+    _, rows = codec.adc_search(q, codes, ivf._has_emb[:N], top_k=K100)
+    adc_ids = ivf._store.ids_of(rows)
+    rec100 = float(np.mean(
+        [len(set(adc_ids[i].tolist()) & set(gt100_ids[i].tolist())) / K100
+         for i in range(B)]))
+    adc_qps = timed(run_adc, q, B)
+    log(f"pq-adc full scan m=16: recall@100={rec100:.4f} qps={adc_qps:.0f}")
+    results["pq_adc_scan"] = {
+        "chunks": 16, "ksub": 256, "bytes_per_vec": 16, "k": K100,
+        "recall": rec100, "qps": adc_qps}
+
+    out = os.environ.get("BENCH_OUT", "BENCH_SIFT.json")
+    Path(out).write_text(json.dumps(results, indent=2))
     log(json.dumps(results))
 
 

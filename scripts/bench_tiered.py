@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""BASELINE config 2: 100k x 384-d, threshold-based flush to tiered
+storage, recall@10 vs exact over an ef_search sweep.
+
+Exercises the full reference resume story end-to-end at scale
+(SURVEY.md §5: index checkpoint + threshold flush + memmap rescan;
+reference services/indexing_service.py:137-144, storage.py:146-161):
+
+  1. streaming ingest through IndexingService over MMapNodeStorage in
+     batches — once size crosses flush_threshold every batch triggers an
+     index save (the reference's observable post-threshold behavior);
+     flush count and cumulative save seconds are recorded;
+  2. process-restart simulation: fresh StorageService + IndexingService
+     over the same files must rescan the memmap and load the index
+     checkpoint without retraining;
+  3. recall@10 vs f32-exact ground truth over an ef sweep on the
+     RELOADED index (wide-beam; the serving path), plus the bf16-scan
+     operating point.
+
+Env: BENCH_N (default 100000), BENCH_DIM (384), BENCH_FLUSH (1000),
+BENCH_BATCH (5000), BENCH_OUT (BENCH_TIERED.json).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def timed(run, q, n_q, reps=3):
+    for w in range(2):
+        run(q * (1.0 + w * 1e-7))
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        run(q * (1.0 + (r + 1) * 1e-6))
+        times.append(time.perf_counter() - t0)
+    return n_q / float(np.median(times))
+
+
+def main():
+    from vector_db_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    import yaml
+
+    from vector_db_tpu.datasets import embedding_like
+    from vector_db_tpu.services.indexing_service import IndexingService
+    from vector_db_tpu.services.storage_service import StorageService
+    from vector_db_tpu.types import Node
+
+    N = int(os.environ.get("BENCH_N", 100_000))
+    DIM = int(os.environ.get("BENCH_DIM", 384))
+    FLUSH = int(os.environ.get("BENCH_FLUSH", 1000))
+    BATCH = int(os.environ.get("BENCH_BATCH", 5000))
+    B, K = 1000, 10
+
+    work = Path(os.environ.get("BENCH_WORK", "/tmp/bench_tiered"))
+    work.mkdir(exist_ok=True)
+    for f in work.glob("vdb*"):
+        f.unlink()
+    cfg = {
+        "embedding": {"model": "fake", "dimension": DIM},
+        "device": "default",
+        "index": {"M": 16, "ef_construction": 200,
+                  "flush_threshold": FLUSH, "type": "hnsw",
+                  "wide": {"enabled": True, "min_size": 4096}},
+        "vector_db": {"file_path": str(work / "vdb"), "dimension": DIM,
+                      "capacity": N + BATCH},
+    }
+    cfg_path = work / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    data = embedding_like(N + B, DIM, 0)
+    x, q = data[:N], data[N:]
+    results = {"N": N, "dim": DIM, "flush_threshold": FLUSH,
+               "batch": BATCH}
+
+    # 1) streaming ingest with threshold flush ---------------------------
+    storage = StorageService(str(work / "vdb"), dim=DIM, capacity=N + BATCH)
+    svc = IndexingService(storage=storage.storage, config_path=str(cfg_path))
+    flushes = 0
+    t_ingest = time.perf_counter()
+    for s in range(0, N, BATCH):
+        e = min(N, s + BATCH)
+        nodes = [Node(id=i, embedding=x[i], metadata={"b": s // BATCH})
+                 for i in range(s, e)]
+        t0 = time.perf_counter()
+        svc.insert_nodes(nodes)
+        dt = time.perf_counter() - t0
+        # a flush happened iff the save cleared the modified flag
+        flushed = not svc._index_modified and e >= FLUSH
+        flushes += int(flushed)
+        log(f"ingest {e}/{N}: batch {dt:.1f}s"
+            + (" [flushed]" if flushed else ""))
+    ingest_s = time.perf_counter() - t_ingest
+    svc.force_save_index()
+    results["ingest"] = {
+        "wall_s": ingest_s, "vps": N / ingest_s, "flushes": flushes,
+        "post_threshold_batches": max(0, (N - FLUSH) // BATCH + 1),
+    }
+    log(f"ingest: {N / ingest_s:.0f} vps, {flushes} threshold flushes")
+
+    # 2) restart: memmap rescan + checkpoint load (no retraining) --------
+    t0 = time.perf_counter()
+    storage2 = StorageService(str(work / "vdb"), dim=DIM,
+                              capacity=N + BATCH)
+    svc2 = IndexingService(storage=storage2.storage,
+                           config_path=str(cfg_path))
+    resume_s = time.perf_counter() - t0
+    assert svc2.is_index_loaded(), "index checkpoint did not load"
+    assert storage2.size() == N, f"memmap rescan found {storage2.size()}"
+    assert svc2.get_index_size() == N
+    results["resume"] = {"wall_s": resume_s,
+                         "index_loaded": True, "storage_size": N}
+    log(f"resume: {resume_s:.1f}s (rescan + checkpoint load)")
+
+    # 3) ef sweep on the reloaded index vs exact ground truth ------------
+    index = svc2.index
+    _, gt = index.search_batch_scan(q, K, mode="exact")
+
+    def recall_of(ids):
+        return float(np.mean([
+            len(set(ids[i].tolist()) & set(gt[i].tolist())) / K
+            for i in range(B)]))
+
+    svc2._maybe_enable_wide()
+    sweep = []
+    for ef in (50, 100, 200, 400, 800):
+        def run(v, ef=ef):
+            return index.search_batch_wide(np.asarray(v), K, ef=ef)[0]
+
+        _, ids = index.search_batch_wide(q, K, ef=ef)
+        rec = recall_of(ids)
+        qps = timed(run, q, B)
+        sweep.append({"ef": ef, "recall": rec, "qps": qps})
+        log(f"ef={ef}: recall@10={rec:.4f} qps={qps:.0f}")
+    results["ef_sweep"] = sweep
+
+    def run_scan(v):
+        return index.search_batch_scan(np.asarray(v), K, mode="bf16")[0]
+
+    _, sids = index.search_batch_scan(q, K, mode="bf16")
+    results["bf16_scan"] = {"recall": recall_of(sids),
+                            "qps": timed(run_scan, q, B)}
+    log(f"bf16 scan: {results['bf16_scan']}")
+
+    out = os.environ.get("BENCH_OUT", "BENCH_TIERED.json")
+    Path(out).write_text(json.dumps(results, indent=2))
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

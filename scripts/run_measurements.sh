@@ -47,6 +47,7 @@ if [ "$phase" = all ] || [ "$phase" = sweeps ]; then
   run exp_sched        python scripts/exp_wide_1m.py sched
   run exp_beam         python scripts/exp_beam_1m.py
   run bench_sift       python scripts/bench_sift.py
+  run bench_tiered     python scripts/bench_tiered.py
 fi
 
 if [ "$phase" = all ] || [ "$phase" = long ]; then
