@@ -46,15 +46,17 @@ def _kernel(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk):
     while ksz <= n:
         j = ksz // 2
         while j >= 1:
-            # partner = pos ^ j: within blocks of 2j, swap the two
-            # j-halves (static slices + stack — a pure layout move, no
-            # gathers; negative-stride slicing may not lower in Mosaic)
-            d4 = d.reshape(b, n // (2 * j), 2, j)
-            v4 = v.reshape(b, n // (2 * j), 2, j)
-            pd = jnp.stack(
-                [d4[:, :, 1, :], d4[:, :, 0, :]], axis=2).reshape(b, n)
-            pv = jnp.stack(
-                [v4[:, :, 1, :], v4[:, :, 0, :]], axis=2).reshape(b, n)
+            # partner = pos ^ j via two static lane rotates: lanes with
+            # bit j clear read pos+j (roll left), the rest pos-j (roll
+            # right). pos^j never leaves [0, n), so the circular
+            # wrap-around lanes are exactly the ones the select drops.
+            # (A reshape-to-(…, 2, j) pair swap is an unsupported Mosaic
+            # shape cast for small j — MICRO_MERGE round 3.)
+            hi = (pos & j) != 0
+            pd = jnp.where(hi, jnp.roll(d, j, axis=1),
+                           jnp.roll(d, -j, axis=1))
+            pv = jnp.where(hi, jnp.roll(v, j, axis=1),
+                           jnp.roll(v, -j, axis=1))
             ppos = pos ^ j
             # strict total order (position tie-break) so the pair's two
             # decisions are complementary even on equal keys
