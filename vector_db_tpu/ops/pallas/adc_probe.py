@@ -41,7 +41,7 @@ def _kernel(lut_ref, codes_ref, corr_ref, valid_ref, out_ref, *, tile,
     # so two contractions reproduce the f32 LUT sum to ~2^-16. A single
     # bf16 LUT measurably cost 6 recall points at the fetch boundary
     # (round-2 BENCH_SIFT, 0.824 vs 0.885 at n_probe=16).
-    lut = lut_ref[:]                         # f32[1, m*ksub]
+    lut = lut_ref[0]                         # f32[1, m*ksub]
     lut_hi = lut.astype(jnp.bfloat16)
     lut_lo = (lut - lut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     acc = jnp.zeros((1, tile), jnp.float32)
@@ -53,8 +53,8 @@ def _kernel(lut_ref, codes_ref, corr_ref, valid_ref, out_ref, *, tile,
                             preferred_element_type=jnp.float32)
         acc = acc + jnp.dot(lut_lo[:, sl], oh,
                             preferred_element_type=jnp.float32)
-    d = acc + corr_ref[:]
-    out_ref[:] = jnp.where(valid_ref[:] != 0, d, BIG)
+    d = acc + corr_ref[0]
+    out_ref[0] = jnp.where(valid_ref[0] != 0, d, BIG)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -80,28 +80,34 @@ def adc_probe_scores(
         valid = jnp.concatenate(
             [valid, jnp.zeros((b, pad), bool)], axis=1)
     n_tiles = codes.shape[2] // tile
-    lut_flat = lut.reshape(b, m * ksub)
-    valid_i = valid.astype(jnp.int32)
+    # Singleton middle axis on the per-query 2-D operands: Mosaic
+    # requires the last two block dims divisible by (8, 128) or equal to
+    # the array dims, so a (1, X) block over (B, X) is illegal while a
+    # (1, 1, X) block over (B, 1, X) is exact-match legal.
+    lut_flat = lut.reshape(b, 1, m * ksub)
+    corr3 = corr[:, None, :]
+    valid_i = valid.astype(jnp.int32)[:, None, :]
 
     grid_spec = pl.GridSpec(
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, m * ksub), lambda q, t: (q, 0),
+            pl.BlockSpec((1, 1, m * ksub), lambda q, t: (q, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, tile), lambda q, t: (q, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda q, t: (q, t),
+            pl.BlockSpec((1, 1, tile), lambda q, t: (q, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda q, t: (q, t),
+            pl.BlockSpec((1, 1, tile), lambda q, t: (q, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda q, t: (q, t),
+        out_specs=pl.BlockSpec((1, 1, tile), lambda q, t: (q, 0, t),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_kernel, tile=tile, ksub=ksub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, codes.shape[2]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 1, codes.shape[2]), jnp.float32),
         interpret=interpret,
-    )(lut_flat, codes, corr, valid_i)
-    return out[:, :p]
+    )(lut_flat, codes, corr3, valid_i)
+    return out[:, 0, :p]

@@ -37,7 +37,13 @@ BIG = 3.0e38
 
 
 def _kernel(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk):
-    d = d_ref[:]                       # f32[Bb, n]
+    # Keys are compared in f32 regardless of input dtype: f32 and the
+    # i32 payload share the native (8, 128) tiling, so the exchange
+    # masks keep one layout. With bf16 keys the masks straddle the
+    # packed (16, 128) bf16 tiling and the (8, 128) i32 tiling, which
+    # Mosaic rejects ("Invalid relayout … replicated in destination",
+    # BENCH_PALLAS round 3). bf16→f32 is exact, so compares are too.
+    d = d_ref[:].astype(jnp.float32)   # f32[Bb, n]
     v = v_ref[:]                       # i32[Bb, n]
     b = d.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
@@ -67,7 +73,7 @@ def _kernel(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk):
             v = jnp.where(take_self, v, pv)
             j //= 2
         ksz *= 2
-    out_d_ref[:] = d[:, :topk]
+    out_d_ref[:] = d[:, :topk].astype(out_d_ref.dtype)
     out_v_ref[:] = v[:, :topk]
 
 
