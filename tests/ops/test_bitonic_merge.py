@@ -38,3 +38,48 @@ def test_sorted_topk_ties_and_padding(rng):
         got = dict(zip(ov[i].tolist(), od[i].tolist()))
         want = dict(zip(v[i].tolist(), d[i].tolist()))
         assert got == want
+
+
+@pytest.mark.parametrize("p,k,topk", [(16, 48, 16), (100, 156, 100),
+                                      (1280, 3584, 1280)])
+def test_presorted_merge_matches_full_sort(rng, p, k, topk):
+    # the wide-beam steady state: sorted pool prefix + unsorted
+    # candidate suffix; presorted path must equal the full-sort oracle
+    b = 8
+    dp = np.sort(rng.standard_normal((b, p)).astype(np.float32), axis=1)
+    dk = rng.standard_normal((b, k)).astype(np.float32)
+    # sprinkle BIG masking into both segments (masked pool tail +
+    # invalid candidates), as wide_search produces
+    dp[:, -3:] = 3.0e38
+    dk[:, :: 7] = 3.0e38
+    d = np.concatenate([dp, dk], axis=1)
+    v = rng.integers(0, 1 << 20, (b, p + k)).astype(np.int32)
+    od, ov = sorted_topk(jnp.asarray(d), jnp.asarray(v), topk,
+                         block_b=8, interpret=True, presorted=p)
+    rd, rv = sorted_topk(jnp.asarray(d), jnp.asarray(v), topk,
+                         block_b=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(od), np.asarray(rd))
+    # payloads match wherever keys are unique; at BIG ties only the
+    # key panel is defined
+    order = np.argsort(d, axis=1, kind="stable")[:, :topk]
+    np.testing.assert_array_equal(
+        np.asarray(od), np.take_along_axis(d, order, axis=1))
+    uniq = np.asarray(od) < 3.0e38
+    np.testing.assert_array_equal(
+        np.where(uniq, np.asarray(ov), -1), np.where(uniq, np.asarray(rv), -1))
+
+
+def test_presorted_bf16_keys(rng):
+    # wide_search carries the pool in bf16
+    b, p, k = 4, 64, 192
+    dp = np.sort(rng.standard_normal((b, p)).astype(np.float32), axis=1)
+    dk = rng.standard_normal((b, k)).astype(np.float32)
+    d = jnp.asarray(np.concatenate([dp, dk], axis=1)).astype(jnp.bfloat16)
+    dp2 = np.sort(np.asarray(d[:, :p], np.float32), axis=1)  # bf16 grid
+    d = jnp.concatenate([jnp.asarray(dp2).astype(jnp.bfloat16),
+                         d[:, p:]], axis=1)
+    v = jnp.asarray(rng.integers(0, 1 << 20, (b, p + k)).astype(np.int32))
+    od, ov = sorted_topk(d, v, p, block_b=4, interpret=True, presorted=p)
+    dd = np.asarray(d, np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(od, np.float32), np.sort(dd, axis=1)[:, :p])

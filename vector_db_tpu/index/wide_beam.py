@@ -571,7 +571,13 @@ def wide_search(
                 cat_d, cat_se, P, block_b=32 if nbit > 4096 else 64,
                 # trace-time constant: Mosaic on the device, interpret
                 # everywhere else (CPU tests)
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu",
+                # the pool prefix is this kernel's own previous output
+                # (seeded sorted by approx_min_k); nothing between
+                # merges reorders pool_d — flags/masks only — so the
+                # suffix-only merge network applies (~1.75x fewer
+                # stages)
+                presorted=P)
         else:
             pool_d, mi = jax.lax.approx_min_k(cat_d, P)
             pool_se = jnp.take_along_axis(cat_se, mi, axis=1)
