@@ -97,10 +97,30 @@ def load_sift1m(
 # ---------------------------------------------------------------------------
 
 def embedding_like(
-    n: int, dim: int, seed: int, intrinsic: int = 64
+    n: int, dim: int, seed: int, intrinsic: int = 64,
+    device: str = "auto",
 ) -> np.ndarray:
     """Sentence-embedding-like vectors: rank-``intrinsic`` mixing + noise,
-    L2-normalized (matches MiniLM-style embedding geometry)."""
+    L2-normalized (matches MiniLM-style embedding geometry).
+
+    ``device="auto"`` generates on the accelerator when one is attached
+    and the corpus is large: ~830M gaussians + a 98-GFLOP mix matmul
+    take >1h on a throttled 1-core session host in numpy but seconds on
+    the MXU (the device→host pull dominates, streamed in row chunks).
+    The numpy and device corpora are statistically identical but not
+    bit-identical — a corpus cache must never mix the two (the wide1m
+    cache regenerates GT/graph whenever the corpus file is rewritten).
+    """
+    use_dev = False
+    if device == "auto" and n * dim >= 64 * (1 << 20):
+        try:
+            import jax
+
+            use_dev = jax.default_backend() != "cpu"
+        except Exception:
+            use_dev = False
+    if device == "jax" or use_dev:
+        return _embedding_like_device(n, dim, seed, intrinsic)
     rng = np.random.default_rng(seed)
     u = rng.standard_normal((n, intrinsic)).astype(np.float32)
     v = rng.standard_normal((intrinsic, dim)).astype(np.float32)
@@ -108,6 +128,37 @@ def embedding_like(
     x = u @ v + 0.05 * rng.standard_normal((n, dim)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x
+
+
+def _embedding_like_device(
+    n: int, dim: int, seed: int, intrinsic: int
+) -> np.ndarray:
+    """Device-side twin of :func:`embedding_like` (same distribution,
+    different bits). One jitted chunk program over fold_in'd keys keeps
+    HLO small; the host pull streams chunk by chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    chunk = 131072
+    key = jax.random.PRNGKey(seed)
+    kv, kr = jax.random.split(key)
+    v = jax.random.normal(kv, (intrinsic, dim), jnp.float32)
+    v = v / jnp.sqrt(jnp.float32(intrinsic))
+
+    @jax.jit
+    def make_chunk(k, v):
+        ku, kn = jax.random.split(k)
+        u = jax.random.normal(ku, (chunk, intrinsic), jnp.float32)
+        x = jnp.dot(u, v, precision=jax.lax.Precision.HIGHEST)
+        x = x + 0.05 * jax.random.normal(kn, (chunk, dim), jnp.float32)
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    out = np.empty((n, dim), np.float32)
+    for i, s in enumerate(range(0, n, chunk)):
+        xc = make_chunk(jax.random.fold_in(kr, i), v)
+        e = min(n, s + chunk)
+        out[s:e] = np.asarray(xc[: e - s])
+    return out
 
 
 def sift_like(

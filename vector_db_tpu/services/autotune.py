@@ -221,7 +221,8 @@ class AutoTuner:
                 out.append((
                     "wide", {"ef": ef},
                     lambda b, ef=ef: index.search_batch_wide(
-                        b, k, ef=ef, seen_mask=service._wide_seen)[1],
+                        b, k, ef=ef, seen_mask=service._wide_seen,
+                        merge_kernel=service._resolve_merge_kernel())[1],
                 ))
         out.append((
             "scan-exact", {"mode": "exact"},
@@ -289,6 +290,7 @@ class AutoTuner:
         if dec["mode"] == "wide":
             return index.search_batch_wide(
                 queries, k, ef=int(dec["params"]["ef"]),
-                seen_mask=service._wide_seen)
+                seen_mask=service._wide_seen,
+                merge_kernel=service._resolve_merge_kernel())
         return index.search_batch_scan(
             queries, k, mode=dec["params"]["mode"])

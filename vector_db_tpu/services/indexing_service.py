@@ -97,6 +97,11 @@ class IndexingService:
         # <=0.5 recall points, EXP_WIDE.json); set seen_mask: true to
         # keep the pre-merge pool-membership compare
         self._wide_seen = bool(wide_cfg.get("seen_mask", False))
+        # pool-merge kernel (ops/pallas/bitonic_merge): "auto" = on for
+        # a real accelerator backend, off for CPU (interpret mode is
+        # correct but slow); true/false force it. Default stays off
+        # until the 1M A/B (EXP_MERGE_KERNEL) validates the win.
+        self._wide_merge_kernel = wide_cfg.get("merge_kernel", False)
         self._wide_min_size = int(wide_cfg.get("min_size", 4096))
         # mode: "pool" (wide_search, ef-wide best-so-far pool) or "beam"
         # (beam_search — pool-free, merge-light; see index/wide_beam.py)
@@ -556,7 +561,16 @@ class IndexingService:
             frontier=self._wide_frontier, steps=self._wide_steps,
             seen_mask=self._wide_seen, filter_ids=filter_ids,
             schedule=self._wide_schedule,
+            merge_kernel=self._resolve_merge_kernel(),
         )
+
+    def _resolve_merge_kernel(self) -> bool:
+        mk = self._wide_merge_kernel
+        if mk == "auto":
+            import jax
+
+            return jax.default_backend() != "cpu"
+        return bool(mk)
 
     def save_index(self) -> None:
         with self._lock:
