@@ -83,6 +83,25 @@ def main():
                     np.allclose(got, want))
             except Exception:
                 row[f"bitonic_b{bb}_ms"] = traceback.format_exc()[-1500:]
+
+        # presorted path (what wide_search actually calls: the pool
+        # prefix is the previous merge's sorted output)
+        dp = jnp.sort(d[:, :P].astype(jnp.float32), axis=1
+                      ).astype(d.dtype)
+        dpre = jnp.concatenate([dp, d[:, P:]], axis=1)
+        for bb in (32, 64):
+            try:
+                f = functools.partial(sorted_topk, topk=P, block_b=bb,
+                                      presorted=P)
+                jf = jax.jit(lambda d, v, f=f: f(d, v))
+                row[f"presorted_b{bb}_ms"] = round(
+                    timeit(jf, dpre, v) * 1e3, 2)
+                od, _ = jf(dpre, v)
+                want = np.sort(np.asarray(dpre, np.float32), axis=1)[:, :P]
+                row[f"presorted_b{bb}_exact"] = bool(np.allclose(
+                    np.sort(np.asarray(od, np.float32), axis=1), want))
+            except Exception:
+                row[f"presorted_b{bb}_ms"] = traceback.format_exc()[-1500:]
         out[key] = row
         log(f"{key}: {row}")
 
