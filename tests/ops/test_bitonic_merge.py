@@ -69,6 +69,30 @@ def test_presorted_merge_matches_full_sort(rng, p, k, topk):
         np.where(uniq, np.asarray(ov), -1), np.where(uniq, np.asarray(rv), -1))
 
 
+def test_husked_prefix_needs_full_sort(rng):
+    # the wide-beam window dedup voids duplicate pool entries to BIG IN
+    # PLACE, so the steady-state pool prefix is "ascending with BIG
+    # bumps" — NOT non-decreasing, hence not a valid ``presorted`` claim
+    # (restoring order is 0/1 stable compaction = a full sorting
+    # network). wide_search therefore routes dedup_window > 0 through
+    # presorted=0; this pins the full-sort path on exactly that input.
+    b, p, k, topk = 8, 128, 384, 128
+    dp = np.sort(rng.standard_normal((b, p)).astype(np.float32), axis=1)
+    husk = rng.random((b, p)) < 0.15
+    husk[:, -1] = True  # at least one mid/tail bump per row
+    dp = np.where(husk, np.float32(3.0e38), dp)
+    dk = rng.standard_normal((b, k)).astype(np.float32)
+    d = np.concatenate([dp, dk], axis=1)
+    v = rng.integers(0, 1 << 20, (b, p + k)).astype(np.int32)
+    od, ov = sorted_topk(jnp.asarray(d), jnp.asarray(v), topk,
+                         block_b=8, interpret=True)
+    order = np.argsort(d, axis=1, kind="stable")[:, :topk]
+    np.testing.assert_array_equal(
+        np.asarray(od), np.take_along_axis(d, order, axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(ov), np.take_along_axis(v, order, axis=1))
+
+
 def test_presorted_bf16_keys(rng):
     # wide_search carries the pool in bf16
     b, p, k = 4, 64, 192

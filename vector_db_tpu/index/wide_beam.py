@@ -572,12 +572,14 @@ def wide_search(
                 # trace-time constant: Mosaic on the device, interpret
                 # everywhere else (CPU tests)
                 interpret=jax.default_backend() == "cpu",
-                # the pool prefix is this kernel's own previous output
-                # (seeded sorted by approx_min_k); nothing between
-                # merges reorders pool_d — flags/masks only — so the
-                # suffix-only merge network applies (~1.75x fewer
-                # stages)
-                presorted=P)
+                # the suffix-only merge network requires the pool prefix
+                # non-decreasing at entry. That holds only with the
+                # window dedup OFF: the dedup voids duplicate entries to
+                # BIG IN PLACE, and "ascending with BIG bumps" is not
+                # bitonic (restoring it is 0/1 stable compaction, which
+                # needs a full sorting network) — so dedup_window > 0
+                # must take the full-sort path
+                presorted=P if dedup_window == 0 else 0)
         else:
             pool_d, mi = jax.lax.approx_min_k(cat_d, P)
             pool_se = jnp.take_along_axis(cat_se, mi, axis=1)
