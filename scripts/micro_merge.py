@@ -23,14 +23,27 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args, reps=5):
-    import jax
+def timeit(fn, d, v, reps=5):
+    """Median wall-clock of fn(d_r, v) over per-rep DISTINCT key tensors.
 
-    jax.block_until_ready(fn(*args))
+    Identical args every rep let the relay's (executable, inputs)
+    memoization return cached results (measured: 0.06 ms for a 65 MB
+    merge — over HBM speed-of-light). The perturbation must survive the
+    key dtype: 1e-6 rounds away in bf16 (eps 2^-8), so scale by
+    rep-distinct factors >= 1%, applied in f32 BEFORE the cast."""
+    import jax
+    import jax.numpy as jnp
+
+    variants = [
+        (d.astype(jnp.float32) * (1.0 + 0.01 * (r + 1))).astype(d.dtype)
+        for r in range(reps)
+    ]
+    jax.block_until_ready(variants)
+    jax.block_until_ready(fn(d, v))
     ts = []
-    for _ in range(reps):
+    for dr in variants:
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(dr, v))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
