@@ -73,10 +73,17 @@ def main():
             ts = []
             for r in range(3):
                 qv = q * (1.0 + (r + 1) * 1e-6)
+                jax.block_until_ready(qv)
                 t0 = time.perf_counter()
-                jax.block_until_ready(_ivf_pq_probe_cells(
+                dv, iv = _ivf_pq_probe_cells(
                     centroids, cell_slots, cell_codes, cell_s, codebooks,
-                    emb, has_emb, qv, qv, **kw))
+                    emb, has_emb, qv, qv, **kw)
+                # host-visible scalar forces FULL execution: on the relay
+                # backend block_until_ready alone returned 0.1 ms for the
+                # gather mode — less than its own exact rerank's gather
+                # cost, i.e. before the work actually finished
+                float(jnp.sum(dv.astype(jnp.float32)) +
+                      jnp.sum(iv.astype(jnp.float32)))
                 ts.append(time.perf_counter() - t0)
             ids_by_mode[adc] = np.asarray(i)
             out[adc] = {"compile_s": round(compile_s, 1),

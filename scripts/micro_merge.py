@@ -9,6 +9,7 @@ python scripts/micro_merge.py
 """
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -43,7 +44,12 @@ def timeit(fn, d, v, reps=5):
     ts = []
     for dr in variants:
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(dr, v))
+        out = fn(dr, v)
+        # force FULL execution with a host-visible scalar: on the relay
+        # backend block_until_ready alone has produced sub-roundtrip
+        # timings for small outputs (MICRO_ADC_PROBE gather rows at
+        # 0.1 ms — less than its own rerank's gather cost)
+        float(jnp.sum(out[0].astype(jnp.float32)))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -82,7 +88,13 @@ def main():
         except Exception:
             row["xla_approx_taa_ms"] = traceback.format_exc()[-500:]
 
-        for bb in (32, 64):
+        # block_b=64 OOMs scoped VMEM at n=8192 (22.9M > 16M, measured)
+        # and the presorted network lost 500x to the full sort on-chip
+        # (28-35 ms vs 0.06; also invalid under the window dedup — see
+        # wide_beam.py) — neither earns its ~13-min Mosaic compile here.
+        # MICRO_MERGE_ALL=1 restores both for the record.
+        blocks = (32, 64) if os.environ.get("MICRO_MERGE_ALL") else (32,)
+        for bb in blocks:
             try:
                 f = functools.partial(sorted_topk, topk=P, block_b=bb)
                 jf = jax.jit(lambda d, v, f=f: f(d, v))
@@ -97,24 +109,26 @@ def main():
             except Exception:
                 row[f"bitonic_b{bb}_ms"] = traceback.format_exc()[-1500:]
 
-        # presorted path (what wide_search actually calls: the pool
-        # prefix is the previous merge's sorted output)
-        dp = jnp.sort(d[:, :P].astype(jnp.float32), axis=1
-                      ).astype(d.dtype)
-        dpre = jnp.concatenate([dp, d[:, P:]], axis=1)
-        for bb in (32, 64):
-            try:
-                f = functools.partial(sorted_topk, topk=P, block_b=bb,
-                                      presorted=P)
-                jf = jax.jit(lambda d, v, f=f: f(d, v))
-                row[f"presorted_b{bb}_ms"] = round(
-                    timeit(jf, dpre, v) * 1e3, 2)
-                od, _ = jf(dpre, v)
-                want = np.sort(np.asarray(dpre, np.float32), axis=1)[:, :P]
-                row[f"presorted_b{bb}_exact"] = bool(np.allclose(
-                    np.sort(np.asarray(od, np.float32), axis=1), want))
-            except Exception:
-                row[f"presorted_b{bb}_ms"] = traceback.format_exc()[-1500:]
+        if os.environ.get("MICRO_MERGE_ALL"):
+            # presorted path (dedup_window=0 only; see wide_beam.py)
+            dp = jnp.sort(d[:, :P].astype(jnp.float32), axis=1
+                          ).astype(d.dtype)
+            dpre = jnp.concatenate([dp, d[:, P:]], axis=1)
+            for bb in blocks:
+                try:
+                    f = functools.partial(sorted_topk, topk=P, block_b=bb,
+                                          presorted=P)
+                    jf = jax.jit(lambda d, v, f=f: f(d, v))
+                    row[f"presorted_b{bb}_ms"] = round(
+                        timeit(jf, dpre, v) * 1e3, 2)
+                    od, _ = jf(dpre, v)
+                    want = np.sort(np.asarray(dpre, np.float32),
+                                   axis=1)[:, :P]
+                    row[f"presorted_b{bb}_exact"] = bool(np.allclose(
+                        np.sort(np.asarray(od, np.float32), axis=1), want))
+                except Exception:
+                    row[f"presorted_b{bb}_ms"] = \
+                        traceback.format_exc()[-1500:]
         out[key] = row
         log(f"{key}: {row}")
 
