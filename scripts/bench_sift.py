@@ -181,11 +181,18 @@ def main():
     # n_probe=k routes through the one-hot-matmul full-scan ADC kernel;
     # probe rows (n_probe<k) time both onehot8 and the fused Pallas
     # probe kernel (adc="pallas", ops/pallas/adc_probe.py)
+    # "gather" rides XLA's own lowering of the flat-LUT indexing; at
+    # m*ksub*4 = 16 KB the LUT is VMEM-resident where the vectorized
+    # table lookup runs at VPU rate, not the HBM-row scalar-issue rate
+    # (MICRO_ADC_PROBE measured it fastest of the three — arbitrate here
+    # at the full index path before picking the serving default)
     for n_probe, fetch, kk, adc in [(16, 128, 10, "onehot8"),
                                     (16, 128, 10, "pallas"),
+                                    (16, 128, 10, "gather"),
                                     (k_cells, 128, 10, "onehot8"),
                                     (16, 256, 100, "onehot8"),
-                                    (16, 256, 100, "pallas")]:
+                                    (16, 256, 100, "pallas"),
+                                    (16, 256, 100, "gather")]:
         def run(v, n_probe=n_probe, fetch=fetch, kk=kk, adc=adc):
             return ivf2.search_batch(np.asarray(v), n_probe=n_probe,
                                      top_k=kk, pq=True, fetch=fetch,
