@@ -181,14 +181,33 @@ def main():
         jax.block_until_ready(dp)
         dp2 = adc_probe_scores(lutp, codesp, corrp, validp, tile=1024,
                                interpret=True)
-        close = bool(np.allclose(np.asarray(dp), np.asarray(dp2),
-                                 rtol=2e-4, atol=2e-3))
+        a, b2 = np.asarray(dp, np.float64), np.asarray(dp2, np.float64)
+        close = bool(np.allclose(a, b2, rtol=2e-4, atol=2e-3))
+        # host f64 oracle: which of compiled/interpret is the wrong one?
+        lut_h = np.asarray(lutp, np.float64)
+        codes_h = np.asarray(codesp)
+        oracle = np.zeros((bq, pp))
+        for j in range(m_):
+            oracle += np.take_along_axis(lut_h[:, j, :], codes_h[:, j, :],
+                                         axis=1)
+        # decision-relevant metric: top-fetch set agreement (exact rerank
+        # follows in the probe path, so only the fetched set matters)
+        fetch = 128
+        agree = float(np.mean([
+            len(set(np.argsort(a[r])[:fetch].tolist())
+                & set(np.argsort(oracle[r])[:fetch].tolist())) / fetch
+            for r in range(bq)]))
         out["adc_probe"]["prod_shape"] = {
             "compiled_on_chip": True,
             "compile_run_s": round(time.perf_counter() - t0, 1),
             "close_to_interpret": close,
+            "max_abs_vs_interpret": float(np.max(np.abs(a - b2))),
+            "max_abs_vs_f64_compiled": float(np.max(np.abs(a - oracle))),
+            "max_abs_vs_f64_interpret": float(np.max(np.abs(b2 - oracle))),
+            "top128_agreement_vs_f64": round(agree, 4),
         }
-        log(f"adc_probe prod shape OK (close_to_interpret {close})")
+        log(f"adc_probe prod shape OK (close_to_interpret {close}, "
+            f"top128 {agree:.4f})")
     except Exception:
         out["adc_probe"]["prod_shape"] = {
             "compiled_on_chip": False,
