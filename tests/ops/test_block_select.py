@@ -100,3 +100,16 @@ def test_tiny_corpus_padding():
                                  tile=512, block=128, exact_phase1=True)
     gd, gi = exact_search_tiled(qd, xd, valid, 5, tile=512)
     np.testing.assert_array_equal(np.asarray(ii), np.asarray(gi))
+
+
+def test_hilo_phase1_matches_exact(data):
+    # 3-pass bf16 hi/lo phase 1 (pseudo-f32): with a blocks_k margin the
+    # selected blocks cover the true top-k and phase 2 rescores exactly
+    xd, qd, valid = data
+    xsq = jnp.sum(xd * xd, -1)
+    gd, gi = exact_search_tiled(qd, xd, valid, 10, tile=4096)
+    dd, ii = block_select_search(qd, xd, qd, xsq, xd, valid, 10,
+                                 tile=4096, block=128, blocks_k=20,
+                                 hilo_phase1=True)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(gi))
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(gd), rtol=1e-5)

@@ -169,12 +169,15 @@ BIG_THRESH_LOCAL = np.float32(1.0e37)  # numpy scalar: no device alloc at import
 
 @partial(jax.jit, static_argnames=("k", "tile", "block", "blocks_k",
                                    "qblock", "exact_phase1",
-                                   "approx_blocks"))
+                                   "approx_blocks", "hilo_phase1"))
 def block_select_search(
     queries: jnp.ndarray,    # f32[B, dim]
     score_tab: jnp.ndarray,  # f32|bf16[N, ds] phase-1 table (full or proj)
     score_q: jnp.ndarray,    # f32[B, ds] queries in score space
-    x_sq: jnp.ndarray,       # f32[N] FULL-space row norms
+    x_sq: jnp.ndarray,       # f32[N] row norms pairing with score_tab:
+                             #   full-space for a same-dim table, and ALSO
+                             #   full-space for a PCA mirror (unbiased
+                             #   estimate ||x||^2 - 2 q̂·x̂)
     emb: jnp.ndarray,        # f32[N, dim] exact rerank table
     valid: jnp.ndarray,      # bool[N]
     k: int,
@@ -184,6 +187,7 @@ def block_select_search(
     qblock: int = 128,
     exact_phase1: bool = False,
     approx_blocks: bool = False,
+    hilo_phase1: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-phase scan: streaming block-min select, then exact block rerank.
 
@@ -244,11 +248,29 @@ def block_select_search(
     valid_t = valid.reshape(n_tiles, tile)
     prec = jax.lax.Precision.HIGHEST if exact_phase1 else None
     sq = score_q.astype(score_tab.dtype)
+    if hilo_phase1:
+        # 3-pass pseudo-f32 phase 1: split both operands into bf16
+        # hi + lo and drop only the lo*lo term (~2^-16 relative each
+        # side => cross-term error ~2^-22 relative — far below 1M-scale
+        # neighbor gaps, at 3 bf16-rate passes vs 6 for f32 HIGHEST).
+        # Selection is no longer *provably* lossless; blocks_k >= 2k
+        # absorbs boundary misranks in practice.
+        sq_hi = score_q.astype(jnp.bfloat16)
+        sq_lo = (score_q - sq_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def p1(_, xs):
         t_tab, t_xsq, t_valid = xs
-        cross = jnp.dot(sq, t_tab.T, precision=prec,
-                        preferred_element_type=jnp.float32)
+        if hilo_phase1:
+            t_hi = t_tab.astype(jnp.bfloat16)
+            t_lo = (t_tab - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            cross = (
+                jnp.dot(sq_hi, t_hi.T, preferred_element_type=jnp.float32)
+                + jnp.dot(sq_hi, t_lo.T, preferred_element_type=jnp.float32)
+                + jnp.dot(sq_lo, t_hi.T, preferred_element_type=jnp.float32)
+            )
+        else:
+            cross = jnp.dot(sq, t_tab.T, precision=prec,
+                            preferred_element_type=jnp.float32)
         d = t_xsq[None, :] - 2.0 * cross
         d = jnp.where(t_valid[None, :], d, BIG)
         return None, jnp.min(
