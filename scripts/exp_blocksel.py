@@ -33,7 +33,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vector_db_tpu.ops.exact import block_select_search, exact_search_tiled
+    from vector_db_tpu.ops.exact import (
+        block_select_search,
+        block_select_search_3p,
+        exact_search_tiled,
+    )
 
     N, DIM, B, K = 1_000_000, 768, 1000, 10
     log(str(jax.devices()))
@@ -119,15 +123,33 @@ def main():
         # bigger tiles: fewer scan iterations
         ("proj128_bk20_t262", "proj128",
          dict(blocks_k=2 * K, tile=262144)),
+        # three-phase: mirror row-rescore between block select and the
+        # exact cut — phase-2 traffic drops dim*4/(ds*2)x (ops/exact.py
+        # block_select_search_3p)
+        ("3p_proj128_bk20_r80", "proj128",
+         dict(blocks_k=2 * K, rows_k=8 * K, three_phase=True)),
+        ("3p_proj128_bk40_r80", "proj128",
+         dict(blocks_k=4 * K, rows_k=8 * K, three_phase=True)),
+        ("3p_proj128_bk40_r160", "proj128",
+         dict(blocks_k=4 * K, rows_k=16 * K, three_phase=True)),
+        ("3p_proj128_bk80_r160", "proj128",
+         dict(blocks_k=8 * K, rows_k=16 * K, three_phase=True)),
+        ("3p_proj64_bk40_r160", "proj64",
+         dict(blocks_k=4 * K, rows_k=16 * K, three_phase=True)),
+        ("3p_proj128_bk40_r80_approx", "proj128",
+         dict(blocks_k=4 * K, rows_k=8 * K, three_phase=True,
+              approx_blocks=True)),
     ]
 
     out = {"N": N, "dim": DIM, "B": B, "k": K, "rows": []}
     for label, kind, kw in CONFIGS:
         tab, sq, xs = get_tab(kind)
+        kw = dict(kw)
+        fn = (block_select_search_3p if kw.pop("three_phase", False)
+              else block_select_search)
         try:
-            def run(vq, sqv):
-                return block_select_search(
-                    vq, tab, sqv, xs, emb, valid, K, **kw)
+            def run(vq, sqv, fn=fn, tab=tab, xs=xs, kw=kw):
+                return fn(vq, tab, sqv, xs, emb, valid, K, **kw)
 
             t0 = time.perf_counter()
             d0, ids = run(qd, sq)
@@ -155,6 +177,51 @@ def main():
         out["rows"].append(row)
         log(json.dumps(row))
         Path("EXP_BLOCKSEL.json").write_text(json.dumps(out, indent=1))
+
+    # phase-1-only timing (block mins + exact block top_k, no rescore):
+    # attributes the two/three-phase rows' cost between the streaming
+    # scan and the rescore pipeline
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("tile", "block", "bk"))
+    def p1_only(sq, tab, xs, tile, block, bk):
+        n_tiles = tab.shape[0] // tile
+        st_t = tab.reshape(n_tiles, tile, tab.shape[1])
+        xsq_t = xs.reshape(n_tiles, tile)
+        b = sq.shape[0]
+
+        def p1(_, t):
+            t_tab, t_xsq = t
+            cross = jnp.dot(sq.astype(tab.dtype), t_tab.T,
+                            preferred_element_type=jnp.float32)
+            d = t_xsq[None, :] - 2.0 * cross
+            return None, jnp.min(
+                d.reshape(b, tile // block, block), axis=-1)
+
+        _, mins = jax.lax.scan(p1, None, (st_t, xsq_t))
+        mins = jnp.moveaxis(mins, 0, 1).reshape(b, -1)
+        return jax.lax.top_k(-mins, bk)[1]
+
+    for kind in ("proj128", "bf16"):
+        tab, sq, xs = get_tab(kind)
+        try:
+            jax.block_until_ready(
+                p1_only(sq, tab, xs, 131072, 128, 40))
+            ts = []
+            for r in range(3):
+                e = 1 + 1e-6 * (r + 1)
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    p1_only(sq * e, tab, xs, 131072, 128, 40))
+                ts.append(time.perf_counter() - t0)
+            row = {"label": f"p1only_{kind}_bk40", "tab": kind,
+                   "qps": round(B / float(np.median(ts))),
+                   "rep_s": [round(t, 4) for t in ts]}
+        except Exception as e:
+            row = {"label": f"p1only_{kind}_bk40", "error": repr(e)[:500]}
+        out["rows"].append(row)
+        log(json.dumps(row))
+    Path("EXP_BLOCKSEL.json").write_text(json.dumps(out, indent=1))
     log("wrote EXP_BLOCKSEL.json")
 
 

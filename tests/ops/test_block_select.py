@@ -113,3 +113,53 @@ def test_hilo_phase1_matches_exact(data):
                                  hilo_phase1=True)
     np.testing.assert_array_equal(np.asarray(ii), np.asarray(gi))
     np.testing.assert_allclose(np.asarray(dd), np.asarray(gd), rtol=1e-5)
+
+
+def test_three_phase_low_rank_mirror():
+    # production analogue: low-rank corpus, half-dim PCA mirror — the
+    # mirror row-rescore cut must keep the true top-k (recall 1.0) and
+    # phase 3 must return exact distances
+    from vector_db_tpu.ops.exact import block_select_search_3p
+
+    rng = np.random.default_rng(3)
+    N, D, B, K = 8192, 64, 16, 5
+    A = rng.standard_normal((24, D)).astype(np.float32)
+    x = (rng.standard_normal((N, 24)).astype(np.float32) @ A
+         + 0.01 * rng.standard_normal((N, D)).astype(np.float32))
+    q = (rng.standard_normal((B, 24)).astype(np.float32) @ A
+         + 0.01 * rng.standard_normal((B, D)).astype(np.float32))
+    emb, qd = jnp.asarray(x), jnp.asarray(q)
+    valid = jnp.ones((N,), bool)
+    xsq = jnp.sum(emb * emb, -1)
+    cov = np.asarray(jnp.dot(emb.T, emb)) / N
+    _, v = np.linalg.eigh(cov.astype(np.float64))
+    proj = jnp.asarray(v[:, ::-1][:, :32].astype(np.float32))
+    tab = jnp.dot(emb, proj).astype(jnp.bfloat16)
+    qp = jnp.dot(qd, proj)
+    d, i = block_select_search_3p(qd, tab, qp, xsq, emb, valid, K,
+                                  tile=1024, block=128, blocks_k=20,
+                                  rows_k=64)
+    gd, gi = exact_search_tiled(qd, emb, valid, K, tile=1024)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(gi))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(gd), rtol=1e-5)
+
+
+def test_three_phase_masked_and_padded():
+    from vector_db_tpu.ops.exact import block_select_search_3p
+
+    rng = np.random.default_rng(4)
+    N, D, B, K = 3000, 32, 8, 4   # N not a tile multiple
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    emb, qd = jnp.asarray(x), jnp.asarray(q)
+    vm = np.ones((N,), bool); vm[::5] = False
+    valid = jnp.asarray(vm)
+    xsq = jnp.sum(emb * emb, -1)
+    tab = emb.astype(jnp.bfloat16)
+    d, i = block_select_search_3p(qd, tab, qd, xsq, emb, valid, K,
+                                  tile=1024, block=128, blocks_k=12,
+                                  rows_k=48)
+    gd, gi = exact_search_tiled(qd, emb, valid, K, tile=1024)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(gi))
+    assert not (set(np.asarray(i).ravel().tolist())
+                & set(np.nonzero(~vm)[0].tolist()))

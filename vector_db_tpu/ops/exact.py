@@ -329,6 +329,115 @@ def block_select_search(
     return (dd.reshape(-1, k)[:b], ii.reshape(-1, k)[:b])
 
 
+@partial(jax.jit, static_argnames=("k", "tile", "block", "blocks_k",
+                                   "rows_k", "approx_blocks"))
+def block_select_search_3p(
+    queries: jnp.ndarray,    # f32[B, dim]
+    score_tab: jnp.ndarray,  # bf16[N, ds] phase-1/2 table (PCA mirror)
+    score_q: jnp.ndarray,    # f32[B, ds] queries in score space
+    x_sq: jnp.ndarray,       # f32[N] full-space row norms
+    emb: jnp.ndarray,        # f32[N, dim] exact rerank table
+    valid: jnp.ndarray,      # bool[N]
+    k: int,
+    tile: int = 131072,
+    block: int = 128,
+    blocks_k: int = 0,
+    rows_k: int = 0,
+    approx_blocks: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Three-phase block-min scan: select blocks, rescore rows in the
+    projected mirror, exact-rescore only the top ``rows_k`` rows.
+
+    The two-phase :func:`block_select_search` is phase-2 bound at 1M x
+    768 (measured: QPS falls from 11.8k to 7.6k as blocks_k goes 10->40
+    while the phase-1 table makes no difference): gathering
+    ``[B, blocks_k, block, dim]`` f32 rows moves ~16 GB/batch and the
+    per-query HIGHEST matvec can't use the MXU. Here phase 2 rescoring
+    runs in the ``ds``-dim bf16 mirror (dim*4/(ds*2)x less gather
+    traffic), producing per-ROW estimates whose top ``rows_k`` rows per
+    query are then fetched from the f32 table (``rows_k`` row reads per
+    query) and scored exactly — the same estimate->exact contract as the
+    wide-beam rerank. Recall is 1.0 as long as the true top-k survive
+    the mirror-scored cut; ``rows_k`` (default ``8*k``) is the margin.
+
+    Returns (d_sq f32[B, k], ids int32[B, k]) ascending, (BIG, -1) pad.
+    """
+    n, dim = emb.shape
+    b = queries.shape[0]
+    ds = score_tab.shape[1]
+    blocks_k = blocks_k or 2 * k
+    rows_k = rows_k or 8 * k
+    assert tile % block == 0
+    pad = (-n) % tile
+    if pad:
+        score_tab = jnp.concatenate(
+            [score_tab, jnp.zeros((pad, ds), score_tab.dtype)])
+        emb = jnp.concatenate([emb, jnp.zeros((pad, dim), emb.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        x_sq = jnp.concatenate([x_sq, jnp.zeros((pad,), x_sq.dtype)])
+    n_pad = emb.shape[0]
+    n_tiles = n_pad // tile
+    n_blocks = n_pad // block
+    blocks_k = min(blocks_k, n_blocks)
+    rows_k = min(rows_k, blocks_k * block)
+
+    st_t = score_tab.reshape(n_tiles, tile, ds)
+    xsq_t = x_sq.reshape(n_tiles, tile)
+    valid_t = valid.reshape(n_tiles, tile)
+    sq = score_q.astype(score_tab.dtype)
+
+    # phase 1: streaming block minima of the mirror estimate
+    def p1(_, xs):
+        t_tab, t_xsq, t_valid = xs
+        cross = jnp.dot(sq, t_tab.T, preferred_element_type=jnp.float32)
+        d = t_xsq[None, :] - 2.0 * cross
+        d = jnp.where(t_valid[None, :], d, BIG)
+        return None, jnp.min(d.reshape(b, tile // block, block), axis=-1)
+
+    _, mins = jax.lax.scan(p1, None, (st_t, xsq_t, valid_t))
+    mins = jnp.moveaxis(mins, 0, 1).reshape(b, n_blocks)
+    if approx_blocks:
+        _, bidx = jax.lax.approx_min_k(mins, blocks_k)
+    else:
+        _, bidx = jax.lax.top_k(-mins, blocks_k)         # [B, blocks_k]
+
+    # phase 2: per-row mirror rescore of the selected blocks (bf16
+    # block-contiguous gather, MXU per-query matvec in ds dims only)
+    st_b = score_tab.reshape(n_blocks, block, ds)
+    xsq_b = x_sq.reshape(n_blocks, block)
+    valid_b = valid.reshape(n_blocks, block)
+    rows = st_b[bidx]                                    # [B, C, blk, ds]
+    est = (
+        xsq_b[bidx]
+        - 2.0 * jnp.einsum("qcbd,qd->qcb", rows, sq,
+                           preferred_element_type=jnp.float32)
+    )
+    est = jnp.where(valid_b[bidx], est, BIG)
+    est = est.reshape(b, blocks_k * block)
+    _, rpos = jax.lax.top_k(-est, rows_k)                # [B, rows_k]
+    row_ids = (bidx[:, :, None] * block
+               + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+               ).reshape(b, blocks_k * block)
+    cand = jnp.take_along_axis(row_ids, rpos, axis=1)    # [B, rows_k]
+
+    # phase 3: exact rescore of rows_k rows per query, final top-k
+    crows = emb[cand]                                    # [B, rows_k, dim]
+    d = (
+        jnp.sum(crows * crows, axis=-1)
+        - 2.0 * jnp.einsum("brd,bd->br", crows, queries,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        + jnp.sum(queries * queries, axis=-1, keepdims=True)
+    )
+    ok = jnp.take_along_axis(valid_b[bidx].reshape(b, -1), rpos, axis=1)
+    d = jnp.where(ok, jnp.maximum(d, 0.0), BIG)
+    neg, pos = jax.lax.top_k(-d, k)
+    out_d = -neg
+    out_i = jnp.take_along_axis(cand, pos, axis=1)
+    out_i = jnp.where(out_d < BIG_THRESH_LOCAL, out_i, -1)
+    return out_d, out_i
+
+
 @partial(jax.jit, static_argnames=())
 def rescore_exact(
     queries: jnp.ndarray,
