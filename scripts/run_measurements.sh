@@ -43,6 +43,7 @@ if [ "$phase" = all ] || [ "$phase" = sections ]; then
 fi
 
 if [ "$phase" = all ] || [ "$phase" = sweeps ]; then
+  run exp_blocksel     python scripts/exp_blocksel.py
   run exp_wide_mk      env EXP_MERGE_KERNEL=1 python scripts/exp_wide_1m.py
   run exp_sched        python scripts/exp_wide_1m.py sched
   run exp_beam         python scripts/exp_beam_1m.py
