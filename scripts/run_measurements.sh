@@ -55,10 +55,12 @@ if [ "$phase" = all ] || [ "$phase" = long ]; then
   # alpha graph build + two OPQ trainings can exceed the 1h default
   STEP_TIMEOUT=7200
   run exp_alpha        env EXP_ALPHA=1.2 python scripts/exp_wide_1m.py
+  run exp_wide_final   env EXP_ALPHA=1.2 python scripts/exp_wide_final.py
   run exp_opq          python scripts/exp_opq_1m.py
   STEP_TIMEOUT=3600
   run bench_headline   python bench.py
   run bench_api        python scripts/bench_api.py
+  run pallas_onchip2   python scripts/pallas_onchip.py
 fi
 
 echo "queue done ($(date +%H:%M:%S)); logs in /tmp/meas/"
