@@ -139,6 +139,23 @@ def main():
         ("3p_proj128_bk40_r80_approx", "proj128",
          dict(blocks_k=4 * K, rows_k=8 * K, three_phase=True,
               approx_blocks=True)),
+        # fused Pallas phase 1 (ops/pallas/block_min.py): the [B, tile]
+        # panel never reaches HBM — the measured phase-1 bound
+        ("3pp_proj128_bk20_r80", "proj128",
+         dict(blocks_k=2 * K, rows_k=8 * K, three_phase=True,
+              pallas_phase1=True)),
+        ("3pp_proj128_bk40_r80", "proj128",
+         dict(blocks_k=4 * K, rows_k=8 * K, three_phase=True,
+              pallas_phase1=True)),
+        ("3pp_proj64_bk20_r80", "proj64",
+         dict(blocks_k=2 * K, rows_k=8 * K, three_phase=True,
+              pallas_phase1=True)),
+        ("3pp_proj128_bk40_r160", "proj128",
+         dict(blocks_k=4 * K, rows_k=16 * K, three_phase=True,
+              pallas_phase1=True)),
+        ("3pp_bf16_bk20_r80", "bf16",
+         dict(blocks_k=2 * K, rows_k=8 * K, three_phase=True,
+              pallas_phase1=True)),
     ]
 
     out = {"N": N, "dim": DIM, "B": B, "k": K, "rows": []}
@@ -185,6 +202,11 @@ def main():
 
     @partial(jax.jit, static_argnames=("tile", "block", "bk"))
     def p1_only(sq, tab, xs, tile, block, bk):
+        pad = (-tab.shape[0]) % tile
+        if pad:
+            tab = jnp.concatenate(
+                [tab, jnp.zeros((pad, tab.shape[1]), tab.dtype)])
+            xs = jnp.concatenate([xs, jnp.full((pad,), 2.0e38, xs.dtype)])
         n_tiles = tab.shape[0] // tile
         st_t = tab.reshape(n_tiles, tile, tab.shape[1])
         xsq_t = xs.reshape(n_tiles, tile)
@@ -219,6 +241,34 @@ def main():
                    "rep_s": [round(t, 4) for t in ts]}
         except Exception as e:
             row = {"label": f"p1only_{kind}_bk40", "error": repr(e)[:500]}
+        out["rows"].append(row)
+        log(json.dumps(row))
+
+    # fused-kernel phase-1-only timer (block_min_scan + exact block top_k)
+    from vector_db_tpu.ops.pallas.block_min import block_min_scan
+
+    @partial(jax.jit, static_argnames=("bk",))
+    def p1p_only(sq2, tab2, xs2, bk):
+        mins = block_min_scan(sq2, tab2, xs2, block=128, tile=2048,
+                              qtile=256, interpret=False)
+        return jax.lax.top_k(-mins, bk)[1]
+
+    for kind in ("proj128", "bf16"):
+        tab, sq, xs = get_tab(kind)
+        try:
+            jax.block_until_ready(p1p_only(sq, tab, xs, 40))
+            ts = []
+            for r in range(3):
+                e = 1 + 1e-6 * (r + 1)
+                t0 = time.perf_counter()
+                jax.block_until_ready(p1p_only(sq * e, tab, xs, 40))
+                ts.append(time.perf_counter() - t0)
+            row = {"label": f"p1pallas_{kind}_bk40", "tab": kind,
+                   "qps": round(B / float(np.median(ts))),
+                   "rep_s": [round(t, 4) for t in ts]}
+        except Exception as e:
+            row = {"label": f"p1pallas_{kind}_bk40",
+                   "error": repr(e)[:500]}
         out["rows"].append(row)
         log(json.dumps(row))
     Path("EXP_BLOCKSEL.json").write_text(json.dumps(out, indent=1))

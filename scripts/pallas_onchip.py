@@ -214,6 +214,36 @@ def main():
             "error": traceback.format_exc()[-3000:]}
         log("adc_probe FAILED")
 
+    # ---- fused block-min phase-1 kernel (block-select scan) ----
+    try:
+        from vector_db_tpu.ops.pallas.block_min import block_min_scan
+
+        nb, dsb, bb = 131072, 128, 256
+        tabb = jnp.asarray(
+            rng.standard_normal((nb, dsb)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        qb = jnp.asarray(rng.standard_normal((bb, dsb)).astype(np.float32))
+        xsqb = jnp.asarray((rng.random(nb) * 10).astype(np.float32))
+        t0 = time.perf_counter()
+        mb = block_min_scan(qb, tabb, xsqb, interpret=False)
+        jax.block_until_ready(mb)
+        mb2 = block_min_scan(qb, tabb, xsqb, interpret=True)
+        closeb = bool(np.allclose(np.asarray(mb), np.asarray(mb2),
+                                  rtol=1e-5, atol=1e-4))
+        out["block_min"] = {"prod_shape": {
+            "compiled_on_chip": True,
+            "compile_run_s": round(time.perf_counter() - t0, 1),
+            "close_to_interpret": closeb,
+            "max_abs_vs_interpret": float(
+                np.max(np.abs(np.asarray(mb) - np.asarray(mb2)))),
+        }}
+        log(f"block_min prod shape OK (close_to_interpret {closeb})")
+    except Exception:
+        out["block_min"] = {"prod_shape": {
+            "compiled_on_chip": False,
+            "error": traceback.format_exc()[-3000:]}}
+        log("block_min FAILED")
+
     prev = json.loads(Path("BENCH_PALLAS.json").read_text())
     prev["on_chip_r3"] = out
     Path("BENCH_PALLAS.json").write_text(json.dumps(prev, indent=1))

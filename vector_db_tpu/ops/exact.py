@@ -330,7 +330,8 @@ def block_select_search(
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "block", "blocks_k",
-                                   "rows_k", "approx_blocks"))
+                                   "rows_k", "approx_blocks",
+                                   "pallas_phase1"))
 def block_select_search_3p(
     queries: jnp.ndarray,    # f32[B, dim]
     score_tab: jnp.ndarray,  # bf16[N, ds] phase-1/2 table (PCA mirror)
@@ -344,9 +345,15 @@ def block_select_search_3p(
     blocks_k: int = 0,
     rows_k: int = 0,
     approx_blocks: bool = False,
+    pallas_phase1: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Three-phase block-min scan: select blocks, rescore rows in the
     projected mirror, exact-rescore only the top ``rows_k`` rows.
+
+    ``pallas_phase1`` routes phase 1 through the fused VMEM block-min
+    kernel (ops/pallas/block_min.py): the [B, tile] distance panel never
+    reaches HBM — measured at 1M x 768 the XLA phase 1's panel roundtrip
+    dominates the whole search.
 
     The two-phase :func:`block_select_search` is phase-2 bound at 1M x
     768 (measured: QPS falls from 11.8k to 7.6k as blocks_k goes 10->40
@@ -381,21 +388,31 @@ def block_select_search_3p(
     blocks_k = min(blocks_k, n_blocks)
     rows_k = min(rows_k, blocks_k * block)
 
-    st_t = score_tab.reshape(n_tiles, tile, ds)
-    xsq_t = x_sq.reshape(n_tiles, tile)
-    valid_t = valid.reshape(n_tiles, tile)
     sq = score_q.astype(score_tab.dtype)
 
     # phase 1: streaming block minima of the mirror estimate
-    def p1(_, xs):
-        t_tab, t_xsq, t_valid = xs
-        cross = jnp.dot(sq, t_tab.T, preferred_element_type=jnp.float32)
-        d = t_xsq[None, :] - 2.0 * cross
-        d = jnp.where(t_valid[None, :], d, BIG)
-        return None, jnp.min(d.reshape(b, tile // block, block), axis=-1)
+    if pallas_phase1:
+        from vector_db_tpu.ops.pallas.block_min import block_min_scan
 
-    _, mins = jax.lax.scan(p1, None, (st_t, xsq_t, valid_t))
-    mins = jnp.moveaxis(mins, 0, 1).reshape(b, n_blocks)
+        xsq_eff = jnp.where(valid, x_sq, 2.0e38)
+        mins = block_min_scan(score_q, score_tab, xsq_eff, block=block,
+                              tile=min(2048, n_pad), qtile=256)
+    else:
+        st_t = score_tab.reshape(n_tiles, tile, ds)
+        xsq_t = x_sq.reshape(n_tiles, tile)
+        valid_t = valid.reshape(n_tiles, tile)
+
+        def p1(_, xs):
+            t_tab, t_xsq, t_valid = xs
+            cross = jnp.dot(sq, t_tab.T,
+                            preferred_element_type=jnp.float32)
+            d = t_xsq[None, :] - 2.0 * cross
+            d = jnp.where(t_valid[None, :], d, BIG)
+            return None, jnp.min(
+                d.reshape(b, tile // block, block), axis=-1)
+
+        _, mins = jax.lax.scan(p1, None, (st_t, xsq_t, valid_t))
+        mins = jnp.moveaxis(mins, 0, 1).reshape(b, n_blocks)
     if approx_blocks:
         _, bidx = jax.lax.approx_min_k(mins, blocks_k)
     else:
