@@ -53,3 +53,22 @@ def test_flat_delete_and_filter(rng):
     assert all(n.id != 3 for n, _ in res)
     res = idx.search(nodes[5].embedding, k=3, filter_ids={5, 6})
     assert {n.id for n, _ in res} <= {5, 6}
+
+
+def test_flat_blocksel_precision(rng):
+    # blocksel = three-phase block-select scan over a PCA mirror; on a
+    # full-rank-coverable mirror (dim <= 128) the estimates are
+    # near-exact so ids and distances must match the f32 path
+    nodes = make_nodes(rng, 300, 24)
+    idx = FlatIndex(precision="blocksel", capacity=512)
+    idx.build_index(nodes)
+    idx.delete_node(7)
+    q = rng.standard_normal((4, 24)).astype(np.float32)
+    d_b, i_b = idx.search_batch(q, k=5)
+    ref = FlatIndex(capacity=512)
+    ref.build_index(nodes)
+    ref.delete_node(7)
+    d_f, i_f = ref.search_batch(q, k=5)
+    np.testing.assert_array_equal(i_b, i_f)
+    np.testing.assert_allclose(d_b, d_f, rtol=1e-4)
+    assert 7 not in set(np.asarray(i_b).ravel().tolist())
