@@ -55,17 +55,19 @@ def main():
         ("base_1280_224", dict(ef=1280, frontier=224, steps=10)),
         ("mk_1280_224", dict(ef=1280, frontier=224, steps=10,
                              merge_kernel=True)),
-        ("sched_red_1280", dict(ef=1280,
+        # schedules gather [B, F*M, dims] at their widest step: F >= 320
+        # overflows HBM on a 1k batch (exp_sched OOM) — qchunk bounds it
+        ("sched_red_1280", dict(ef=1280, qchunk=500,
                                 schedule=((320, 3), (160, 4), (64, 4)))),
-        ("sched_red_mk_1280", dict(ef=1280,
+        ("sched_red_mk_1280", dict(ef=1280, qchunk=500,
                                    schedule=((320, 3), (160, 4), (64, 4)),
                                    merge_kernel=True)),
         ("sched_match_mk_1280", dict(
-            ef=1280, schedule=((448, 2), (224, 4), (128, 4)),
+            ef=1280, qchunk=500, schedule=((448, 2), (224, 4), (128, 4)),
             merge_kernel=True)),
-        ("sched_red_1024", dict(ef=1024,
+        ("sched_red_1024", dict(ef=1024, qchunk=500,
                                 schedule=((320, 3), (160, 4), (64, 4)))),
-        ("sched_red_mk_1024", dict(ef=1024,
+        ("sched_red_mk_1024", dict(ef=1024, qchunk=500,
                                    schedule=((320, 3), (160, 4), (64, 4)),
                                    merge_kernel=True)),
     ]

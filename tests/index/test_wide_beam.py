@@ -272,3 +272,15 @@ def test_beam_filter_ids(built):
     for i in range(len(q)):
         assert all(int(v) in allowed for v in ids[i] if v >= 0)
     assert _recall(ids, gt_f) >= 0.75  # trajectory-only memory
+
+
+def test_wide_qchunk_equivalence(built):
+    # host-side query chunking must be invisible in the results (each
+    # query's program is independent)
+    idx, x, q, gt = built
+    d1, i1 = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                   steps=12, qchunk=0)
+    d2, i2 = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                   steps=12, qchunk=16)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)

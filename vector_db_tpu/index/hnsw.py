@@ -771,6 +771,7 @@ class HNSW:
         merge_kernel: bool = False,
         schedule=None,
         filter_ids=None,
+        qchunk: int | None = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam search (requires enable_wide). Same contract as
         search_batch: (L2 dists f32[B, k], node ids int64[B, k]).
@@ -779,6 +780,12 @@ class HNSW:
         ``schedule`` = ((F1, T1), (F2, T2), ...) overrides the fixed
         frontier/steps with a per-segment frontier width (wide early,
         narrow late — see wide_beam.wide_search).
+        ``qchunk`` splits the query batch into host-side chunks of that
+        size: wide frontiers gather [B, F*M, dims] candidate blocks, and
+        at F >= 320 a 1k-query batch overflows HBM at 1M x 768
+        (measured: 16.1 G needed of 15.75 G). Default None auto-chunks
+        to keep max_frontier * chunk within the measured envelope
+        (F=224 x 1024 fits, F=320 x 1024 does not); 0 disables.
         ``filter_ids`` applies the reference's filter contract
         (hnsw.py:81-88): non-matching nodes navigate but never enter
         results (two-pool wide-beam; widen ``rerank_k``/``ef`` for very
@@ -801,6 +808,34 @@ class HNSW:
         if self.size == 0 or self.graph is None:
             return (np.full((b_orig, k), np.inf, np.float32),
                     np.full((b_orig, k), -1, np.int64))
+        if qchunk is None:
+            # auto: bound max_frontier * padded_chunk by the measured
+            # HBM envelope (224*1024 fits; 320*1024 OOMs at 1M x 768)
+            fmax = frontier or max(16, min(((ef // 6 + 31) // 32) * 32,
+                                           ef))
+            if schedule is not None:
+                fmax = max(int(f) for f, _ in schedule)
+            # inline-gathering exact traversal moves [B, F*M, dims] bf16
+            # blocks; PQ/aug-only traversal moves ~8x less per candidate
+            inline = (getattr(self, "_wb_inline", False)
+                      and score == "exact")
+            budget = 262144 if inline else 1 << 20
+            qchunk = 0
+            if fmax * (1 << max(3, (b_orig - 1).bit_length())) > budget:
+                qchunk = max(128, budget // max(1, fmax))
+                qchunk = 1 << (qchunk.bit_length() - 1)
+        if qchunk > 0 and b_orig > qchunk:
+            parts = [
+                self.search_batch_wide(
+                    queries[s:s + qchunk], k=k, ef=ef, frontier=frontier,
+                    steps=steps, rerank_k=rerank_k, bucket=bucket,
+                    score=score, dedup_window=dedup_window,
+                    seen_mask=seen_mask, merge_kernel=merge_kernel,
+                    schedule=schedule, filter_ids=filter_ids)
+                for s in range(0, b_orig, qchunk)
+            ]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         ef = max(ef, k)
         if bucket:
             def up2(v: int, lo: int = 8) -> int:

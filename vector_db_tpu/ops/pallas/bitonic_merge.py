@@ -171,6 +171,13 @@ def sorted_topk(
             v = jnp.concatenate(
                 [v, jnp.full((bsz, n - n0), -1, v.dtype)], axis=1)
         kern = functools.partial(_kernel, n=n, topk=topk)
+    # scoped-VMEM envelope: the bitonic stages keep ~11 row-block-sized
+    # f32/i32 temporaries live, so block_b*n elements is the budget knob.
+    # Measured on v5e (BENCH_PALLAS/MICRO_MERGE round 3): 32x8192 fits
+    # (~11.5M of the 16M scoped limit), 64x8192 does not (22.9M). Scale
+    # block_b down as n grows so wide-beam shapes (n up to 16384) compile.
+    max_rows = max(8, (32 * 8192) // n)
+    block_b = min(block_b, 1 << (max_rows.bit_length() - 1))
     pad_b = (-bsz) % block_b
     if pad_b:
         d = jnp.concatenate([d, jnp.full((pad_b, n), BIG, d.dtype)])
