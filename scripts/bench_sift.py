@@ -160,6 +160,8 @@ def main():
             f"qps={qps:.0f}")
         results["ivf_rp"].append(
             {"n_probe": n_probe, "fetch": fetch, "recall": rec, "qps": qps})
+    Path(os.environ.get("BENCH_OUT", "BENCH_SIFT.json")).write_text(
+        json.dumps(results, indent=2))
 
     # residual IVF-PQ (IVFADC), literature config m=16/nbits=8. Needs a
     # single-assignment index (one code per slot).
@@ -216,6 +218,8 @@ def main():
         results["ivf_pq_residual"].append(
             {"n_probe": n_probe, "fetch": fetch, "k": kk, "adc": adc,
              "recall": rec, "qps": qps})
+        Path(os.environ.get("BENCH_OUT", "BENCH_SIFT.json")).write_text(
+            json.dumps(results, indent=2))
 
     # BASELINE config 3 literal row: plain PQ m=16 nbits=8 (16 B/vector,
     # 16 MB codes at 1M — the "equal memory" budget; the reference's PQ
@@ -231,21 +235,21 @@ def main():
     codec.train(sample, seed=0, restarts=2)
     pad = (-N) % 8192
     emb_for_codes = (
-        jnp.concatenate([ivf._emb,
+        jnp.concatenate([ivf2._emb,
                          jnp.zeros((pad, DIM), jnp.float32)])
-        if pad else ivf._emb)
+        if pad else ivf2._emb)
     codes = _encode_scan(emb_for_codes, codec.codebooks, chunk=8192)[:N]
     log(f"plain pq train+encode: {time.perf_counter() - t0:.0f}s")
     gt100 = np.asarray(exact_search_tiled(
-        qd, ivf._emb, ivf._has_emb, K100, tile=tile)[1])
-    gt100_ids = ivf._store.ids_of(gt100)
+        qd, ivf2._emb, ivf2._has_emb, K100, tile=tile)[1])
+    gt100_ids = ivf2._store.ids_of(gt100)
 
     def run_adc(v):
-        return codec.adc_search(np.asarray(v), codes, ivf._has_emb[:N],
+        return codec.adc_search(np.asarray(v), codes, ivf2._has_emb[:N],
                                 top_k=K100)[0]
 
-    _, rows = codec.adc_search(q, codes, ivf._has_emb[:N], top_k=K100)
-    adc_ids = ivf._store.ids_of(rows)
+    _, rows = codec.adc_search(q, codes, ivf2._has_emb[:N], top_k=K100)
+    adc_ids = ivf2._store.ids_of(rows)
     # set-intersection recall@100 (this repo's usual strict metric) AND
     # the PQ literature's Recall@R contract (true NN contained in top-R,
     # Jegou et al. Table 2 shape) — both vs f32-exact ground truth

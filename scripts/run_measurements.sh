@@ -59,6 +59,7 @@ if [ "$phase" = all ] || [ "$phase" = long ]; then
   run exp_opq          python scripts/exp_opq_1m.py
   STEP_TIMEOUT=3600
   run exp_blocksel2    python scripts/exp_blocksel.py
+  run bench_sift2      python scripts/bench_sift.py
   run bench_headline   python bench.py
   run bench_api        python scripts/bench_api.py
   run pallas_onchip2   python scripts/pallas_onchip.py

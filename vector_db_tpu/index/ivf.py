@@ -1354,7 +1354,7 @@ class IvfIndex:
         self, queries: np.ndarray, n_probe: int, top_k: int,
         pq: bool = False, rp: bool = False, rerank: bool = True,
         filter_ids=None, fetch: Optional[int] = None,
-        adc: str = "onehot8",
+        adc: str = "pallas",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Device fast path: (L2 f32[B, top_k], ids int64[B, top_k]).
         ``filter_ids`` masks candidates in-kernel (every mode: the
@@ -1363,9 +1363,10 @@ class IvfIndex:
         bf16 mirror (``enable_rp``). ``fetch`` widens the approximate
         candidate front that gets exact re-ranking; default
         ``max(4*top_k, 100)``. ``adc`` picks the probe-mode LUT scoring
-        formulation: "pallas" (fused VMEM one-hot kernel,
-        ops/pallas/adc_probe.py — no HBM one-hot transient; interpret
-        fallback off-TPU), "onehot8" (int8 one-hot + hi/lo int8 LUT
+        formulation: "pallas" (default: fused VMEM one-hot kernel,
+        ops/pallas/adc_probe.py — no HBM one-hot transient; measured
+        4.7x onehot8 and 11x gather at 1M/n_probe=16, BENCH_SIFT round
+        3; interpret fallback off-TPU), "onehot8" (int8 one-hot + hi/lo int8 LUT
         pair — half the transient traffic of bf16), "onehot" (hi/lo
         bf16), or "gather" (f32 per-element gathers; always used when
         un-reranked distances are returned)."""
@@ -1472,7 +1473,11 @@ class IvfIndex:
                 p_tot = int(n_probe) * cell_slots.shape[1]
                 if adc == "pallas" and jax.default_backend() not in (
                         "tpu", "axon"):
-                    adc = "pallas_interp"
+                    # off-TPU: interpret-mode pallas is correct but slow;
+                    # the int8 one-hot path is the fast XLA formulation
+                    # there (explicit adc="pallas_interp" still forces
+                    # the kernel, e.g. for tests)
+                    adc = "onehot8"
                 if adc in ("pallas", "pallas_interp"):
                     # no one-hot transient: the gathered int32 code
                     # blocks [qb, m, P] are the large intermediate

@@ -73,7 +73,7 @@ class IndexingService:
         self._pq_residual = bool(pq_cfg.get("residual", True))
         # probe-mode LUT scoring formulation (IvfIndex.search_batch adc=):
         # "onehot8" | "onehot" | "gather" | "pallas" (fused VMEM kernel)
-        self._pq_adc = str(pq_cfg.get("adc", "onehot8"))
+        self._pq_adc = str(pq_cfg.get("adc", "pallas"))
         self._pq_active = False
         # Residual-projection scoring (config: index.rp: {dims, min_size}) —
         # the gather-free bf16 IVF mode; preferred over pq when both are set
