@@ -309,11 +309,44 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
     bf16_recall = recall_at_k(outs[-1], gt, k)
     log(f"  bf16+hw-topk {n // 1000}k x {dim}d: {bf16_qps:.0f} qps "
         f"(recall@{k}={bf16_recall:.4f} vs f32 exact)")
-    return {
+
+    # three-phase block-select scan over a PCA-128 bf16 mirror with the
+    # fused Pallas phase-1 kernel (ops/exact.py block_select_search_3p):
+    # the measured-recall-1.0 throughput mode
+    from vector_db_tpu.ops.exact import block_select_search_3p
+
+    cov = np.asarray(jax.jit(
+        lambda e: jnp.dot(e.T, e, preferred_element_type=jnp.float32))(x)
+    ) / n
+    _, vecs = np.linalg.eigh(cov.astype(np.float64))
+    proj = jnp.asarray(vecs[:, ::-1][:, :128].astype(np.float32))
+    ptab = jnp.dot(x, proj,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    jax.block_until_ready(ptab)
+
+    def run_3p(qv):
+        qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
+        d, i = block_select_search_3p(
+            qv, ptab, qp, x_sq, x, valid, k, tile=131072,
+            blocks_k=2 * k, rows_k=8 * k, pallas_phase1=True)
+        sig = float(np.asarray(d, np.float64).sum())
+        return np.asarray(i), sig
+
+    out = {
         "n": n, "dim": dim,
         "exact_f32": {"qps": exact_qps, "recall": 1.0},
         "bf16_scan": {"qps": bf16_qps, "recall": bf16_recall},
     }
+    try:
+        p3_qps, outs3 = timed_qps(run_3p, q, n_q, label=f"headline_3p_{n}")
+        p3_recall = recall_at_k(outs3[-1], gt, k)
+        log(f"  blocksel-3p {n // 1000}k x {dim}d: {p3_qps:.0f} qps "
+            f"(recall@{k}={p3_recall:.4f} vs f32 exact)")
+        out["blocksel_3p"] = {"qps": p3_qps, "recall": p3_recall}
+    except Exception as e:  # never let the extra row kill the headline
+        log(f"  blocksel-3p failed: {e!r}")
+        out["blocksel_3p_error"] = repr(e)[:300]
+    return out
 
 
 def main() -> None:
@@ -373,11 +406,12 @@ def main() -> None:
 
     log("== headline: scan modes @ north-star corpus ==")
     headline = bench_scan_headline(headline_n, 768, n_q, k)
-    best = (
-        headline["bf16_scan"]
-        if headline["bf16_scan"]["recall"] >= target
-        else headline["exact_f32"]
-    )
+    modes = {m: headline[m]
+             for m in ("bf16_scan", "blocksel_3p", "exact_f32")
+             if m in headline and headline[m]["recall"] >= target}
+    best_mode = max(modes, key=lambda m: modes[m]["qps"]) \
+        if modes else "exact_f32"
+    best = headline[best_mode]
 
     vs_baseline = (ours_small_best / ref["qps"]) if ref else None
 
@@ -396,10 +430,15 @@ def main() -> None:
     Path("BENCH_DETAILS.json").write_text(json.dumps(details, indent=2))
     log(json.dumps(details, indent=2))
 
+    mode_names = {
+        "bf16_scan": "bf16 scan + TPU hw top-k",
+        "blocksel_3p": "3-phase block-select scan (Pallas fused phase 1)",
+        "exact_f32": "f32-exact scan",
+    }
     print(json.dumps({
         "metric": (
-            "QPS/chip at recall@10>=0.95 on 1M x 768-d (best mode: bf16 "
-            f"scan + TPU hw top-k, recall {best['recall']:.4f} vs f32 "
+            f"QPS/chip at recall@10>=0.95 on 1M x 768-d (best mode: "
+            f"{mode_names[best_mode]}, recall {best['recall']:.4f} vs f32 "
             "exact; f32-exact recall-1.0 mode = "
             f"{headline['exact_f32']['qps']:.0f} qps); vs_baseline = "
             f"best-mode QPS ratio vs reference on matched {ref_n // 1000}k "
