@@ -107,3 +107,34 @@ def test_presorted_bf16_keys(rng):
     dd = np.asarray(d, np.float32)
     np.testing.assert_array_equal(
         np.asarray(od, np.float32), np.sort(dd, axis=1)[:, :p])
+
+
+def test_blocked_network_wide_rows():
+    # n > 4096 routes through the blocked kernel (slice sort +
+    # merge-halve rounds); exact top-k vs numpy at the wide-beam width
+    rng = np.random.default_rng(9)
+    b, n, topk = 4, 15616, 1280   # pads to 16384 = 8 x 2048 slices
+    d = rng.standard_normal((b, n)).astype(np.float32)
+    v = rng.integers(0, 1 << 20, (b, n)).astype(np.int32)
+    od, ov = sorted_topk(jnp.asarray(d), jnp.asarray(v), topk,
+                         block_b=4, interpret=True)
+    order = np.argsort(d, axis=1, kind="stable")[:, :topk]
+    np.testing.assert_allclose(np.asarray(od),
+                               np.take_along_axis(d, order, axis=1),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(ov),
+                                  np.take_along_axis(v, order, axis=1))
+
+
+def test_blocked_network_topk_above_2048():
+    rng = np.random.default_rng(10)
+    b, n, topk = 2, 12288, 3000   # w = pow2(3000) = 4096, n pads 16384
+    d = rng.standard_normal((b, n)).astype(np.float32)
+    v = np.arange(b * n, dtype=np.int32).reshape(b, n)
+    od, ov = sorted_topk(jnp.asarray(d), jnp.asarray(v), topk,
+                         block_b=2, interpret=True)
+    order = np.argsort(d, axis=1, kind="stable")[:, :topk]
+    np.testing.assert_allclose(np.asarray(od),
+                               np.take_along_axis(d, order, axis=1))
+    np.testing.assert_array_equal(np.asarray(ov),
+                                  np.take_along_axis(v, order, axis=1))

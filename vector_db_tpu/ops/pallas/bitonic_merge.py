@@ -99,6 +99,73 @@ def _kernel(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk):
     out_v_ref[:] = v[:, :topk]
 
 
+def _exchange3(d, v, pos, j, ks):
+    """Compare-exchange at distance ``j`` on the minor axis of [B, S, w]
+    slices (the 3-D counterpart of :func:`_exchange`)."""
+    hi = (pos & j) != 0
+    pd = jnp.where(hi, jnp.roll(d, j, axis=2), jnp.roll(d, -j, axis=2))
+    pv = jnp.where(hi, jnp.roll(v, j, axis=2), jnp.roll(v, -j, axis=2))
+    ppos = pos ^ j
+    less = (d < pd) | ((d == pd) & (pos < ppos))
+    take_self = ks == less
+    return jnp.where(take_self, d, pd), jnp.where(take_self, v, pv)
+
+
+def _kernel_blocked(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk, w):
+    """Blocked bitonic top-``topk``: sort ``w``-wide slices (alternating
+    ascending/descending), then log2(S) pair-merge rounds — each round an
+    elementwise min-select (the first stage of a bitonic merge over an
+    asc++desc pair) followed by log2(w) merge stages. ~log²(w)/2 +
+    log2(S)·(log2(w)+1) stage-equivalents at width w instead of
+    ~log²(n)/2 at width n: 8x fewer element-ops at n=16384/w=2048, and
+    every stage's live temporaries are row-width n regardless — the wide
+    pool-merge shapes (n up to 16384) stay inside the scoped-VMEM
+    envelope that the full-width network blew."""
+    d = d_ref[:].astype(jnp.float32)   # [Bb, n]
+    v = v_ref[:]
+    b = d.shape[0]
+    s = n // w
+    d3 = d.reshape(b, s, w)
+    v3 = v.reshape(b, s, w)
+
+    def sort_slices(d3, v3, s):
+        """Bitonic-sort every slice; even slices ascending, odd
+        descending (so each adjacent pair is asc++desc = bitonic)."""
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 2)
+        odd = (jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 1) & 1) != 0
+        ksz = 2
+        while ksz <= w:
+            j = ksz // 2
+            while j >= 1:
+                ks = ((pos & ksz) == 0) == ((pos & j) == 0)
+                d3, v3 = _exchange3(d3, v3, pos, j, ks ^ odd)
+                j //= 2
+            ksz *= 2
+        return d3, v3
+
+    d3, v3 = sort_slices(d3, v3, s)
+    while s > 1:
+        a_d, b_d = d3[:, 0::2, :], d3[:, 1::2, :]
+        a_v, b_v = v3[:, 0::2, :], v3[:, 1::2, :]
+        # [a asc ++ b desc] is bitonic: elementwise min is the lower half
+        # of the first merge exchange — the w smallest of the union
+        take_a = a_d <= b_d
+        d3 = jnp.where(take_a, a_d, b_d)
+        v3 = jnp.where(take_a, a_v, b_v)
+        s //= 2
+        # the min-half is itself bitonic: log2(w) merge stages sort it
+        # (even slices ascending, odd descending, ready to pair again)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 2)
+        odd = (jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 1) & 1) != 0
+        j = w // 2
+        while j >= 1:
+            ks = ((pos & j) == 0) ^ odd
+            d3, v3 = _exchange3(d3, v3, pos, j, ks)
+            j //= 2
+    out_d_ref[:] = d3[:, 0, :topk].astype(out_d_ref.dtype)
+    out_v_ref[:] = v3[:, 0, :topk]
+
+
 def _kernel_merge(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk, k2):
     """Presorted path: cols [0, n-k2) arrive non-decreasing (pool +
     BIG plateau); only the k2-wide suffix needs sorting. Descending-
@@ -165,12 +232,20 @@ def sorted_topk(
         kern = functools.partial(_kernel_merge, n=n, topk=topk, k2=k2)
     else:
         n = _pow2(n0)
+        w = max(2048, _pow2(topk))
+        if n > 4096 and w * 2 <= n:
+            # blocked network: pad to a w multiple (power-of-two slice
+            # count), sort slices, merge-halve
+            n = w * _pow2((n0 + w - 1) // w)
         if n != n0:
             d = jnp.concatenate(
                 [d, jnp.full((bsz, n - n0), BIG, d.dtype)], axis=1)
             v = jnp.concatenate(
                 [v, jnp.full((bsz, n - n0), -1, v.dtype)], axis=1)
-        kern = functools.partial(_kernel, n=n, topk=topk)
+        if n > 4096 and w * 2 <= n:
+            kern = functools.partial(_kernel_blocked, n=n, topk=topk, w=w)
+        else:
+            kern = functools.partial(_kernel, n=n, topk=topk)
     # scoped-VMEM envelope: the bitonic stages keep ~11 row-block-sized
     # f32/i32 temporaries live, so block_b*n elements is the budget knob.
     # Measured on v5e (BENCH_PALLAS/MICRO_MERGE round 3): 32x8192 fits
