@@ -233,7 +233,9 @@ def main():
     sample = np.asarray(x[:131072], np.float32)
     t0 = time.perf_counter()
     codec.train(sample, seed=0, restarts=2)
-    pad = (-N) % 8192
+    # pad from the CAPACITY-sized device table, not N (capacity is a
+    # power of two >= N; the old (-N)%8192 pad broke divisibility)
+    pad = (-ivf2._emb.shape[0]) % 8192
     emb_for_codes = (
         jnp.concatenate([ivf2._emb,
                          jnp.zeros((pad, DIM), jnp.float32)])
