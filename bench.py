@@ -125,8 +125,26 @@ def relay_canary(reps: int = 5) -> dict:
         t0 = time.perf_counter()
         jax.block_until_ready(f(a, b))
         times.append(time.perf_counter() - t0)
-    return {"matmul_1024_ms": [round(t * 1e3, 3) for t in times],
-            "median_ms": round(float(np.median(times)) * 1e3, 3)}
+    out = {"matmul_1024_ms": [round(t * 1e3, 3) for t in times],
+           "median_ms": round(float(np.median(times)) * 1e3, 3)}
+    # sustained-throughput canary: the tiny matmul is dispatch-bound and
+    # stayed healthy (0.037 ms) in a session where every 1M-scan ran
+    # 1.9x slow — chip/relay THROUGHPUT degradation needs a compute-bound
+    # probe. 8k^3 bf16 = 1.1 TFLOP; report effective TFLOP/s.
+    big = jnp.ones((8192, 8192), jnp.bfloat16)
+    fb = jax.jit(lambda a, b: a @ b)
+    jax.block_until_ready(fb(big, big))
+    ts = []
+    for r in range(3):
+        b2 = big * (1.0 + (r + 1) * 1e-3)
+        jax.block_until_ready(b2)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fb(big, b2))
+        ts.append(time.perf_counter() - t0)
+    flops = 2 * 8192**3
+    out["matmul_8192_bf16_tflops"] = round(
+        flops / float(np.median(ts)) / 1e12, 1)
+    return out
 
 
 EF_SWEEP = [100, 150, 200, 300, 400, 600]
