@@ -220,9 +220,12 @@ def main():
         results["hnsw_wide"] = []
         # seen=False rows are the measured pareto (EXP_WIDE.json): the
         # window dedup alone suffices; dropping the pool-membership
-        # compare buys ~25% QPS for <=0.5 recall points
-        for ef, F, T, seen in [(1024, 160, 10, False), (1280, 224, 10, False),
-                               (1536, 240, 10, False), (1280, 224, 10, True)]:
+        # compare buys ~25% QPS for <=0.5 recall points. The T=8/F=256
+        # and T=9 rows are the round-3 winners (EXP_WIDE_FINAL: >=0.95
+        # recall at >=1k QPS)
+        for ef, F, T, seen in [(1024, 160, 10, False), (1280, 256, 8, False),
+                               (1280, 224, 9, False), (1280, 224, 10, False),
+                               (1280, 224, 10, True)]:
             def run(v, ef=ef, F=F, T=T, seen=seen):
                 return index.search_batch_wide(np.asarray(v), k=K, ef=ef,
                                                frontier=F, steps=T,
