@@ -1,14 +1,14 @@
 """Fused pool-merge kernel: bitonic sort-by-key with an int32 payload.
 
-The wide-beam step's dominant cost at 1M is pool maintenance
-(EXP_WIDE_PROFILE.json: merge 0.33s + pool-permutation gather 0.36s per
-1000-query batch, of a 0.87s step): XLA lowers the [B, P+K] partial
-reduce at P ~ 0.25·(P+K) to a near-full variadic sort, and the payload
-permutation is an issue-bound gather. This kernel does the whole thing
-in VMEM: one bitonic network over the concatenated (distance, payload)
-pair per query row — vectorized compare-exchange stages with no HBM
-round trips and no separate permutation pass (the payload rides the
-exchanges).
+An EXACT top-P merge with the payload riding the exchanges — no HBM
+round trips, no separate permutation pass. Shipped as an exactness
+OPTION (``wide_search(merge_kernel=True)``), NOT the perf default:
+honest on-chip timing (round 3, after fixing lazy-sync micros) measures
+the full network at ~1.15 s per [1024, 16384] merge vs ~0.05 s for the
+``approx_min_k`` hardware partial-reduce it would replace — a bitonic
+network's ~log²(n)/2 vectorized stages on the VPU cannot beat the MXU-
+adjacent PartialReduce hardware. Use it when the pool merge must be
+exact (the partial reduce is approximate); use the default elsewhere.
 
 Two entry shapes:
 
@@ -99,71 +99,97 @@ def _kernel(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk):
     out_v_ref[:] = v[:, :topk]
 
 
-def _exchange3(d, v, pos, j, ks):
-    """Compare-exchange at distance ``j`` on the minor axis of [B, S, w]
-    slices (the 3-D counterpart of :func:`_exchange`)."""
-    hi = (pos & j) != 0
-    pd = jnp.where(hi, jnp.roll(d, j, axis=2), jnp.roll(d, -j, axis=2))
-    pv = jnp.where(hi, jnp.roll(v, j, axis=2), jnp.roll(v, -j, axis=2))
-    ppos = pos ^ j
-    less = (d < pd) | ((d == pd) & (pos < ppos))
-    take_self = ks == less
-    return jnp.where(take_self, d, pd), jnp.where(take_self, v, pv)
-
-
-def _kernel_blocked(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk, w):
-    """Blocked bitonic top-``topk``: sort ``w``-wide slices (alternating
-    ascending/descending), then log2(S) pair-merge rounds — each round an
-    elementwise min-select (the first stage of a bitonic merge over an
-    asc++desc pair) followed by log2(w) merge stages. ~log²(w)/2 +
-    log2(S)·(log2(w)+1) stage-equivalents at width w instead of
-    ~log²(n)/2 at width n: 8x fewer element-ops at n=16384/w=2048, and
-    every stage's live temporaries are row-width n regardless — the wide
-    pool-merge shapes (n up to 16384) stay inside the scoped-VMEM
-    envelope that the full-width network blew."""
-    d = d_ref[:].astype(jnp.float32)   # [Bb, n]
+def _kernel_slice_sort(d_ref, v_ref, od_ref, ov_ref, *, w):
+    """Bitonic-sort one ``w``-wide slice per grid cell; slice parity
+    (``program_id(1)``) picks ascending (even) or descending (odd), so
+    every adjacent slice pair comes out asc++desc = bitonic."""
+    d = d_ref[:].astype(jnp.float32)
     v = v_ref[:]
     b = d.shape[0]
-    s = n // w
-    d3 = d.reshape(b, s, w)
-    v3 = v.reshape(b, s, w)
-
-    def sort_slices(d3, v3, s):
-        """Bitonic-sort every slice; even slices ascending, odd
-        descending (so each adjacent pair is asc++desc = bitonic)."""
-        pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 2)
-        odd = (jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 1) & 1) != 0
-        ksz = 2
-        while ksz <= w:
-            j = ksz // 2
-            while j >= 1:
-                ks = ((pos & ksz) == 0) == ((pos & j) == 0)
-                d3, v3 = _exchange3(d3, v3, pos, j, ks ^ odd)
-                j //= 2
-            ksz *= 2
-        return d3, v3
-
-    d3, v3 = sort_slices(d3, v3, s)
-    while s > 1:
-        a_d, b_d = d3[:, 0::2, :], d3[:, 1::2, :]
-        a_v, b_v = v3[:, 0::2, :], v3[:, 1::2, :]
-        # [a asc ++ b desc] is bitonic: elementwise min is the lower half
-        # of the first merge exchange — the w smallest of the union
-        take_a = a_d <= b_d
-        d3 = jnp.where(take_a, a_d, b_d)
-        v3 = jnp.where(take_a, a_v, b_v)
-        s //= 2
-        # the min-half is itself bitonic: log2(w) merge stages sort it
-        # (even slices ascending, odd descending, ready to pair again)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 2)
-        odd = (jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 1) & 1) != 0
-        j = w // 2
+    desc = (pl.program_id(1) & 1) == 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    ksz = 2
+    while ksz <= w:
+        j = ksz // 2
         while j >= 1:
-            ks = ((pos & j) == 0) ^ odd
-            d3, v3 = _exchange3(d3, v3, pos, j, ks)
+            ks = ((pos & ksz) == 0) == ((pos & j) == 0)
+            d, v = _exchange(d, v, pos, j, jnp.logical_xor(ks, desc))
             j //= 2
-    out_d_ref[:] = d3[:, 0, :topk].astype(out_d_ref.dtype)
-    out_v_ref[:] = v3[:, 0, :topk]
+        ksz *= 2
+    od_ref[:] = d
+    ov_ref[:] = v
+
+
+def _kernel_merge_pair(d_ref, v_ref, od_ref, ov_ref, *, w):
+    """Merge one asc++desc slice pair (a contiguous ``2w`` block) down to
+    its ``w`` smallest, sorted (direction again by grid parity so pairs
+    chain across rounds). The pair is bitonic, so the elementwise min of
+    its halves IS the lower half of the first merge exchange, and
+    log2(w) stages finish the sort."""
+    d = d_ref[:].astype(jnp.float32)
+    v = v_ref[:]
+    b = d.shape[0]
+    a_d, b_d = d[:, :w], d[:, w:]
+    a_v, b_v = v[:, :w], v[:, w:]
+    take_a = a_d <= b_d
+    dm = jnp.where(take_a, a_d, b_d)
+    vm = jnp.where(take_a, a_v, b_v)
+    desc = (pl.program_id(1) & 1) == 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    j = w // 2
+    while j >= 1:
+        ks = (pos & j) == 0
+        dm, vm = _exchange(dm, vm, pos, j, jnp.logical_xor(ks, desc))
+        j //= 2
+    od_ref[:] = dm
+    ov_ref[:] = vm
+
+
+def _blocked_topk(d, v, topk, w, block_b, interpret):
+    """Blocked bitonic top-``topk`` as a chain of small 2-D pallas
+    calls: slice-sort (grid over slices), then log2(S) merge-halve
+    rounds. Every kernel works on (block_b, <=2w) tiles — no 3-D
+    relayouts (a (B, S, w) layout with S < 8 sublanes sent Mosaic into
+    minutes-long compiles and 22M scoped-VMEM stacks), and the
+    intermediate rounds stream through HBM (~2n·8B per row total, ~1 ms
+    at the 1M wide-beam shape)."""
+    bsz, n = d.shape
+    s = n // w
+
+    def call(kern, din, vin, width_in, width_out, grid_s):
+        grid_spec = pl.GridSpec(
+            grid=(din.shape[0] // block_b, grid_s),
+            in_specs=[
+                pl.BlockSpec((block_b, width_in), lambda i, si: (i, si),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, width_in), lambda i, si: (i, si),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_b, width_out), lambda i, si: (i, si),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, width_out), lambda i, si: (i, si),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((din.shape[0], width_out * grid_s),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((din.shape[0], width_out * grid_s),
+                                     jnp.int32),
+            ],
+            interpret=interpret,
+        )(din, vin)
+
+    d, v = call(functools.partial(_kernel_slice_sort, w=w), d, v, w, w, s)
+    while s > 1:
+        s //= 2
+        d, v = call(functools.partial(_kernel_merge_pair, w=w),
+                    d, v, 2 * w, w, s)
+    return d[:, :topk], v[:, :topk]
 
 
 def _kernel_merge(d_ref, v_ref, out_d_ref, out_v_ref, *, n, topk, k2):
@@ -243,9 +269,19 @@ def sorted_topk(
             v = jnp.concatenate(
                 [v, jnp.full((bsz, n - n0), -1, v.dtype)], axis=1)
         if n > 4096 and w * 2 <= n:
-            kern = functools.partial(_kernel_blocked, n=n, topk=topk, w=w)
-        else:
-            kern = functools.partial(_kernel, n=n, topk=topk)
+            # blocked multi-call path: per-kernel width <= 2w, so the
+            # row-block budget is independent of n
+            bb = min(block_b, max(8, (32 * 8192) // (2 * w)))
+            bb = 1 << (bb.bit_length() - 1)
+            pad_b = (-bsz) % bb
+            if pad_b:
+                d = jnp.concatenate(
+                    [d, jnp.full((pad_b, n), BIG, d.dtype)])
+                v = jnp.concatenate(
+                    [v, jnp.full((pad_b, n), -1, v.dtype)])
+            od, ov = _blocked_topk(d, v, topk, w, bb, interpret)
+            return od[:bsz].astype(d.dtype), ov[:bsz]
+        kern = functools.partial(_kernel, n=n, topk=topk)
     # scoped-VMEM envelope: the bitonic stages keep ~11 row-block-sized
     # f32/i32 temporaries live, so block_b*n elements is the budget knob.
     # Measured on v5e (BENCH_PALLAS/MICRO_MERGE round 3): 32x8192 fits
