@@ -295,6 +295,12 @@ def main():
             index.enable_wide(dims=120, seeds=16384, inline=True)
         results["hnsw_filtered"] = []
         for name, run_f in [
+            # serving default (index.filtered_engine: scan): masked bf16
+            # scan — true filtered top-k at scan QPS (masking is free)
+            ("scan", lambda v: index.search_batch_scan(
+                np.asarray(v), k=K, filter_ids=filt)),
+            ("scan_exact", lambda v: index.search_batch_scan(
+                np.asarray(v), k=K, mode="exact", filter_ids=filt)),
             ("wide", lambda v: index.search_batch_wide(
                 np.asarray(v), k=K, ef=1280, frontier=224, steps=10,
                 rerank_k=256, seen_mask=False, filter_ids=filt)),

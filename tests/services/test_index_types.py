@@ -361,8 +361,10 @@ def test_hnsw_wide_mode_service(tmp_path, rng):
     d, ids = svc.search_batch(
         np.stack([n.embedding for n in nodes[:4]]), k=1, ef=32)
     assert list(ids[:, 0]) == [0, 1, 2, 3]
-    # filtered queries route through the two-pool wide path (pool mode):
-    # only matching ids may appear, and the nearest matching node wins
+    # filtered queries route to the masked scan by default
+    # (index.filtered_engine: scan): only matching ids may appear, and
+    # the true nearest matching node wins
+    assert svc._filtered_engine == "scan"
     resf = svc.search(nodes[9].embedding, k=3, ef=32,
                       filter_ids={n.id for n in nodes[:5]})
     assert all(n.id < 5 for n, _ in resf)
@@ -370,6 +372,26 @@ def test_hnsw_wide_mode_service(tmp_path, rng):
     want = min(range(5),
                key=lambda i: float(np.sum((emb9 - nodes[i].embedding) ** 2)))
     assert resf[0][0].id == want
+
+
+def test_hnsw_filtered_engine_graph(tmp_path, rng):
+    """index.filtered_engine: graph keeps the reference's
+    navigate-but-exclude two-pool wide traversal for filtered queries."""
+    cfg = make_config(
+        tmp_path, "hnsw",
+        filtered_engine="graph",
+        wide={"dims": 0, "seeds": 64, "frontier": 16, "steps": 8,
+              "min_size": 16},
+    )
+    storage = StorageService(str(tmp_path / "vdb"), dim=16, capacity=256)
+    svc = IndexingService(storage=storage.storage, config_path=cfg)
+    nodes = make_nodes(rng, 40)
+    svc.insert_nodes(nodes)
+    assert svc._filtered_engine == "graph"
+    resf = svc.search(nodes[9].embedding, k=3, ef=32,
+                      filter_ids={n.id for n in nodes[:5]})
+    assert svc._wide_active
+    assert all(n.id < 5 for n, _ in resf)
 
 
 def test_hnsw_wide_beam_mode_service(tmp_path, rng):

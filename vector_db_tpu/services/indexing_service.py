@@ -117,6 +117,18 @@ class IndexingService:
         # 1M pareto; 0 disables). Same table, recall ~0.996.
         self._scan_batch_threshold = int(
             index_config.get("scan_batch_threshold", 0) or 0)
+        # Filtered-query engine (index.filtered_engine: scan | graph).
+        # "scan" (default) serves filter_ids queries with the masked
+        # bf16 corpus scan: the scan computes every row's distance
+        # anyway, so masking non-matching rows is free — measured at
+        # 1M x 768 / 10% selectivity it returns the TRUE filtered
+        # top-k at ~0.996 recall and full scan QPS, where the two-pool
+        # wide graph caps at ~0.91 recall @ 518 QPS (EXP_WIDE_FINAL:
+        # deeper ef/rerank only reaches 0.92). "graph" keeps the
+        # reference's navigate-but-exclude traversal
+        # (reference hnsw.py:89-134 filter contract) for parity.
+        self._filtered_engine = str(
+            index_config.get("filtered_engine", "scan"))
         self._wide_active = False
         # Calibrated mode routing (config: index.autotune: {target_recall,
         # sample, k, ef_ladder, min_size}) — measures each mode's recall
@@ -547,9 +559,15 @@ class IndexingService:
     def _wide_dispatch(self, queries: np.ndarray, k: int, ef: int,
                        filter_ids=None):
         """Route an hnsw batch to the configured wide-beam formulation
-        (index.wide.mode: pool | beam). Filtered queries run the
-        two-pool wide path in pool mode, the trajectory mask in beam
-        mode (both keep the reference navigate-but-exclude contract)."""
+        (index.wide.mode: pool | beam). Filtered queries default to the
+        masked bf16 scan (index.filtered_engine: scan — true filtered
+        top-k at scan QPS; see __init__ comment); filtered_engine:
+        graph runs the two-pool wide path in pool mode / the trajectory
+        mask in beam mode (the reference navigate-but-exclude
+        contract)."""
+        if filter_ids is not None and self._filtered_engine == "scan":
+            return self.index.search_batch_scan(
+                queries, k, filter_ids=filter_ids)
         if self._wide_mode == "beam":
             return self.index.search_batch_beam(
                 queries, k, frontier=self._wide_frontier or 224,
