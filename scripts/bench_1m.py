@@ -208,6 +208,37 @@ def main():
         del emb16, x_sq, bf16_ids
         save()
 
+    if want("scan3p"):
+        # three-phase block-select over the PCA-128 bf16 mirror with the
+        # fused Pallas block-min phase-1 kernel — the recall-1.0
+        # throughput winner (EXP_BLOCKSEL 3pp_proj128_bk20_r80: 17.5k
+        # QPS; bench.py serves the same config as its headline row)
+        from vector_db_tpu.ops.exact import block_select_search_3p
+
+        x_sq = jax.jit(lambda e: jnp.sum(e * e, -1))(index._emb)
+        index.enable_rp(dims=128)
+        rp_tab, _ = index._rp_tables()
+        proj = index._rp_proj
+        jax.block_until_ready((rp_tab, x_sq))
+
+        def run_3p(v):
+            qp = jnp.dot(v, proj, preferred_element_type=jnp.float32)
+            return block_select_search_3p(
+                v, rp_tab, qp, x_sq, index._emb, index._has_emb, K,
+                tile=131072, blocks_k=2 * K, rows_k=8 * K,
+                pallas_phase1=True)[0]
+
+        qp = jnp.dot(qd, proj, preferred_element_type=jnp.float32)
+        _, ids = block_select_search_3p(
+            qd, rp_tab, qp, x_sq, index._emb, index._has_emb, K,
+            tile=131072, blocks_k=2 * K, rows_k=8 * K, pallas_phase1=True)
+        qps = timed(run_3p, qd, B)
+        rec = recall_of(np.asarray(ids), gt, K)
+        log(f"blocksel_3p: recall={rec:.4f} qps={qps:.0f}")
+        results["blocksel_3p"] = {"qps": qps, "recall": rec}
+        del x_sq, rp_tab
+        save()
+
     # wide-beam graph mode (round 3): frontier-parallel traversal with
     # inline neighbor blocks (inline tables are 2M*dims B/row — only
     # built when the exact-wide section runs; PQ-wide doesn't use them)
