@@ -29,6 +29,12 @@ def test_trace_writes_profile(tmp_path):
 
     with trace(str(tmp_path)):
         jnp.ones((8, 8)).sum().block_until_ready()
-    # a plugin/profile directory must exist with at least one file
+    # a TensorBoard-loadable profile must exist: the profile plugin
+    # looks for plugins/profile/<run>/<host>.xplane.pb
     produced = list(tmp_path.rglob("*"))
     assert produced, "profiler produced no output"
+    xplanes = list(tmp_path.rglob("*.xplane.pb"))
+    assert xplanes, f"no .xplane.pb in trace dir (got {produced})"
+    assert xplanes[0].stat().st_size > 0
+    assert "plugins" in {p.name for p in tmp_path.iterdir()}, (
+        "trace dir missing the plugins/ root TensorBoard expects")
