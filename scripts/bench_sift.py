@@ -115,6 +115,28 @@ def main():
     log(f"bf16 scan: {bf16_qps:.0f} qps recall={bf16_rec:.4f}")
     results["bf16_scan"] = {"qps": bf16_qps, "recall": bf16_rec}
 
+    # three-phase block-select with exact rerank: the fix for the bf16
+    # recall collapse on unnormalized SIFT-scale norms (block-granular
+    # phase-1 + exact phase-3 absorb the bf16 magnitude noise the plain
+    # scan can't). At 128-d the bf16 table itself is the phase-1/2
+    # mirror — no projection needed.
+    from vector_db_tpu.ops.exact import block_select_search_3p
+
+    def run_3p(v):
+        return block_select_search_3p(
+            v, emb16, v, x_sq, ivf._emb, ivf._has_emb, K,
+            tile=131072, blocks_k=2 * K, rows_k=8 * K,
+            pallas_phase1=jax.default_backend() != "cpu")[0]
+
+    _, p3_slots = block_select_search_3p(
+        qd, emb16, qd, x_sq, ivf._emb, ivf._has_emb, K,
+        tile=131072, blocks_k=2 * K, rows_k=8 * K,
+        pallas_phase1=jax.default_backend() != "cpu")
+    p3_rec = recall_of(ivf._store.ids_of(np.asarray(p3_slots)))
+    p3_qps = timed(run_3p, qd, B)
+    log(f"blocksel_3p: {p3_qps:.0f} qps recall={p3_rec:.4f}")
+    results["blocksel_3p"] = {"qps": p3_qps, "recall": p3_rec}
+
     # coarse probe ceilings (host-side)
     cell_of = [[] for _ in range(N)]
     for c, lst in enumerate(ivf.inverted_lists):
