@@ -117,13 +117,19 @@ def relay_canary(reps: int = 5) -> dict:
 
     a = jnp.asarray(np.random.default_rng(0).normal(
         size=(1024, 1024)).astype(np.float32))
-    f = jax.jit(lambda a, b: a @ b)
-    jax.block_until_ready(f(a, a))
+    # force-sync trap (README §1c): through the axon relay,
+    # block_until_ready can return before the computation actually
+    # retires (round-3 canary recorded a physically impossible
+    # 17.9 PFLOP/s). Every timed call here fetches a scalar of the
+    # RESULT to host — the only sync the relay honors.
+    f = jax.jit(lambda a, b: (a @ b)[0, 0])
+    float(f(a, a))
     times = []
     for r in range(reps):
         b = a * (1.0 + (r + 1) * 1e-6)
+        float(b[0, 0])
         t0 = time.perf_counter()
-        jax.block_until_ready(f(a, b))
+        float(f(a, b))
         times.append(time.perf_counter() - t0)
     out = {"matmul_1024_ms": [round(t * 1e3, 3) for t in times],
            "median_ms": round(float(np.median(times)) * 1e3, 3)}
@@ -132,18 +138,26 @@ def relay_canary(reps: int = 5) -> dict:
     # 1.9x slow — chip/relay THROUGHPUT degradation needs a compute-bound
     # probe. 8k^3 bf16 = 1.1 TFLOP; report effective TFLOP/s.
     big = jnp.ones((8192, 8192), jnp.bfloat16)
-    fb = jax.jit(lambda a, b: a @ b)
-    jax.block_until_ready(fb(big, big))
+    fb = jax.jit(lambda a, b: jnp.sum((a @ b)[0]))
+    float(fb(big, big))
     ts = []
     for r in range(3):
         b2 = big * (1.0 + (r + 1) * 1e-3)
-        jax.block_until_ready(b2)
+        float(b2[0, 0])
         t0 = time.perf_counter()
-        jax.block_until_ready(fb(big, b2))
+        float(fb(big, b2))
         ts.append(time.perf_counter() - t0)
     flops = 2 * 8192**3
     out["matmul_8192_bf16_tflops"] = round(
         flops / float(np.median(ts)) / 1e12, 1)
+    # verdict: v5e bf16 peak is ~197 TFLOP/s; a healthy session sustains
+    # >=100 on this shape and dispatches the tiny matmul in <5 ms. The
+    # headline JSON line carries this verdict so a degraded-relay session
+    # is distinguishable from a code regression in the record.
+    tf = out["matmul_8192_bf16_tflops"]
+    out["verdict"] = (
+        "healthy" if (tf >= 100.0 and tf <= 400.0
+                      and out["median_ms"] < 5.0) else "degraded")
     return out
 
 
@@ -424,6 +438,14 @@ def main() -> None:
 
     log("== headline: scan modes @ north-star corpus ==")
     headline = bench_scan_headline(headline_n, 768, n_q, k)
+    # a session can degrade mid-run: re-probe after the headline and
+    # carry the worse verdict of the two
+    canary_post = relay_canary()
+    log(f"relay canary (post-headline): {canary_post}")
+    if canary_post["verdict"] == "degraded":
+        canary = {**canary, "post": canary_post, "verdict": "degraded"}
+    else:
+        canary = {**canary, "post": canary_post}
     modes = {m: headline[m]
              for m in ("bf16_scan", "blocksel_3p", "exact_f32")
              if m in headline and headline[m]["recall"] >= target}
@@ -460,11 +482,14 @@ def main() -> None:
             "exact; f32-exact recall-1.0 mode = "
             f"{headline['exact_f32']['qps']:.0f} qps); vs_baseline = "
             f"best-mode QPS ratio vs reference on matched {ref_n // 1000}k "
-            "corpus"
+            f"corpus; relay canary {canary['verdict']} "
+            f"({canary['matmul_8192_bf16_tflops']} TFLOP/s sustained, "
+            f"{canary['median_ms']} ms dispatch)"
         ),
         "value": round(best["qps"], 1),
         "unit": "qps",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "relay_canary": canary["verdict"],
     }))
 
 

@@ -331,3 +331,26 @@ def test_sharded_wide_merge_kernel(rng):
                                    merge_kernel=True)
     same = np.mean([len(set(i0[i]) & set(i1[i])) / 5 for i in range(8)])
     assert same >= 0.8, same
+
+
+def test_sharded_ivf_probe(rng):
+    from vector_db_tpu.parallel.sharded import ShardedIVF
+
+    idx = ShardedIVF(mesh=make_mesh(), dim=16, capacity_per_shard=64,
+                     k_cells=4)
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    idx.build(list(range(300)), x)
+
+    # probing EVERY cell = exact: must match brute force
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    _, ids = idx.search_batch(q, k=10, n_probe=4)
+    np.testing.assert_array_equal(ids, brute_force(q, x, 10))
+
+    # partial probe: self-query still lands in its own cell
+    _, ids1 = idx.search_batch(x[:4], k=1, n_probe=1)
+    np.testing.assert_array_equal(ids1[:, 0], [0, 1, 2, 3])
+
+    # delete hides the row without a list rebuild
+    idx.delete(3)
+    _, ids2 = idx.search_batch(x[3:4], k=3, n_probe=4)
+    assert 3 not in ids2[0]

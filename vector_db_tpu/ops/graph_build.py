@@ -132,12 +132,14 @@ def reverse_merge(
     u = jnp.concatenate([jnp.where(ok, dst, 0), jnp.where(ok, src, 0)])
     w = jnp.concatenate([dd, dd])
 
-    # dedup (v, u): sort by pair key, invalidate repeats
-    key = v.astype(jnp.int64) * (n + 1) + u.astype(jnp.int64)
-    order = jnp.argsort(key)
-    key, v, u, w = key[order], v[order], u[order], w[order]
+    # dedup (v, u): lexsort by pair, invalidate repeats. Pairwise
+    # comparison, NOT a packed v*(n+1)+u key: with x64 disabled the key
+    # silently truncates to int32 and overflows beyond n ~46k (false
+    # dedup collisions dropping real edges, plus a per-call warning).
+    order = jnp.lexsort((u, v))
+    v, u, w = v[order], u[order], w[order]
     dup = jnp.concatenate(
-        [jnp.zeros((1,), bool), key[1:] == key[:-1]]
+        [jnp.zeros((1,), bool), (v[1:] == v[:-1]) & (u[1:] == u[:-1])]
     )
     v = jnp.where(dup, n, v)
 

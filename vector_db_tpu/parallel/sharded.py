@@ -184,6 +184,96 @@ class ShardedFlatIndex:
 
 
 # ======================================================================
+# sharded IVF
+# ======================================================================
+
+class ShardedIVF(ShardedFlatIndex):
+    """Row-sharded IVF: replicated coarse centroids, per-shard padded
+    inverted lists over local rows, SPMD probe + all-gather top-k merge.
+
+    TPU-native scale-out for the reference's library-only IVF
+    (reference src/vector_db/indexing/ivf.py:13-241): k-means trains once
+    on a replicated sample, every shard keeps inverted lists over the rows
+    it owns (local slot ids, -1 padded), and one shard_map program probes
+    the same ``n_probe`` cells on all shards — the only cross-device
+    traffic is the B×k merged winners. Deletes inherit the flat index's
+    valid-mask semantics (a dead slot is masked in-kernel, no list edit).
+    """
+
+    def __init__(self, mesh: Optional[Mesh] = None, dim: int = 384,
+                 capacity_per_shard: int = 4096, k_cells: int = 16,
+                 max_list: Optional[int] = None) -> None:
+        super().__init__(mesh=mesh, dim=dim,
+                         capacity_per_shard=capacity_per_shard)
+        self.k_cells = int(k_cells)
+        self.max_list = int(max_list or max(
+            8, 2 * capacity_per_shard // k_cells))
+        self._centroids: Optional[jnp.ndarray] = None
+        self._lists: Optional[jnp.ndarray] = None
+        axes, sizes, cap = self._axes, self._axis_sizes, self.cap
+
+        @functools.partial(jax.jit, static_argnames=("n_probe", "k"))
+        def _probe(cent, lists, emb, valid, queries, n_probe, k):
+            from vector_db_tpu.index.ivf import _ivf_search_batch
+
+            def per_shard(lists_s, emb_s, valid_s, q):
+                ld, ls = _ivf_search_batch(
+                    cent, lists_s, emb_s, valid_s, q, valid_s,
+                    n_probe, k)
+                return _merge_gathered(
+                    ld, _globalize(ls, cap, axes, sizes), k, axes)
+
+            return jax.shard_map(
+                per_shard, mesh=self.mesh,
+                in_specs=(P(axes), P(axes), P(axes), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(lists, emb, valid, queries)
+
+        self._probe_fn = _probe
+
+    def build(self, ids: Sequence[int], embeddings: np.ndarray,
+              seed: int = 0) -> None:
+        """Insert rows, train the coarse quantizer, build per-shard lists."""
+        from vector_db_tpu.ops.kmeans import assign_tiled, kmeans
+
+        self.insert(ids, embeddings)
+        x = np.asarray(embeddings, np.float32)
+        sample = x[: min(len(x), 65536)]
+        cents, _ = kmeans(jnp.asarray(sample), self.k_cells,
+                          jax.random.PRNGKey(seed), iters=25)
+        self._centroids = cents
+        labels = np.asarray(assign_tiled(jnp.asarray(x), cents)[:, 0])
+        lists_np = np.full(
+            (self.n_shards, self.k_cells, self.max_list), -1, np.int32)
+        fill = np.zeros((self.n_shards, self.k_cells), np.int32)
+        for j, nid in enumerate(ids):
+            g = self._gslot_of_id[int(nid)]
+            s, slot = divmod(g, self.cap)
+            c = int(labels[j])
+            if fill[s, c] < self.max_list:
+                lists_np[s, c, fill[s, c]] = slot
+                fill[s, c] += 1
+        sh = NamedSharding(self.mesh, P(self._axes))
+        self._lists = jax.device_put(
+            jnp.asarray(lists_np.reshape(-1, self.max_list)), sh)
+
+    def search_batch(
+        self, queries: np.ndarray, k: int, n_probe: int = 4
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        assert self._centroids is not None, "build() first"
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        d_sq, gslots = self._probe_fn(
+            self._centroids, self._lists, self._emb, self._valid, q,
+            min(n_probe, self.k_cells), k)
+        d_sq, gslots = np.asarray(d_sq), np.asarray(gslots)
+        ids = np.where(
+            gslots >= 0, self._id_of_gslot[np.maximum(gslots, 0)], -1)
+        dists = np.where(gslots >= 0, np.sqrt(np.maximum(d_sq, 0)), np.inf)
+        return dists.astype(np.float32), ids
+
+
+# ======================================================================
 # sharded HNSW
 # ======================================================================
 
