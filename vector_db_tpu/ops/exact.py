@@ -167,6 +167,10 @@ def approx_search_tiled(
 BIG_THRESH_LOCAL = np.float32(1.0e37)  # numpy scalar: no device alloc at import
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 @partial(jax.jit, static_argnames=("k", "tile", "block", "blocks_k",
                                    "qblock", "exact_phase1",
                                    "approx_blocks", "hilo_phase1"))
@@ -331,7 +335,7 @@ def block_select_search(
 
 @partial(jax.jit, static_argnames=("k", "tile", "block", "blocks_k",
                                    "rows_k", "approx_blocks",
-                                   "pallas_phase1"))
+                                   "pallas_phase1", "p1_tile", "p1_qtile"))
 def block_select_search_3p(
     queries: jnp.ndarray,    # f32[B, dim]
     score_tab: jnp.ndarray,  # bf16[N, ds] phase-1/2 table (PCA mirror)
@@ -346,6 +350,8 @@ def block_select_search_3p(
     rows_k: int = 0,
     approx_blocks: bool = False,
     pallas_phase1: bool = False,
+    p1_tile: int = 8192,
+    p1_qtile: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Three-phase block-min scan: select blocks, rescore rows in the
     projected mirror, exact-rescore only the top ``rows_k`` rows.
@@ -396,7 +402,8 @@ def block_select_search_3p(
 
         xsq_eff = jnp.where(valid, x_sq, 2.0e38)
         mins = block_min_scan(score_q, score_tab, xsq_eff, block=block,
-                              tile=min(2048, n_pad), qtile=256)
+                              tile=min(p1_tile, n_pad),
+                              qtile=min(p1_qtile, _round_up(b, 128)))
     else:
         st_t = score_tab.reshape(n_tiles, tile, ds)
         xsq_t = x_sq.reshape(n_tiles, tile)

@@ -33,9 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(q_ref, x_ref, xsq_ref, out_ref, *, block):
     x = x_ref[:]                           # [T, ds] (tab dtype)
-    q = q_ref[:]                           # [Bq, ds]
+    q = q_ref[:]                           # [Bq, ds], pre-scaled by -2
     cross = jnp.dot(x, q.T, preferred_element_type=jnp.float32)  # [T, Bq]
-    d = xsq_ref[:][:, None] - 2.0 * cross
+    d = xsq_ref[:][:, None] + cross
     t, bq = d.shape
     out_ref[:] = jnp.min(d.reshape(t // block, block, bq), axis=1)
 
@@ -47,15 +47,24 @@ def block_min_scan(
     tab: jnp.ndarray,       # bf16|f32[N, ds] mirror table, N % tile == 0
     xsq_eff: jnp.ndarray,   # f32[N] row norms with invalid rows ~2e38
     block: int = 128,
-    tile: int = 2048,
-    qtile: int = 256,
+    tile: int = 8192,
+    qtile: int = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Per-block minima of ``xsq_eff - 2 q·x``: f32[B, N // block].
 
     The ``q_sq`` constant is omitted (rank-invariant per query, exactly
-    like the XLA phase 1). ``B`` is padded to a ``qtile`` multiple and
-    ``N`` to a ``tile`` multiple internally.
+    like the XLA phase 1); the -2 is folded into the query operand (an
+    exact power-of-two scale) so the kernel epilogue is one add + min.
+    ``B`` is padded to a ``qtile`` multiple and ``N`` to a ``tile``
+    multiple internally.
+
+    Grid-step sizing is the whole game (measured 1M x 768, B=1000,
+    proj-128 mirror): the round-3 defaults (tile=2048, qtile=256) ran
+    2048 steps of ~17 us fixed overhead each — 36 ms for a 1.3 ms
+    roofline. One query tile of 1024 x a corpus tile of 8192 streams the
+    mirror ONCE per batch in ~128 steps. VMEM at (8192, 1024, ds=128)
+    bf16: x 2 MB (x2 pipelined) + q 256 KB + out 256 KB ~ 4.8 MB.
     """
     if interpret is None:  # auto: interpret on CPU test meshes (the TPU
         # relay backend reports platform "axon", so test for cpu, not tpu)
@@ -68,7 +77,7 @@ def block_min_scan(
         xsq_eff = jnp.concatenate(
             [xsq_eff, jnp.full((pad_n,), 2.0e38, xsq_eff.dtype)])
     pad_b = (-b) % qtile
-    q = score_q.astype(tab.dtype)
+    q = (score_q * -2.0).astype(tab.dtype)
     if pad_b:
         q = jnp.concatenate([q, jnp.zeros((pad_b, ds), q.dtype)])
     n_pad, b_pad = tab.shape[0], q.shape[0]
