@@ -109,7 +109,9 @@ def main():
                 sq = qp_of(qv) if tab is ptab else qv
                 mins = block_min_scan(sq, tab, xsq_eff, block=128,
                                       tile=tile, qtile=qtile)
-                return float(jnp.sum(mins[:, ::97]))
+                # clamp: padded blocks carry 2e38 and the subsample can
+                # hit them at large tiles -> inf sums broke the signature
+                return float(jnp.sum(jnp.minimum(mins, 1.0e30)[:, ::97]))
 
             try:
                 t0 = time.perf_counter()
@@ -134,19 +136,26 @@ def main():
 
     # ---- 2. stage attribution with the best config ----
     BK, RK = 20, 80
-    n_blocks = N // 128
+    # N=1e6 is not a 128-multiple: pad the mirror to the phase-1 tile
+    # multiple once so block reshapes and the kernel agree on n_blocks
+    n_p = N + ((-N) % T)
+    n_blocks = n_p // 128
+    ptab_p = jnp.concatenate(
+        [ptab, jnp.zeros((n_p - N, ptab.shape[1]), ptab.dtype)])
+    xsqe_p = jnp.concatenate(
+        [xsq_eff, jnp.full((n_p - N,), 2.0e38, xsq_eff.dtype)])
 
     @partial(jax.jit, static_argnames=("stage",))
     def staged(qv, qp, stage):
-        mins = block_min_scan(qp, ptab, xsq_eff, block=128, tile=T,
+        mins = block_min_scan(qp, ptab_p, xsqe_p, block=128, tile=T,
                               qtile=QT)
         if stage == "p1":
-            return jnp.sum(mins[:, ::97])
+            return jnp.sum(jnp.minimum(mins, 1.0e30)[:, ::97])
         _, bidx = jax.lax.top_k(-mins, BK)
         if stage == "sel":
             return jnp.sum(bidx)
-        st_b = ptab.reshape(n_blocks, 128, ptab.shape[1])
-        xsq_b = x_sq.reshape(n_blocks, 128)
+        st_b = ptab_p.reshape(n_blocks, 128, ptab.shape[1])
+        xsq_b = xsqe_p.reshape(n_blocks, 128)  # padded rows masked BIG
         sq16 = qp.astype(ptab.dtype)
         rows = st_b[bidx]
         est = (xsq_b[bidx]

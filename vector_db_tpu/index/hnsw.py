@@ -1263,7 +1263,10 @@ class HNSW:
             extra["pq_codebooks"] = np.asarray(pq.codebooks, np.float32)
             if pq.rotation is not None:
                 extra["pq_rotation"] = np.asarray(pq.rotation, np.float32)
-        np.savez_compressed(
+        # uncompressed: threshold flushes fire once per ingest batch, and
+        # zlib over a 1M-capacity int32 graph costs seconds per flush —
+        # write time matters more than disk bytes on the serving path
+        np.savez(
             self.index_file,
             neighbors=np.asarray(self.graph.neighbors),
             levels=np.asarray(self.graph.levels),
@@ -1350,3 +1353,43 @@ class HNSW:
                 pq.rotation = jnp.asarray(aux["pq_rotation"])
             self._pq = pq
             self.refresh_pq_codes()
+
+        self.recover_unlinked()
+
+    def recover_unlinked(self) -> int:
+        """Crash-consistency repair: link storage rows the graph never
+        committed. ``insert_nodes`` is two-phase (storage ``save_many``
+        first — reference hnsw.py:150 — then the graph edge commit); a
+        crash between the phases, or after any insert but before the
+        next threshold flush, leaves rows durable in storage but absent
+        from the checkpointed graph. Rescanning storage on resume made
+        them LOOK live while no traversal could ever reach them. On
+        load, re-insert every such row (idempotent: already-linked ids
+        are skipped by insert_arrays). Returns the number repaired."""
+        if self.graph is None:
+            return 0
+        try:
+            live = np.asarray(self.storage.get_all_ids(), np.int64)
+        except Exception:
+            return 0
+        if live.size == 0:
+            return 0
+        missing = [int(i) for i in live if int(i) not in self._slot_of_id]
+        if not missing:
+            return 0
+        get_embeddings = getattr(self.storage, "get_embeddings", None)
+        if get_embeddings is not None:
+            rows, found = get_embeddings(np.asarray(missing, np.int64))
+            ids = [m for m, f in zip(missing, found) if f]
+            embs = rows[found]
+        else:
+            pairs = [(m, self.storage.get(m)) for m in missing]
+            ids = [m for m, n in pairs if n is not None]
+            if not ids:
+                return 0
+            embs = np.stack([np.asarray(n.embedding, np.float32)
+                             for _, n in pairs if n is not None])
+        if not ids:
+            return 0
+        self.insert_arrays(ids, embs)
+        return len(ids)

@@ -1555,7 +1555,9 @@ class IvfIndex:
                 extra["pq_rotation"] = np.asarray(pq.rotation, np.float32)
         if getattr(self, "_spill", 1) > 1:
             extra["spill"] = np.asarray(self._spill)
-        np.savez_compressed(
+        # uncompressed: same rationale as HNSW.save_index — flush-path
+        # write time beats disk bytes
+        np.savez(
             self.index_file,
             k=self.k,
             centroids=self.centroids,

@@ -245,16 +245,14 @@ class IndexingService:
         ):
             # initial load: exact/clustered MXU bulk construction is 10-30x
             # faster than streaming inserts and yields better graphs
-            for node in nodes:
-                self.storage.save(node)
+            self._save_nodes(nodes)
             self.index.bulk_build(
                 [n.id for n in nodes],
                 np.stack([np.asarray(n.embedding, np.float32)
                           for n in nodes]),
             )
         elif self.index_type == "sharded-hnsw":
-            for node in nodes:
-                self.storage.save(node)
+            self._save_nodes(nodes)
             self.index.insert(
                 [n.id for n in nodes],
                 np.stack([np.asarray(n.embedding, np.float32)
@@ -267,13 +265,22 @@ class IndexingService:
         if self._should_flush():
             self.save_index()
 
+    def _save_nodes(self, nodes: Sequence[Node]) -> None:
+        """Persist a batch through storage.save_many when available (one
+        flush per memmap layer per batch, not two msyncs per node)."""
+        save_many = getattr(self.storage, "save_many", None)
+        if save_many is not None:
+            save_many(list(nodes))
+        else:
+            for node in nodes:
+                self.storage.save(node)
+
     def _ivf_insert(self, nodes: Sequence[Node]) -> None:
         """IVF needs centroids before it can route adds: queue until
         ivf_k nodes exist, then k-means-build, then stream adds."""
         if self.index.centroids is None:
             self._ivf_pending.extend(nodes)
-            for node in nodes:
-                self.storage.save(node)
+            self._save_nodes(nodes)
             if len(self._ivf_pending) >= self.ivf_k:
                 self.index.build_index(self._ivf_pending)
                 self._ivf_pending = []
