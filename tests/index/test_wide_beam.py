@@ -284,3 +284,26 @@ def test_wide_qchunk_equivalence(built):
                                    steps=12, qchunk=16)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_wide_early_exit_parity(built):
+    """Dynamic termination (reference hnsw.py:102-112 batched) must stay
+    within noise of the fixed-T recall at the same upper bound T, and
+    respect the filter contract when combined with res_mask."""
+    idx, x, q, gt = built
+    idx.enable_wide(dims=None, seeds=512)
+    _, ids_fixed = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                         steps=12)
+    d_ee, ids_ee = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                         steps=12, early_exit=True)
+    assert _recall(ids_ee, gt) >= _recall(ids_fixed, gt) - 0.03
+    # distances stay exact + sorted
+    for row in d_ee:
+        vals = row[np.isfinite(row)]
+        assert (np.diff(vals) >= -1e-5).all()
+
+    allowed = set(range(0, 4000, 3))
+    _, fids = idx.search_batch_wide(q, k=10, ef=256, frontier=32,
+                                    steps=12, early_exit=True,
+                                    filter_ids=allowed)
+    assert all(int(v) % 3 == 0 for row in fids for v in row if v >= 0)

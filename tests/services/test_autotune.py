@@ -129,9 +129,56 @@ def test_ivf_autotune_picks_n_probe(tmp_path, rng):
     assert (ids[:, 0] == [n.id for n in nodes[:16]]).all()
 
 
-def test_filtered_queries_bypass_autotune(tmp_path, rng):
+def test_filtered_queries_calibrate_per_selectivity(tmp_path, rng):
+    """Filtered hnsw queries route through a selectivity-bucketed
+    decision (round-4: the scan/graph ranking flips with match
+    fraction) and the REAL filter is always honored."""
     svc, nodes = build_service(tmp_path, rng)
+    allowed = {n.id for n in nodes if n.id % 2 == 0}  # ~50% selectivity
+    res = svc.search(nodes[10].embedding, k=5, filter_ids=allowed)
+    assert res and all(n.id in allowed for n, _ in res)
+    assert res[0][0].id == 10
+    stats = svc._autotune.stats()
+    assert "b8@0.9/sel0.5" in stats
+    dec = stats["b8@0.9/sel0.5"]
+    assert dec["met"] and dec["recall"] >= 0.9
+    assert dec["mode"] in ("scan-bf16-f", "wide-f", "scan-exact-f")
+
+    # a much more selective filter lands in its own bucket
+    tiny = {n.id for n in nodes if n.id % 64 == 0}  # ~1.6%
+    res2 = svc.search(nodes[64].embedding, k=3, filter_ids=tiny)
+    assert res2 and all(n.id in tiny for n, _ in res2)
+    assert res2[0][0].id == 64
+    assert any("/sel0.02" in kk or "/sel0.01" in kk
+               for kk in svc._autotune.stats())
+
+    # batch path: same selectivity bucket is reused, filter honored
+    q = np.stack([n.embedding for n in nodes[:16]])
+    _, ids = svc.search_batch(q, k=3, filter_ids=allowed)
+    assert all(int(v) in allowed for row in ids for v in row if v >= 0)
+
+
+def test_filtered_autotune_bypassed_for_ivf(tmp_path, rng):
+    cfg = {
+        "embedding": {"model": "fake-16", "dimension": DIM},
+        "index": {
+            "M": 8, "ef_construction": 60, "flush_threshold": 100000,
+            "type": "ivf", "ivf_k": 16,
+            "autotune": {"enabled": True, "target_recall": 0.95,
+                         "sample": 24, "k": 5, "min_size": 64},
+        },
+        "vector_db": {"file_path": str(tmp_path / "vdb"),
+                      "dimension": DIM, "capacity": 2048},
+    }
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    storage = StorageService(str(tmp_path / "vdb"), dim=DIM, capacity=2048)
+    svc = IndexingService(storage=storage.storage, config_path=str(p))
+    nodes = [Node(id=i,
+                  embedding=rng.standard_normal(DIM).astype(np.float32),
+                  metadata={}) for i in range(512)]
+    svc.insert_nodes(nodes)
     allowed = {n.id for n in nodes if n.id % 2 == 0}
     res = svc.search(nodes[10].embedding, k=5, filter_ids=allowed)
     assert res and all(n.id in allowed for n, _ in res)
-    assert svc._autotune.stats() == {}  # tuner never consulted
+    assert svc._autotune.stats() == {}  # ivf filters keep the direct path

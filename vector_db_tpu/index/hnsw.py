@@ -779,6 +779,7 @@ class HNSW:
         schedule=None,
         filter_ids=None,
         qchunk: int | None = None,
+        early_exit: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Wide-beam search (requires enable_wide). Same contract as
         search_batch: (L2 dists f32[B, k], node ids int64[B, k]).
@@ -838,7 +839,8 @@ class HNSW:
                     steps=steps, rerank_k=rerank_k, bucket=bucket,
                     score=score, dedup_window=dedup_window,
                     seen_mask=seen_mask, merge_kernel=merge_kernel,
-                    schedule=schedule, filter_ids=filter_ids)
+                    schedule=schedule, filter_ids=filter_ids,
+                    early_exit=early_exit)
                 for s in range(0, b_orig, qchunk)
             ]
             return (np.concatenate([p[0] for p in parts]),
@@ -895,6 +897,7 @@ class HNSW:
             schedule=(tuple(tuple(map(int, s)) for s in schedule)
                       if schedule else None),
             res_mask=res_mask,
+            early_exit=early_exit,
         )
         d_sq = np.asarray(d_sq)[:b_orig, :k_orig]
         slots = np.asarray(slots)[:b_orig, :k_orig]

@@ -346,7 +346,7 @@ def beam_search(
     jax.jit,
     static_argnames=("ef", "F", "T", "k", "rerank_k", "dedup_window",
                      "seen_mask", "score_chunks", "merge_kernel",
-                     "schedule"),
+                     "schedule", "early_exit"),
 )
 def wide_search(
     neighbors0: jnp.ndarray,   # int32[capacity, W] level-0 adjacency
@@ -368,6 +368,7 @@ def wide_search(
     merge_kernel: bool = False,
     schedule: Tuple[Tuple[int, int], ...] | None = None,
     res_mask: jnp.ndarray | None = None,
+    early_exit: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched wide-beam search. Returns (d_sq f32[B, k], slots int32[B, k])
     sorted ascending, (BIG, -1) padded; distances exact (difference-form
@@ -394,6 +395,15 @@ def wide_search(
     main pool is unchanged) but only matching nodes enter a separate
     result pool [B, R] merged per step — the wide-beam analog of the
     classic beam's two-pool filtered mode (hnsw_kernels.beam_layer).
+    ``early_exit`` restores the reference's dynamic termination
+    (hnsw.py:102-112 — stop when the best candidate is worse than the
+    worst kept result) batched: a ``while_loop`` over the same step body
+    stops once NO query's best unexpanded pool entry beats its R-th
+    best result (anything that cannot make the rerank set cannot change
+    the output). T becomes an upper bound; early-converging small
+    batches stop in a few steps instead of burning all T. Incompatible
+    with ``schedule`` (fixed F only) — filtered queries use the result
+    pool's R-th best as the bound.
     """
     B = queries.shape[0]
     P = ef
@@ -626,11 +636,43 @@ def wide_search(
 
     carry = ((pool_d, pool_se, res_d, res_s) if res_mask is not None
              else (pool_d, pool_se))
-    for seg_f, seg_t in (schedule if schedule is not None else ((F, T),)):
-        # clamp to the pool width: approx_min_k(_, F) raises when F > P,
-        # and a service-configured schedule meets per-request ef values
-        carry, _ = jax.lax.scan(make_step(min(seg_f, P)), carry, None,
-                                length=seg_t)
+    if early_exit and schedule is None:
+        step = make_step(min(F, P))
+
+        def _live(carry):
+            pool_d = carry[0]
+            pool_se = carry[1]
+            big_t = jnp.asarray(BIG, pool_d.dtype)
+            unexp = jnp.where(((pool_se & 1) == 1) | ((pool_se >> 1) < 0),
+                              big_t, pool_d)
+            best_unexp = jnp.min(unexp, axis=1)            # [B]
+            # bound: the R-th best kept score — the result pool's under a
+            # filter, else the navigation pool's (pool_d carries BIG
+            # voids from the window dedup, so reduce, don't slice)
+            kept = carry[2] if res_mask is not None else pool_d
+            bound = jax.lax.approx_min_k(
+                kept.astype(jnp.float32), min(R, kept.shape[1]))[0][:, -1]
+            bound = jnp.minimum(bound, _np.float32(BIG_THRESH))
+            return best_unexp.astype(jnp.float32) < bound
+
+        def body(state):
+            i, carry = state
+            carry, _ = step(carry, None)
+            return i + 1, carry
+
+        def cond(state):
+            i, carry = state
+            return (i < T) & jnp.any(_live(carry))
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    else:
+        for seg_f, seg_t in (schedule if schedule is not None
+                             else ((F, T),)):
+            # clamp to the pool width: approx_min_k(_, F) raises when
+            # F > P, and a service-configured schedule meets per-request
+            # ef values
+            carry, _ = jax.lax.scan(make_step(min(seg_f, P)), carry, None,
+                                    length=seg_t)
     if res_mask is not None:
         pool_d, pool_se, res_d, res_s = carry
     else:

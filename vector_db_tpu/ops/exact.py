@@ -350,8 +350,8 @@ def block_select_search_3p(
     rows_k: int = 0,
     approx_blocks: bool = False,
     pallas_phase1: bool = False,
-    p1_tile: int = 8192,
-    p1_qtile: int = 1024,
+    p1_tile: int = 4096,
+    p1_qtile: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Three-phase block-min scan: select blocks, rescore rows in the
     projected mirror, exact-rescore only the top ``rows_k`` rows.

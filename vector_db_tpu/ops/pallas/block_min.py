@@ -47,8 +47,8 @@ def block_min_scan(
     tab: jnp.ndarray,       # bf16|f32[N, ds] mirror table, N % tile == 0
     xsq_eff: jnp.ndarray,   # f32[N] row norms with invalid rows ~2e38
     block: int = 128,
-    tile: int = 8192,
-    qtile: int = 1024,
+    tile: int = 4096,
+    qtile: int = 512,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Per-block minima of ``xsq_eff - 2 q·x``: f32[B, N // block].
@@ -60,15 +60,27 @@ def block_min_scan(
     multiple internally.
 
     Grid-step sizing is the whole game (measured 1M x 768, B=1000,
-    proj-128 mirror): the round-3 defaults (tile=2048, qtile=256) ran
-    2048 steps of ~17 us fixed overhead each — 36 ms for a 1.3 ms
-    roofline. One query tile of 1024 x a corpus tile of 8192 streams the
-    mirror ONCE per batch in ~128 steps. VMEM at (8192, 1024, ds=128)
-    bf16: x 2 MB (x2 pipelined) + q 256 KB + out 256 KB ~ 4.8 MB.
+    proj-128 mirror, EXP_P1.json): the round-3 defaults (tile=2048,
+    qtile=256) ran 2048 steps of ~17 us fixed overhead each — 36 ms for
+    a ~1.3 ms roofline. (4096, 512) measured fastest (29.8k two-dispatch
+    QPS vs 24.1k at the old defaults).
+
+    VMEM envelope — the hard constraint: the kernel's [tile, qtile] f32
+    distance panel lives in VMEM next to the double-buffered inputs, and
+    at tile*qtile*4 = 16 MB (e.g. 8192 x 512) Mosaic compiles but the
+    output comes back garbage (measured: every sampled min lands at the
+    BIG mask). Guard: the panel is capped at 8 MB by shrinking qtile
+    first (more query tiles = more mirror re-reads, but correct), then
+    tile.
     """
     if interpret is None:  # auto: interpret on CPU test meshes (the TPU
         # relay backend reports platform "axon", so test for cpu, not tpu)
         interpret = jax.default_backend() == "cpu"
+    # VMEM guard: keep the f32 panel at/below 8 MB (2**21 elements)
+    while tile * qtile > (1 << 21) and qtile > 128:
+        qtile //= 2
+    while tile * qtile > (1 << 21) and tile > 1024:
+        tile //= 2
     b, ds = score_q.shape
     n = tab.shape[0]
     pad_n = (-n) % tile

@@ -36,6 +36,21 @@ def _up2(v: int, lo: int = 8) -> int:
     return max(lo, 1 << (int(v) - 1).bit_length())
 
 
+# filtered-query selectivity buckets (fraction of the corpus matching):
+# decisions are cached per bucket — the scan/graph ranking flips with
+# selectivity (BENCH_1M hnsw_filtered: scan wins at 10%, while at ~50%
+# the graph barely notices the mask)
+_SEL_BUCKETS = (1.0, 0.5, 0.2, 0.1, 0.05, 0.02, 0.01, 0.003)
+
+
+def _sel_bucket(frac: float) -> float:
+    """Nearest (log-space) selectivity bucket for a match fraction."""
+    frac = min(max(float(frac), 1e-6), 1.0)
+    import math
+
+    return min(_SEL_BUCKETS, key=lambda b: abs(math.log(b / frac)))
+
+
 class AutoTuner:
     """Calibrated mode router for one HNSW-backed service.
 
@@ -68,28 +83,35 @@ class AutoTuner:
         self.reps = int(reps)
         self.grow_factor = float(grow_factor)
         self.seed = int(seed)
-        # (batch_bucket, target) -> decision dict
-        self._decisions: Dict[Tuple[int, float], Dict[str, Any]] = {}
+        # (batch_bucket, target, sel_bucket) -> decision dict
+        # (sel_bucket 1.0 = unfiltered)
+        self._decisions: Dict[Tuple[int, float, float],
+                              Dict[str, Any]] = {}
         self._lock = threading.Lock()
         self._cal_queries: Optional[np.ndarray] = None
         self._cal_gt: Optional[np.ndarray] = None  # int64[sample, k]
+        # sel_bucket -> (filter id set, filtered gt int64[sample, k])
+        self._cal_filters: Dict[float, Tuple[set, np.ndarray]] = {}
         self._cal_size = 0  # index size the calibration set was drawn at
 
     # ---------------------------------------------------------------- state
 
     def stats(self) -> Dict[str, Any]:
-        """Decision table for /stats: one row per (bucket, target)."""
+        """Decision table for /stats: one row per (bucket, target,
+        selectivity)."""
         return {
-            f"b{bucket}@{target:g}": {
+            (f"b{bucket}@{target:g}" if selb == 1.0
+             else f"b{bucket}@{target:g}/sel{selb:g}"): {
                 kk: vv for kk, vv in dec.items() if kk != "candidates"
             }
-            for (bucket, target), dec in self._decisions.items()
+            for (bucket, target, selb), dec in self._decisions.items()
         }
 
     def invalidate(self) -> None:
         self._decisions.clear()
         self._cal_queries = None
         self._cal_gt = None
+        self._cal_filters = {}
         self._cal_size = 0
 
     def _fresh(self, size: int) -> bool:
@@ -137,11 +159,35 @@ class AutoTuner:
         self._cal_gt = gt
         self._cal_size = index.size
 
-    def _recall(self, ids: np.ndarray) -> float:
+    def _draw_filter(self, index, selb: float) -> Tuple[set, np.ndarray]:
+        """Calibration filter at selectivity ``selb``: a seeded random
+        subset of live ids, plus the exact FILTERED ground truth (the
+        engine's own recall-1.0 contract path with the mask applied)."""
+        cached = self._cal_filters.get(selb)
+        if cached is not None:
+            return cached
+        ids = np.fromiter(index._slot_of_id.keys(), dtype=np.int64)
+        rng = np.random.default_rng(self.seed + int(1e6 * selb))
+        take = max(self.k + 1, int(round(ids.size * selb)))
+        take = min(take, ids.size)
+        fset = {int(i) for i in rng.choice(ids, size=take, replace=False)}
+        _, gt_ids = index.search_batch_scan(
+            self._cal_queries, self.k + 1, mode="exact", filter_ids=fset)
+        gt = np.full((self._cal_queries.shape[0], self.k), -1, np.int64)
+        for r in range(gt.shape[0]):
+            row = [int(i) for i in gt_ids[r]
+                   if int(i) >= 0 and int(i) != int(self._cal_ids[r])]
+            gt[r, : min(self.k, len(row))] = row[: self.k]
+        self._cal_filters[selb] = (fset, gt)
+        return fset, gt
+
+    def _recall(self, ids: np.ndarray, gt: Optional[np.ndarray] = None
+                ) -> float:
         """recall@k against the self-excluded ground truth; candidate
         rows carry k+1 ids (ascending) so dropping the query row itself
         still leaves k real candidates."""
-        gt = self._cal_gt
+        if gt is None:
+            gt = self._cal_gt
         hits = 0
         total = 0
         for r in range(gt.shape[0]):
@@ -156,7 +202,8 @@ class AutoTuner:
         return hits / max(total, 1)
 
     def _measure(
-        self, run: Callable[[np.ndarray], np.ndarray], bucket: int
+        self, run: Callable[[np.ndarray], np.ndarray], bucket: int,
+        gt: Optional[np.ndarray] = None,
     ) -> Tuple[float, float]:
         """(recall, queries/s) of ``run`` fed ``bucket``-sized batches.
 
@@ -178,7 +225,7 @@ class AutoTuner:
             real.append(r)
         ids = np.concatenate(
             [run(b)[:r] for b, r in zip(batches, real)], axis=0)  # warm
-        rec = self._recall(ids)
+        rec = self._recall(ids, gt)
         times: List[float] = []
         for rep in range(self.reps):
             jitter = 1.0 + (rep + 1) * 1e-6  # defeat relay memoization
@@ -230,13 +277,45 @@ class AutoTuner:
         ))
         return out
 
+    def _candidates_filtered(self, service, fset):
+        """Filtered-mode ladder: the masked bf16 scan (true filtered
+        top-k at scan QPS) vs the two-pool wide graph at widened
+        (ef, rerank_k) — selective filters need a deep result pool
+        (reference contract hnsw.py:81-88,96-97,127-131; measured at
+        1M/10%: rerank 512 / ef 1536 is where the graph crosses 0.95)."""
+        index = service.index
+        k = self.k + 1
+        out = [(
+            "scan-bf16-f", {"mode": "bf16"},
+            lambda b: index.search_batch_scan(
+                b, k, mode="bf16", filter_ids=fset)[1],
+        )]
+        if service._maybe_enable_wide():
+            for ef, rk in ((512, 256), (1024, 512), (1536, 512)):
+                out.append((
+                    "wide-f", {"ef": ef, "rerank_k": rk},
+                    lambda b, ef=ef, rk=rk: index.search_batch_wide(
+                        b, k, ef=ef, rerank_k=rk, filter_ids=fset,
+                        seen_mask=service._wide_seen,
+                        merge_kernel=service._resolve_merge_kernel())[1],
+                ))
+        out.append((
+            "scan-exact-f", {"mode": "exact"},
+            lambda b: index.search_batch_scan(
+                b, k, mode="exact", filter_ids=fset)[1],
+        ))
+        return out
+
     def decision_for(
-        self, service, batch_size: int, target: Optional[float] = None
+        self, service, batch_size: int, target: Optional[float] = None,
+        sel_frac: Optional[float] = None,
     ) -> Dict[str, Any]:
-        """Cached calibrated decision for this batch size and target."""
+        """Cached calibrated decision for this batch size, target, and
+        (for filtered queries) selectivity bucket."""
         target = self.target_recall if target is None else float(target)
         bucket = _up2(batch_size)
-        key = (bucket, target)
+        selb = 1.0 if sel_frac is None else _sel_bucket(sel_frac)
+        key = (bucket, target, selb)
         if self._fresh(service.index.size):
             dec = self._decisions.get(key)
             if dec is not None:
@@ -250,9 +329,15 @@ class AutoTuner:
                 return dec
             if self._cal_queries is None:
                 self._draw_calibration(service.index)
+            if selb < 1.0:
+                fset, gt = self._draw_filter(service.index, selb)
+                cands = self._candidates_filtered(service, fset)
+            else:
+                gt = None
+                cands = self._candidates(service, bucket)
             rows = []
-            for name, params, run in self._candidates(service, bucket):
-                rec, qps = self._measure(run, bucket)
+            for name, params, run in cands:
+                rec, qps = self._measure(run, bucket, gt)
                 rows.append({"name": name, "params": params,
                              "recall": round(rec, 4),
                              "qps": round(qps, 1)})
@@ -266,21 +351,36 @@ class AutoTuner:
                    "target": target, "met": best["recall"] >= target,
                    "calibrated_at_size": size, "bucket": bucket,
                    "candidates": rows}
+            if selb < 1.0:
+                dec["selectivity"] = selb
             self._decisions[key] = dec
             return dec
 
     # -------------------------------------------------------------- routing
 
     def route(self, service, queries: np.ndarray, k: int,
-              target: Optional[float] = None):
+              target: Optional[float] = None, filter_ids=None):
         """Run the calibrated best mode on ``queries``.
 
         Returns the (dists, ids) pair of the underlying mode. ``k`` may
         differ from the calibration k — recall transfers well across
         nearby k for every mode here (all are budgeted by ef / scan
-        width, not by k)."""
-        dec = self.decision_for(service, len(queries), target)
+        width, not by k). ``filter_ids`` routes through the decision of
+        the matching selectivity bucket and applies the REAL filter."""
         index = service.index
+        if filter_ids is not None:
+            frac = len(filter_ids) / max(1, index.size)
+            dec = self.decision_for(service, len(queries), target, frac)
+            p = dec["params"]
+            if dec["mode"] == "wide-f":
+                return index.search_batch_wide(
+                    queries, k, ef=int(p["ef"]),
+                    rerank_k=int(p["rerank_k"]), filter_ids=filter_ids,
+                    seen_mask=service._wide_seen,
+                    merge_kernel=service._resolve_merge_kernel())
+            return index.search_batch_scan(
+                queries, k, mode=p["mode"], filter_ids=filter_ids)
+        dec = self.decision_for(service, len(queries), target)
         if dec["mode"] == "ivf":
             p = dec["params"]
             return index.search_batch(

@@ -387,12 +387,15 @@ class IndexingService:
         (tiny corpora: every mode is exact-ish and microseconds apart).
         For ivf the tuner picks n_probe (recall at fixed n_probe swings
         wildly with the corpus — BENCH_1M ivf_rp: 0.63 at 64 probes,
-        0.90 at 256), overriding the request's raw n_probe knob."""
-        if (self._autotune is None
-                or kwargs.get("filter_ids") is not None):
+        0.90 at 256), overriding the request's raw n_probe knob.
+        Filtered hnsw queries calibrate per selectivity bucket (the
+        scan/graph ranking flips with match fraction); filtered ivf
+        keeps the direct path (probe lists already fold the mask)."""
+        if self._autotune is None:
             return False
         if self.index_type == "ivf":
-            return (self.index.centroids is not None
+            return (kwargs.get("filter_ids") is None
+                    and self.index.centroids is not None
                     and self.index.size >= self._autotune_min_size)
         return (self.index_type == "hnsw"
                 and self.index.size >= self._autotune_min_size)
@@ -422,7 +425,8 @@ class IndexingService:
         if self._autotune_ready(kwargs):
             dists, ids = self._autotune.route(
                 self, np.asarray(query, np.float32)[None, :], k,
-                kwargs.get("target_recall"))
+                kwargs.get("target_recall"),
+                filter_ids=kwargs.get("filter_ids"))
             return self._resolve(dists, ids, k)
         if self._maybe_enable_wide():
             ef = int(kwargs.get("ef", 50) or 50)
@@ -549,7 +553,8 @@ class IndexingService:
         if self._autotune_ready(kwargs):
             return self._autotune.route(
                 self, np.asarray(queries, np.float32), k,
-                kwargs.get("target_recall"))
+                kwargs.get("target_recall"),
+                filter_ids=kwargs.get("filter_ids"))
         if (self.index_type == "hnsw"
                 and self._scan_batch_threshold
                 and len(queries) >= self._scan_batch_threshold
