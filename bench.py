@@ -103,6 +103,37 @@ def timed_qps(run, q, n_q: int, reps: int = 3, warmups: int = 3,
     return n_q / float(np.median(times)), outs
 
 
+def timed_pipelined(dispatch, q, n_q: int, depth: int = 8, reps: int = 3,
+                    label: str | None = None) -> float:
+    """Sustained (queue-depth ``depth``) QPS of ``dispatch(batch) ->
+    device result`` (NO per-call sync).
+
+    The axon relay charges ~20-25 ms per synchronized dispatch (round-4
+    EXP_P1: one fused phase-1 program = ~25 ms/call end-to-end vs a
+    ~1.5 ms device roofline), so per-call forced-sync QPS measures the
+    relay, not the engine. A serving system keeps a queue of in-flight
+    batches; TPU execution is in-order, so blocking on all ``depth``
+    results after dispatching them back-to-back bounds the true device
+    throughput the way a real request queue would. Every dispatch gets a
+    distinct input (the relay memoizes (executable, inputs)); all
+    ``depth`` outputs are block_until_ready'd inside the timed window.
+    """
+    import jax
+
+    jax.block_until_ready(dispatch(q * (1.0 + 1e-7)))  # warm/compile
+    jax.block_until_ready(dispatch(q * (1.0 + 2e-7)))
+    times = []
+    for r in range(reps):
+        vs = [q * (1.0 + (r * depth + i + 1) * 1e-6) for i in range(depth)]
+        t0 = time.perf_counter()
+        outs = [dispatch(v) for v in vs]
+        jax.block_until_ready(outs)
+        times.append(time.perf_counter() - t0)
+    if label is not None:
+        REP_TIMES[label] = [round(t, 5) for t in times]
+    return depth * n_q / float(np.median(times))
+
+
 def relay_canary(reps: int = 5) -> dict:
     """Fixed tiny-matmul timing: a relay-health reference point.
 
@@ -378,6 +409,37 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
     except Exception as e:  # never let the extra row kill the headline
         log(f"  blocksel-3p failed: {e!r}")
         out["blocksel_3p_error"] = repr(e)[:300]
+
+    # sustained (queue-depth 8) serving throughput: dispatches overlap
+    # so the relay round trip amortizes; recall is the per-call row's
+    # (identical program, identical selection)
+    def d_bf16(qv):
+        return approx_search_tiled(qv, x_bf16, valid, k, tile=tile16,
+                                   x_sq=x_sq)[0]
+
+    def d_3p(qv):
+        qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
+        return block_select_search_3p(
+            qv, ptab, qp, x_sq, x, valid, k, tile=131072,
+            blocks_k=2 * k, rows_k=8 * k, pallas_phase1=True)[0]
+
+    try:
+        s_bf16 = timed_pipelined(d_bf16, q, n_q,
+                                 label=f"headline_bf16_sust_{n}")
+        log(f"  bf16 sustained(d8): {s_bf16:.0f} qps")
+        out["bf16_scan_sustained"] = {"qps": s_bf16,
+                                      "recall": bf16_recall,
+                                      "queue_depth": 8}
+        if "blocksel_3p" in out:
+            s_3p = timed_pipelined(d_3p, q, n_q,
+                                   label=f"headline_3p_sust_{n}")
+            log(f"  blocksel-3p sustained(d8): {s_3p:.0f} qps")
+            out["blocksel_3p_sustained"] = {"qps": s_3p,
+                                            "recall": p3_recall,
+                                            "queue_depth": 8}
+    except Exception as e:
+        log(f"  sustained rows failed: {e!r}")
+        out["sustained_error"] = repr(e)[:300]
     return out
 
 
@@ -447,7 +509,8 @@ def main() -> None:
     else:
         canary = {**canary, "post": canary_post}
     modes = {m: headline[m]
-             for m in ("bf16_scan", "blocksel_3p", "exact_f32")
+             for m in ("bf16_scan", "blocksel_3p", "exact_f32",
+                       "bf16_scan_sustained", "blocksel_3p_sustained")
              if m in headline and headline[m]["recall"] >= target}
     best_mode = max(modes, key=lambda m: modes[m]["qps"]) \
         if modes else "exact_f32"
@@ -474,6 +537,11 @@ def main() -> None:
         "bf16_scan": "bf16 scan + TPU hw top-k",
         "blocksel_3p": "3-phase block-select scan (Pallas fused phase 1)",
         "exact_f32": "f32-exact scan",
+        "bf16_scan_sustained":
+            "bf16 scan + TPU hw top-k, sustained queue-depth 8",
+        "blocksel_3p_sustained":
+            "3-phase block-select scan (Pallas fused phase 1), "
+            "sustained queue-depth 8",
     }
     print(json.dumps({
         "metric": (

@@ -311,41 +311,53 @@ def main():
 
     if want("filter"):
         # filtered serving: classic two-pool beam vs the filtered wide
-        # path (two-pool wide-beam, round 3) on a 10% random filter set
+        # path (two-pool wide-beam) at 10% and 2% random filter sets.
+        # Round-4 addition (VERDICT #4): the widened (ef 1536 /
+        # rerank_k 512) wide config — selective filters need a deep
+        # result pool to keep >=0.95
         from vector_db_tpu.ops.exact import exact_search_tiled
 
-        rngf = np.random.default_rng(11)
-        fslots = rngf.choice(N, size=N // 10, replace=False)
-        filt = set(int(i) for i in fslots)  # slot==id in this bench
-        fmask = np.zeros((index._capacity,), bool)
-        fmask[fslots] = True
-        vmask = jnp.asarray(fmask) & index._has_emb
-        gt_f = np.asarray(exact_search_tiled(
-            qd, index._emb, vmask, K, tile=31250)[1])
         if not hasattr(index, "_wb_n_seeds"):
             index.enable_wide(dims=120, seeds=16384, inline=True)
         results["hnsw_filtered"] = []
-        for name, run_f in [
-            # serving default (index.filtered_engine: scan): masked bf16
-            # scan — true filtered top-k at scan QPS (masking is free)
-            ("scan", lambda v: index.search_batch_scan(
-                np.asarray(v), k=K, filter_ids=filt)),
-            ("scan_exact", lambda v: index.search_batch_scan(
-                np.asarray(v), k=K, mode="exact", filter_ids=filt)),
-            ("wide", lambda v: index.search_batch_wide(
-                np.asarray(v), k=K, ef=1280, frontier=224, steps=10,
-                rerank_k=256, seen_mask=False, filter_ids=filt)),
-            ("classic", lambda v: index.search_batch(
-                np.asarray(v), k=K, ef=400, expand=4, filter_ids=filt)),
-        ]:
-            _, ids = run_f(q)
-            qps = timed(lambda v: run_f(v)[0], qd, B)
-            rec = recall_of(ids, gt_f, K)
-            log(f"hnsw-filtered {name}: recall={rec:.3f} qps={qps:.0f}")
-            results["hnsw_filtered"].append(
-                {"engine": name, "selectivity": 0.1, "recall": rec,
-                 "qps": qps})
-        save()
+        for sel in (0.1, 0.02):
+            rngf = np.random.default_rng(11)
+            fslots = rngf.choice(N, size=int(N * sel), replace=False)
+            filt = set(int(i) for i in fslots)  # slot==id in this bench
+            fmask = np.zeros((index._capacity,), bool)
+            fmask[fslots] = True
+            vmask = jnp.asarray(fmask) & index._has_emb
+            gt_f = np.asarray(exact_search_tiled(
+                qd, index._emb, vmask, K, tile=31250)[1])
+            rows = [
+                # serving default (index.filtered_engine: scan): masked
+                # bf16 scan — true filtered top-k at scan QPS
+                ("scan", lambda v: index.search_batch_scan(
+                    np.asarray(v), k=K, filter_ids=filt)),
+                ("scan_exact", lambda v: index.search_batch_scan(
+                    np.asarray(v), k=K, mode="exact", filter_ids=filt)),
+                ("wide", lambda v: index.search_batch_wide(
+                    np.asarray(v), k=K, ef=1280, frontier=224, steps=10,
+                    rerank_k=256, seen_mask=False, filter_ids=filt)),
+                ("wide_deep", lambda v: index.search_batch_wide(
+                    np.asarray(v), k=K, ef=1536, frontier=224, steps=12,
+                    rerank_k=512, seen_mask=False, filter_ids=filt)),
+                ("classic", lambda v: index.search_batch(
+                    np.asarray(v), k=K, ef=400, expand=4,
+                    filter_ids=filt)),
+            ]
+            if sel != 0.1:  # classic at 2% is minutes/batch; skip
+                rows = [r for r in rows if r[0] != "classic"]
+            for name, run_f in rows:
+                _, ids = run_f(q)
+                qps = timed(lambda v: run_f(v)[0], qd, B)
+                rec = recall_of(ids, gt_f, K)
+                log(f"hnsw-filtered sel={sel} {name}: recall={rec:.3f} "
+                    f"qps={qps:.0f}")
+                results["hnsw_filtered"].append(
+                    {"engine": name, "selectivity": sel, "recall": rec,
+                     "qps": qps})
+                save()
 
     if want("rp"):
         # projected traversal (pHNSW-style): PCA-128 bf16 mirror beam
