@@ -80,7 +80,7 @@ def main():
     def bench_mode(label, dispatch, recall_ids, b=B):
         """dispatch(qv) -> device result (NO sync); recall_ids(qv) -> ids."""
         # distinct inputs per dispatch so nothing memoizes
-        variants = [q * (1.0 + i * 1e-6) for i in range(2 * DEPTH + 8)]
+        variants = [q * (1.0 + i * 1e-6) for i in range(5 + 3 * DEPTH)]
         # warm/compile
         t0 = time.perf_counter()
         jax.block_until_ready(dispatch(variants[0]))
@@ -98,7 +98,7 @@ def main():
         # pipelined at depth D: dispatch D, sync all at the end
         ts = []
         for r in range(3):
-            vs = variants[5 + r::3][:DEPTH]
+            vs = variants[5 + r * DEPTH:5 + (r + 1) * DEPTH]
             assert len(vs) == DEPTH
             t0 = time.perf_counter()
             outs = [dispatch(v) for v in vs]
@@ -123,26 +123,15 @@ def main():
 
     bench_mode("bf16_scan", d_bf16, lambda qv: np.asarray(d_bf16(qv)))
 
-    # mode 2: blocksel 3p pallas (recall 1.0 operating point)
+    # mode 2: blocksel 3p pallas (recall 1.0 operating point — EXP_P1
+    # full rows: bk20/r40 measured recall 1.0 at the best QPS)
     def d_3p(qv):
         sq = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         return block_select_search_3p(
             qv, ptab, sq, x_sq, x, valid, K, tile=131072,
-            blocks_k=20, rows_k=80, pallas_phase1=True,
-            p1_tile=2048, p1_qtile=1024)[1]
+            blocks_k=20, rows_k=40, pallas_phase1=True)[1]
 
     bench_mode("blocksel_3p_pallas", d_3p, lambda qv: np.asarray(d_3p(qv)))
-
-    # mode 3: blocksel 3p with approx block selection (top_k -> hw
-    # PartialReduce; phase-3 exact rescore absorbs the selection noise)
-    def d_3pa(qv):
-        sq = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
-        return block_select_search_3p(
-            qv, ptab, sq, x_sq, x, valid, K, tile=131072,
-            blocks_k=20, rows_k=80, pallas_phase1=True, approx_blocks=True,
-            p1_tile=2048, p1_qtile=1024)[1]
-
-    bench_mode("blocksel_3p_approx", d_3pa, lambda qv: np.asarray(d_3pa(qv)))
 
     # mode 4: big batch — 4096 queries in one dispatch (tile the 1000)
     q4 = jnp.concatenate([q * (1.0 + i * 1e-6) for i in range(4)]
@@ -178,8 +167,7 @@ def main():
         sq = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         return block_select_search_3p(
             qv, ptab, sq, x_sq, x, valid, K, tile=131072,
-            blocks_k=20, rows_k=80, pallas_phase1=True,
-            p1_tile=2048, p1_qtile=1024)[1]
+            blocks_k=20, rows_k=40, pallas_phase1=True)[1]
 
     bench_big("blocksel_3p_B4096", d_3p_4k)
     log("done")

@@ -163,3 +163,21 @@ def test_three_phase_masked_and_padded():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(gi))
     assert not (set(np.asarray(i).ravel().tolist())
                 & set(np.nonzero(~vm)[0].tolist()))
+
+
+def test_3p_p2_chunk_equivalence(data):
+    """The candidate-chunked phase 2 must return identical results to
+    the one-shot gather (pure temp-size change)."""
+    from vector_db_tpu.ops.exact import block_select_search_3p
+
+    xd, qd, valid = data
+    xsq = jnp.sum(xd * xd, -1)
+    ptab = xd.astype(jnp.bfloat16)
+    a = block_select_search_3p(qd, ptab, qd, xsq, xd, valid, 10,
+                               tile=1024, blocks_k=8, rows_k=64)
+    b = block_select_search_3p(qd, ptab, qd, xsq, xd, valid, 10,
+                               tile=1024, blocks_k=8, rows_k=64,
+                               p2_chunk=2)
+    assert (np.asarray(a[1]) == np.asarray(b[1])).all()
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-6)

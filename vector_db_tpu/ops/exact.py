@@ -335,7 +335,8 @@ def block_select_search(
 
 @partial(jax.jit, static_argnames=("k", "tile", "block", "blocks_k",
                                    "rows_k", "approx_blocks",
-                                   "pallas_phase1", "p1_tile", "p1_qtile"))
+                                   "pallas_phase1", "p1_tile", "p1_qtile",
+                                   "p2_chunk"))
 def block_select_search_3p(
     queries: jnp.ndarray,    # f32[B, dim]
     score_tab: jnp.ndarray,  # bf16[N, ds] phase-1/2 table (PCA mirror)
@@ -352,6 +353,7 @@ def block_select_search_3p(
     pallas_phase1: bool = False,
     p1_tile: int = 4096,
     p1_qtile: int = 512,
+    p2_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Three-phase block-min scan: select blocks, rescore rows in the
     projected mirror, exact-rescore only the top ``rows_k`` rows.
@@ -426,18 +428,36 @@ def block_select_search_3p(
         _, bidx = jax.lax.top_k(-mins, blocks_k)         # [B, blocks_k]
 
     # phase 2: per-row mirror rescore of the selected blocks (bf16
-    # block-contiguous gather, MXU per-query matvec in ds dims only)
+    # block-contiguous gather, MXU per-query matvec in ds dims only).
+    # p2_chunk > 0 scans candidate-chunks of that many blocks per step:
+    # the one-shot path materializes a [B, C, blk, ds] gather (plus
+    # XLA's f32 convert of it) — chunking caps the live temp with no
+    # semantic change
     st_b = score_tab.reshape(n_blocks, block, ds)
     xsq_b = x_sq.reshape(n_blocks, block)
     valid_b = valid.reshape(n_blocks, block)
-    rows = st_b[bidx]                                    # [B, C, blk, ds]
-    est = (
-        xsq_b[bidx]
-        - 2.0 * jnp.einsum("qcbd,qd->qcb", rows, sq,
-                           preferred_element_type=jnp.float32)
-    )
-    est = jnp.where(valid_b[bidx], est, BIG)
-    est = est.reshape(b, blocks_k * block)
+    if p2_chunk and p2_chunk < blocks_k and blocks_k % p2_chunk == 0:
+        bidx_c = bidx.reshape(b, blocks_k // p2_chunk,
+                              p2_chunk).transpose(1, 0, 2)
+
+        def p2(_, bc):
+            e_c = (xsq_b[bc]
+                   - 2.0 * jnp.einsum("qcbd,qd->qcb", st_b[bc], sq,
+                                      preferred_element_type=jnp.float32))
+            return None, jnp.where(valid_b[bc], e_c, BIG)
+
+        _, est_parts = jax.lax.scan(p2, None, bidx_c)
+        est = est_parts.transpose(1, 0, 2, 3).reshape(
+            b, blocks_k * block)
+    else:
+        rows = st_b[bidx]                                # [B, C, blk, ds]
+        est = (
+            xsq_b[bidx]
+            - 2.0 * jnp.einsum("qcbd,qd->qcb", rows, sq,
+                               preferred_element_type=jnp.float32)
+        )
+        est = jnp.where(valid_b[bidx], est, BIG)
+        est = est.reshape(b, blocks_k * block)
     _, rpos = jax.lax.top_k(-est, rows_k)                # [B, rows_k]
     row_ids = (bidx[:, :, None] * block
                + jnp.arange(block, dtype=jnp.int32)[None, None, :]

@@ -76,10 +76,16 @@ def block_min_scan(
     if interpret is None:  # auto: interpret on CPU test meshes (the TPU
         # relay backend reports platform "axon", so test for cpu, not tpu)
         interpret = jax.default_backend() == "cpu"
-    # VMEM guard: keep the f32 panel at/below 8 MB (2**21 elements)
-    while tile * qtile > (1 << 21) and qtile > 128:
+    # VMEM guard: the f32 panel (tile*qtile*4) plus the double-buffered
+    # table tile (tile*ds*itemsize*2) must fit; cap their sum at ~12 MB
+    # (measured: ds=128 panels over 8 MB return garbage; the ds=768
+    # bf16 mirror at tile 4096 crashes the remote compile helper)
+    def _budget(t, qt):
+        return t * qt * 4 + t * score_q.shape[1] * tab.dtype.itemsize * 2
+
+    while _budget(tile, qtile) > 12 << 20 and qtile > 128:
         qtile //= 2
-    while tile * qtile > (1 << 21) and tile > 1024:
+    while _budget(tile, qtile) > 12 << 20 and tile > 1024:
         tile //= 2
     b, ds = score_q.shape
     n = tab.shape[0]
