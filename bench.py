@@ -120,6 +120,11 @@ def timed_pipelined(dispatch, q, n_q: int, depth: int = 8, reps: int = 3,
     """
     import jax
 
+    # sync methodology, probed 2026-08-19 (8192^3 bf16 matmul):
+    # dispatch-only returns in 0.46 ms (async), block_until_ready in
+    # 35.5 ms (= sync RTT + compute — it DOES wait for retirement), a
+    # scalar fetch adds one more ~30 ms round trip on top. So
+    # block_until_ready is an honest sync and the cheapest one.
     jax.block_until_ready(dispatch(q * (1.0 + 1e-7)))  # warm/compile
     jax.block_until_ready(dispatch(q * (1.0 + 2e-7)))
     times = []
@@ -181,14 +186,30 @@ def relay_canary(reps: int = 5) -> dict:
     flops = 2 * 8192**3
     out["matmul_8192_bf16_tflops"] = round(
         flops / float(np.median(ts)) / 1e12, 1)
+    # per-call TFLOP/s includes one sync round trip (measured ~30 ms on
+    # a laggy tunnel, ~1 ms healthy), so it attributes RTT degradation.
+    # Sustained TFLOP/s pipelines 4 dispatches per sync — the relay RTT
+    # amortizes away and what remains is true chip/tunnel THROUGHPUT,
+    # the quantity the sustained headline rows depend on.
+    ts = []
+    for r in range(3):
+        vs = [big * (1.0 + (r * 4 + i + 2) * 1e-3) for i in range(4)]
+        jax.block_until_ready(vs)
+        t0 = time.perf_counter()
+        outs = [fb(big, v) for v in vs]
+        jax.block_until_ready(outs)
+        ts.append(time.perf_counter() - t0)
+    out["sustained_bf16_tflops"] = round(
+        4 * flops / float(np.median(ts)) / 1e12, 1)
     # verdict: v5e bf16 peak is ~197 TFLOP/s; a healthy session sustains
-    # >=100 on this shape and dispatches the tiny matmul in <5 ms. The
-    # headline JSON line carries this verdict so a degraded-relay session
-    # is distinguishable from a code regression in the record.
-    tf = out["matmul_8192_bf16_tflops"]
+    # >=100 on this shape pipelined. rtt_high is a separate axis: it
+    # depresses per-call rows but NOT the pipelined/sustained ones. The
+    # headline JSON line carries this so a degraded session is
+    # distinguishable from a code regression in the record.
+    stf = out["sustained_bf16_tflops"]
+    out["rtt_high"] = bool(out["median_ms"] >= 5.0)
     out["verdict"] = (
-        "healthy" if (tf >= 100.0 and tf <= 400.0
-                      and out["median_ms"] < 5.0) else "degraded")
+        "healthy" if (100.0 <= stf <= 400.0) else "degraded")
     return out
 
 
@@ -391,7 +412,7 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
         qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         d, i = block_select_search_3p(
             qv, ptab, qp, x_sq, x, valid, k, tile=131072,
-            blocks_k=2 * k, rows_k=8 * k, pallas_phase1=True)
+            blocks_k=2 * k, rows_k=4 * k, pallas_phase1=True)
         sig = float(np.asarray(d, np.float64).sum())
         return np.asarray(i), sig
 
@@ -421,7 +442,7 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
         qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         return block_select_search_3p(
             qv, ptab, qp, x_sq, x, valid, k, tile=131072,
-            blocks_k=2 * k, rows_k=8 * k, pallas_phase1=True)[0]
+            blocks_k=2 * k, rows_k=4 * k, pallas_phase1=True)[0]
 
     try:
         s_bf16 = timed_pipelined(d_bf16, q, n_q,
@@ -551,8 +572,9 @@ def main() -> None:
             f"{headline['exact_f32']['qps']:.0f} qps); vs_baseline = "
             f"best-mode QPS ratio vs reference on matched {ref_n // 1000}k "
             f"corpus; relay canary {canary['verdict']} "
-            f"({canary['matmul_8192_bf16_tflops']} TFLOP/s sustained, "
-            f"{canary['median_ms']} ms dispatch)"
+            f"({canary['sustained_bf16_tflops']} TFLOP/s sustained, "
+            f"{canary['matmul_8192_bf16_tflops']} per-call, "
+            f"{canary['median_ms']} ms sync RTT)"
         ),
         "value": round(best["qps"], 1),
         "unit": "qps",
