@@ -412,7 +412,8 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
         qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         d, i = block_select_search_3p(
             qv, ptab, qp, x_sq, x, valid, k, tile=131072,
-            blocks_k=2 * k, rows_k=4 * k, pallas_phase1=True)
+            blocks_k=2 * k, rows_k=4 * k, pallas_phase1=True,
+            p2_chunk=2)  # EXP_P2CHUNK winner: 39.7k vs 37.5k pipelined
         sig = float(np.asarray(d, np.float64).sum())
         return np.asarray(i), sig
 
@@ -442,7 +443,8 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
         qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         return block_select_search_3p(
             qv, ptab, qp, x_sq, x, valid, k, tile=131072,
-            blocks_k=2 * k, rows_k=4 * k, pallas_phase1=True)[0]
+            blocks_k=2 * k, rows_k=4 * k, pallas_phase1=True,
+            p2_chunk=2)[0]
 
     try:
         s_bf16 = timed_pipelined(d_bf16, q, n_q,
