@@ -213,6 +213,12 @@ def main():
     for n_probe, fetch, kk, adc in [(16, 128, 10, "onehot8"),
                                     (16, 128, 10, "pallas"),
                                     (16, 128, 10, "gather"),
+                                    # round-4 serving point: fetch=512
+                                    # costs ~nothing (ADC probe dominates,
+                                    # EXP_PQ_FETCH.json) and lifts
+                                    # recall@10 past 0.95
+                                    (16, 512, 10, "gather"),
+                                    (16, 512, 10, "onehot8"),
                                     (k_cells, 128, 10, "onehot8"),
                                     (16, 256, 100, "onehot8"),
                                     (16, 256, 100, "pallas"),

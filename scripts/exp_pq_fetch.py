@@ -79,20 +79,26 @@ def main():
             [len(set(np.asarray(ids[i]).tolist())
                  & set(gt_ids[i].tolist())) / kk for i in range(B)]))
 
-    out = {"N": N, "dim": x.shape[1], "B": B, "rows": []}
-    for n_probe, fetch, kk in ((16, 256, 10), (16, 512, 10),
-                               (16, 1024, 10), (32, 512, 10),
-                               (16, 512, 100), (16, 1024, 100),
-                               (32, 1024, 100)):
+    adc = os.environ.get("EXP_ADC", "onehot8")
+    rows_env = os.environ.get("EXP_ROWS", "")
+    grid = (tuple(tuple(int(v) for v in r.split(",")) for r in
+            rows_env.split(";")) if rows_env else
+            ((16, 256, 10), (16, 512, 10),
+             (16, 1024, 10), (32, 512, 10),
+             (16, 512, 100), (16, 1024, 100),
+             (32, 1024, 100)))
+    out_path = os.environ.get("EXP_OUT", "EXP_PQ_FETCH.json")
+    out = {"N": N, "dim": x.shape[1], "B": B, "adc": adc, "rows": []}
+    for n_probe, fetch, kk in grid:
         def run(v, n_probe=n_probe, fetch=fetch, kk=kk):
             return ivf.search_batch(np.asarray(v), n_probe=n_probe,
                                     top_k=kk, pq=True, fetch=fetch,
-                                    adc="onehot8")[0]
+                                    adc=adc)[0]
 
         try:
             t0 = time.perf_counter()
             _, ids = ivf.search_batch(q, n_probe=n_probe, top_k=kk,
-                                      pq=True, fetch=fetch, adc="onehot8")
+                                      pq=True, fetch=fetch, adc=adc)
             compile_s = round(time.perf_counter() - t0, 1)
             rec = recall_of(ids, gt10_ids if kk == 10 else gt100_ids, kk)
             qps = timed(run, qd, B)
@@ -104,7 +110,7 @@ def main():
                    "error": repr(e)[:300]}
         log(f"{row}")
         out["rows"].append(row)
-        Path("EXP_PQ_FETCH.json").write_text(json.dumps(out, indent=1))
+        Path(out_path).write_text(json.dumps(out, indent=1))
     log("done")
 
 
