@@ -18,6 +18,8 @@ import sys
 import time
 from pathlib import Path
 
+import random
+
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -48,8 +50,11 @@ def main():
         f.unlink()
 
     x = embedding_like(N, DIM, 0)
-    storage = MMapNodeStorage(str(work / "vdb"), dim=DIM, capacity=N + BATCH)
-    index = HNSW(M=16, ef_construction=200, capacity=N + BATCH, l_max=5,
+    storage = MMapNodeStorage(work / "vdb_emb.dat", work / "vdb_meta.dat",
+                              dim=DIM, capacity=N + BATCH)
+    # default growable capacity (power-of-two doubling) — same path the
+    # service takes; an explicit odd capacity breaks the tile invariant
+    index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
                  storage=storage, index_file=work / "vdb_index.npz")
 
     rows = []

@@ -151,7 +151,9 @@ def test_indexing_service_batch_insert(storage_service, config_path, rng):
     )
     svc.insert_nodes([make_node(i, rng) for i in range(10)])
     assert svc.get_index_size() == 10
-    assert svc.index_file.exists()  # threshold 5 crossed
+    # threshold 5 crossed; batched flushes complete in the background
+    svc.wait_for_flush()
+    assert svc.index_file.exists()
 
 
 # ---- EmbeddingService ----
@@ -199,3 +201,42 @@ def test_indexing_service_bulk_initial_load(storage_service, config_path, rng):
     assert big.get(7) is not None  # payloads stored
     res = svc2.search(nodes[7].embedding, k=1, ef=30)
     assert res[0][0].id == 7
+
+
+def test_batched_insert_async_flush(storage_service, config_path, rng):
+    """Batched inserts past the threshold flush through the background
+    writer (latest-wins snapshot); wait_for_flush() is the completion
+    barrier and the written checkpoint loads cleanly."""
+    svc = IndexingService(
+        storage=storage_service.storage, config_path=config_path
+    )
+    assert svc._flush_async
+    svc.insert_nodes([make_node(i, rng) for i in range(8)])
+    svc.wait_for_flush()
+    assert svc.index_file.exists()
+    assert not svc._index_modified
+    # no stale temp file left behind by the atomic rename
+    leftovers = list(svc.index_file.parent.glob("*.tmp.npz"))
+    assert leftovers == []
+
+    svc2 = IndexingService(
+        storage=storage_service.storage, config_path=config_path
+    )
+    assert svc2.is_index_loaded()
+    assert svc2.get_index_size() == 8
+    q = storage_service.get_embedding(3)
+    results = svc2.search(np.asarray(q), k=1)
+    assert results[0][0].id == 3
+
+
+def test_single_insert_flush_stays_synchronous(
+        storage_service, config_path, rng):
+    """Reference parity (indexing_service.py:137-144): the checkpoint file
+    exists as soon as the threshold-crossing single-node insert returns —
+    no flush barrier needed on the reference's own surface."""
+    svc = IndexingService(
+        storage=storage_service.storage, config_path=config_path
+    )
+    for i in range(5):
+        svc.insert_node(make_node(i, rng))
+    assert svc.index_file.exists()

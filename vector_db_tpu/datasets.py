@@ -157,7 +157,8 @@ def _embedding_like_device(
     for i, s in enumerate(range(0, n, chunk)):
         xc = make_chunk(jax.random.fold_in(kr, i), v)
         e = min(n, s + chunk)
-        out[s:e] = np.asarray(xc[: e - s])
+        from vector_db_tpu.runtime import device_pull
+        out[s:e] = device_pull(xc[: e - s])
     return out
 
 

@@ -15,6 +15,7 @@ from typing import List, Optional, Sequence, Set, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from vector_db_tpu.runtime import device_pull
 from vector_db_tpu.ops.exact import (
     approx_search_tiled,
     exact_search,
@@ -143,7 +144,7 @@ class FlatIndex:
                 e = jnp.where(v[:, None], e, 0.0)
                 return jnp.dot(e.T, e, preferred_element_type=jnp.float32)
 
-            cov = np.asarray(cov_fn(emb, valid)) / max(1, self.size)
+            cov = device_pull(cov_fn(emb, valid)) / max(1, self.size)
             _, v = np.linalg.eigh(cov.astype(np.float64))
             ds = min(dims, emb.shape[1])
             proj = jnp.asarray(v[:, ::-1][:, :ds].astype(np.float32))

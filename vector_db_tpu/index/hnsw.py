@@ -26,6 +26,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
+import os
 import random
 from pathlib import Path
 from typing import List, Optional, Sequence, Set, Tuple, Union
@@ -34,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vector_db_tpu.index import hnsw_kernels as K
+from vector_db_tpu.runtime import device_pull
 from vector_db_tpu.storage import InMemoryNodeStorage, NodeStorage
 from vector_db_tpu.storage.device_store import DeviceVectorStore
 from vector_db_tpu.types import Node
@@ -108,7 +110,7 @@ def _clustered_forward(
     emb_pad = np.zeros((n + pad, dim), np.float32)
     emb_pad[:n] = embeddings
     emb_dev = jnp.asarray(emb_pad)
-    assign = np.asarray(
+    assign = device_pull(
         assign_topk_clusters(emb_dev, cents, k=spill, chunk=chunk)
     )[:n]
 
@@ -155,7 +157,7 @@ def _clustered_forward(
         # pad rows may have picked up edges via their zero vectors; real
         # rows never reference pads (cand ids come from real rows' edges)
         fwd_d, fwd_i = fd_pad[:n], fi_pad[:n]
-    return np.asarray(fwd_d[:n]), np.asarray(fwd_i[:n])
+    return device_pull(fwd_d[:n]), device_pull(fwd_i[:n])
 
 
 class HNSW:
@@ -422,8 +424,8 @@ class HNSW:
                         jnp.asarray(pe_src), jnp.asarray(fd_p),
                         jnp.asarray(fi_p), deg=deg, chunk=p_chunk,
                         alpha=alpha)
-                    fwd_d = np.asarray(od[: sub.size])
-                    fwd_i = np.asarray(oi[: sub.size])
+                    fwd_d = device_pull(od)[: sub.size]
+                    fwd_i = device_pull(oi)[: sub.size]
             elif sub.size <= host_threshold:
                 # tiny level: plain numpy, naive closest-deg selection (the
                 # reference's own selection rule, hnsw.py:136-141)
@@ -454,8 +456,8 @@ class HNSW:
                     jnp.asarray(pe), jnp.asarray(pv), deg=deg,
                     k_cand=k_cand, chunk=chunk, alpha=alpha,
                 )
-                fwd_d = np.asarray(fd[: sub.size])
-                fwd_i = np.asarray(fi[: sub.size])
+                fwd_d = device_pull(fd)[: sub.size]
+                fwd_i = device_pull(fi)[: sub.size]
 
             rows = _reverse_merge(fwd_i, fwd_d, width)
             mapped = np.where(rows >= 0, slots[sub][np.maximum(rows, 0)], -1)
@@ -578,7 +580,7 @@ class HNSW:
         rng = np.random.default_rng(seed)
         if live_slots.size > 131072:
             live_slots = rng.choice(live_slots, 131072, replace=False)
-        sample = np.asarray(self._emb[jnp.asarray(live_slots)])
+        sample = device_pull(self._emb[jnp.asarray(live_slots)])
         self._pq.train(sample, seed=seed, restarts=restarts,
                        opq_iters=opq_iters)
         # encode the whole device table in one streaming program (invalid
@@ -686,7 +688,7 @@ class HNSW:
             return c, jnp.sum(valid.astype(jnp.float32))
 
         c, n = cov_fn(self._emb, self._has_emb)
-        cov = np.asarray(c) / max(1.0, float(n))
+        cov = device_pull(c) / max(1.0, float(n))
         _, v = np.linalg.eigh(cov.astype(np.float64))
         return jnp.asarray(v[:, ::-1][:, :dims].astype(np.float32))
 
@@ -738,7 +740,7 @@ class HNSW:
                     self._store.emb, self._has_emb, self._wb_proj)
             else:
                 self._wb_inline_tabs = None
-            levels = np.asarray(self.graph.levels)
+            levels = device_pull(self.graph.levels)
             live = np.nonzero(levels >= 0)[0]
             order = live[np.argsort(-levels[live], kind="stable")]
             s = min(self._wb_n_seeds, order.size)
@@ -1242,45 +1244,70 @@ class HNSW:
         return [int(self._id_of_slot[s]) for s in row if s >= 0]
 
     # ------------------------------------------------------------------
+    def snapshot_for_save(self) -> Optional[dict]:
+        """Capture a consistent point-in-time view of the index for a
+        (possibly deferred) checkpoint write. Cheap: device arrays are
+        immutable jnp values (mutation swaps whole arrays), so holding
+        refs IS the snapshot; only the mutable host-side id map needs a
+        copy. Lets a background flusher write the checkpoint while the
+        next ingest batch runs — a sync flush serializes a multi-second
+        device->host pull into every post-threshold batch."""
+        if self.index_file is None or self.graph is None:
+            return None
+        snap = {
+            "neighbors": self.graph.neighbors,
+            "levels": self.graph.levels,
+            "entry": self.graph.entry,
+            "entry_level": self.graph.entry_level,
+            "id_of_slot": self._id_of_slot.copy(),
+            "M": self.M,
+            "ef_construction": self.ef_construction,
+            "l_max": self.l_max,
+        }
+        # trained auxiliary state (same pattern as IvfIndex save_index):
+        # PCA projections and PQ codebooks are minutes of training at 1M
+        # scale — a reloaded index must not silently retrain on first
+        # search. Mirrors/codes regenerate from the embedding table in
+        # one streaming device program.
+        if getattr(self, "_rp_proj", None) is not None:
+            snap["rp_proj"] = self._rp_proj
+        if getattr(self, "_wb_proj", None) is not None:
+            snap["wb_proj"] = self._wb_proj
+        if hasattr(self, "_wb_n_seeds"):
+            snap["wb_n_seeds"] = np.asarray(self._wb_n_seeds)
+        pq = getattr(self, "_pq", None)
+        if pq is not None and pq.codebooks is not None:
+            snap["pq_codebooks"] = pq.codebooks
+            if pq.rotation is not None:
+                snap["pq_rotation"] = pq.rotation
+        return snap
+
+    def write_snapshot(self, snap: dict) -> None:
+        """Write a snapshot from :meth:`snapshot_for_save` to the index
+        file. Heavy half of a checkpoint (device->host pull + npz write);
+        safe to run off-thread. Writes to a temp file then renames, so a
+        crash mid-write never corrupts the previous checkpoint."""
+        self.index_file.parent.mkdir(parents=True, exist_ok=True)
+        f32_keys = ("rp_proj", "wb_proj", "pq_codebooks", "pq_rotation")
+        arrays = {}
+        for k, v in snap.items():
+            if not isinstance(v, (int, float, np.ndarray)):
+                v = device_pull(v)
+            arrays[k] = v.astype(np.float32) if k in f32_keys else v
+        # uncompressed: threshold flushes fire once per ingest batch, and
+        # zlib over a 1M-capacity int32 graph costs seconds per flush —
+        # write time matters more than disk bytes on the serving path
+        tmp = self.index_file.with_name(self.index_file.name + ".tmp.npz")
+        np.savez(tmp, **arrays)
+        os.replace(tmp, self.index_file)
+
     def save_index(self) -> None:
         """Persist graph structure + hyperparams (reference save_index,
         hnsw.py:376-398 — pickle there, npz of the tables here). Embeddings
         are NOT saved: they live in storage, as in the reference."""
-        if self.index_file is None or self.graph is None:
-            return
-        self.index_file.parent.mkdir(parents=True, exist_ok=True)
-        extra = {}
-        # persist trained auxiliary state (same pattern as IvfIndex
-        # save_index): PCA projections and PQ codebooks are minutes of
-        # training at 1M scale — a reloaded index must not silently
-        # retrain on first search. Mirrors/codes regenerate from the
-        # embedding table in one streaming device program.
-        if getattr(self, "_rp_proj", None) is not None:
-            extra["rp_proj"] = np.asarray(self._rp_proj, np.float32)
-        if getattr(self, "_wb_proj", None) is not None:
-            extra["wb_proj"] = np.asarray(self._wb_proj, np.float32)
-        if hasattr(self, "_wb_n_seeds"):
-            extra["wb_n_seeds"] = np.asarray(self._wb_n_seeds)
-        pq = getattr(self, "_pq", None)
-        if pq is not None and pq.codebooks is not None:
-            extra["pq_codebooks"] = np.asarray(pq.codebooks, np.float32)
-            if pq.rotation is not None:
-                extra["pq_rotation"] = np.asarray(pq.rotation, np.float32)
-        # uncompressed: threshold flushes fire once per ingest batch, and
-        # zlib over a 1M-capacity int32 graph costs seconds per flush —
-        # write time matters more than disk bytes on the serving path
-        np.savez(
-            self.index_file,
-            neighbors=np.asarray(self.graph.neighbors),
-            levels=np.asarray(self.graph.levels),
-            entry=np.asarray(self.graph.entry),
-            entry_level=np.asarray(self.graph.entry_level),
-            id_of_slot=self._id_of_slot,
-            M=self.M,
-            ef_construction=self.ef_construction,
-            l_max=self.l_max,
-            **extra,
-        )
+        snap = self.snapshot_for_save()
+        if snap is not None:
+            self.write_snapshot(snap)
 
     def load_index(self) -> None:
         """Load graph structure; embeddings re-fetched from storage per live

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vector_db_tpu.runtime import device_pull
 from vector_db_tpu.ops.distance import BIG, gather_l2_sq, l2_sq_pairwise
 from vector_db_tpu.ops.kmeans import kmeans
 from vector_db_tpu.ops.topk import masked_top_k_smallest, merge_top_k
@@ -950,7 +951,7 @@ class IvfIndex:
         )
         self.centroids = np.asarray(cents)
         self._centroids_dev = cents
-        labels = np.asarray(labels)
+        labels = device_pull(labels)
 
         self.inverted_lists = [[] for _ in range(self.k)]
         for nid, label in zip(ids, labels):
@@ -1023,7 +1024,7 @@ class IvfIndex:
         spill = max(1, min(int(spill), self.k))
         n_cand = max(spill, min(assign_candidates, self.k))
         tile = 65536 if n >= 65536 else max(256, 1 << (n - 1).bit_length())
-        cand = np.asarray(assign_tiled(
+        cand = device_pull(assign_tiled(
             jnp.asarray(embeddings), cents, tile=tile, n_cand=n_cand
         ))
         labels = self._balanced_assign(cand, list_cap_alpha)
@@ -1239,13 +1240,13 @@ class IvfIndex:
                 "spilled (multi-assigned) copies; use enable_rp() for "
                 "spilled indexes, or enable_pq(residual=False)"
             )
-        live = np.asarray(self._has_emb)
+        live = device_pull(self._has_emb)
         n_live = int(live.sum())
         ksub = min(ksub, max(2, n_live))
         if ksub > 256:
             raise ValueError("ksub must be <= 256 (codes are uint8)")
         self._pq = PQCodec(k=ksub, chunks=chunks, dim=self._dim)
-        emb_np = np.asarray(self._emb)
+        emb_np = device_pull(self._emb)
         slot_cell = self._slot_cell_table() if residual else None
         if residual:
             live = live & (slot_cell >= 0)
@@ -1276,9 +1277,9 @@ class IvfIndex:
                 self._pq.codebooks, chunk=chunk, rotation=rot,
             )
             self._sx_np = np.array(sx, np.float32)  # writable copy
-            enc = np.asarray(codes)
+            enc = device_pull(codes)
         else:
-            enc = np.asarray(_encode_scan(
+            enc = device_pull(_encode_scan(
                 self._emb, self._pq.codebooks, chunk=chunk, rotation=rot,
             ))
             self._sx_np = None
@@ -1305,7 +1306,7 @@ class IvfIndex:
         if dims <= 0:
             raise ValueError("dims must be positive")
         slot_cell = self._slot_cell_table()
-        live = np.asarray(self._has_emb) & (slot_cell >= 0)
+        live = device_pull(self._has_emb) & (slot_cell >= 0)
         rows = np.flatnonzero(live)
         if rows.size == 0:
             raise ValueError("no live vectors to train the projection")
@@ -1320,7 +1321,7 @@ class IvfIndex:
         cells_dev = jnp.asarray(slot_cell[rows].astype(np.int32))
         res_dev = (self._emb[rows_dev]
                    - jnp.asarray(self.centroids)[cells_dev])
-        cov = np.asarray(jnp.dot(
+        cov = device_pull(jnp.dot(
             res_dev.T, res_dev, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)) / max(1, rows.shape[0])
         w, v = np.linalg.eigh(cov.astype(np.float64))
@@ -1650,9 +1651,9 @@ class IvfIndex:
                 self._pq.codebooks, chunk=chunk, rotation=rot,
             )
             self._sx_np = np.array(sx, np.float32)
-            enc = np.asarray(codes)
+            enc = device_pull(codes)
         else:
-            enc = np.asarray(_encode_scan(
+            enc = device_pull(_encode_scan(
                 self._emb, self._pq.codebooks, chunk=chunk, rotation=rot,
             ))
             self._sx_np = None

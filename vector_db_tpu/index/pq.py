@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vector_db_tpu.runtime import device_pull
 from vector_db_tpu.ops.distance import BIG, l2_sq_pairwise
 from vector_db_tpu.ops.kmeans import kmeans_multi
 from vector_db_tpu.ops.topk import masked_top_k_smallest
@@ -322,7 +323,7 @@ class PQCodec:
         if self.codebooks is None:
             raise ValueError("Codec must be trained before encoding")
         sub = self._subspaces(embeddings.astype(np.float32))
-        return np.asarray(_encode(sub, self.codebooks))
+        return device_pull(_encode(sub, self.codebooks))
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         if self.codebooks is None:
@@ -331,7 +332,7 @@ class PQCodec:
         if self.rotation is not None:  # back to the original space
             out = jnp.dot(out, self.rotation.T,
                           preferred_element_type=jnp.float32)
-        return np.asarray(out)
+        return device_pull(out)
 
     def rotate_queries(self, queries: np.ndarray) -> jnp.ndarray:
         """Queries mapped into the (rotated) code space; identity when no
@@ -383,7 +384,7 @@ class PQCodec:
                             interpret=interp)
         else:
             d, i = _adc_search(lut, codes, valid, int(top_k))
-        return np.asarray(d), np.asarray(i)
+        return device_pull(d), device_pull(i)
 
 
 class ProductQuantizationService:
@@ -415,7 +416,7 @@ class ProductQuantizationService:
         (pq.py:36-37, 74-75)."""
         if self._codec.codebooks is None:
             return None
-        return [np.asarray(cb) for cb in self._codec.codebooks]
+        return [device_pull(cb) for cb in self._codec.codebooks]
 
     def compress(self, embeddings: np.ndarray, seed: int = 0) -> np.ndarray:
         self._codec._validate(embeddings)

@@ -31,6 +31,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vector_db_tpu.index import hnsw_kernels as K
+from vector_db_tpu.runtime import device_pull
 from vector_db_tpu.ops.distance import BIG, l2_sq_pairwise
 from vector_db_tpu.ops.topk import masked_top_k_smallest
 from vector_db_tpu.parallel.mesh import SHARD_AXIS, make_mesh
@@ -937,14 +938,14 @@ class ShardedHNSW:
 
         _np.savez_compressed(
             path,
-            neighbors=_np.asarray(self._neighbors),
-            levels=_np.asarray(self._levels),
-            entry=_np.asarray(self._entry),
-            entry_level=_np.asarray(self._entry_level),
-            emb=_np.asarray(self._emb),
-            has_emb=_np.asarray(self._has_emb),
+            neighbors=device_pull(self._neighbors),
+            levels=device_pull(self._levels),
+            entry=device_pull(self._entry),
+            entry_level=device_pull(self._entry_level),
+            emb=device_pull(self._emb),
+            has_emb=device_pull(self._has_emb),
             id_of_gslot=self._id_of_gslot,
-            next_in_shard=_np.asarray(self._next_in_shard),
+            next_in_shard=device_pull(self._next_in_shard),
             rr=self._rr,
             M=self.M, efc=self.efc, l_max=self.l_max, cap=self.cap,
             n_shards=self.n_shards,

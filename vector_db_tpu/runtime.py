@@ -27,6 +27,24 @@ def apply_device(device: str) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+def device_pull(x):
+    """Fetch a device array to host as a numpy array — ALWAYS use this
+    (never ``np.asarray``) for anything bigger than a few MB.
+
+    On the tunneled TPU backend ``np.asarray(jax_array)`` routes through a
+    chunked per-round-trip protocol that measured **0.2 MB/s** on a 58 MB
+    incompressible int32 table (339 s), while ``jax.device_get`` on the
+    same array moves ~30 MB/s (1.9 s) — a 177x gap. Checkpoint flushes,
+    PQ code pulls, and corpus materialisation all sit on this path.
+    Host-resident inputs (numpy arrays, lists) pass through unchanged.
+    """
+    import numpy as np
+
+    if isinstance(x, jax.Array):
+        return np.asarray(jax.device_get(x))
+    return np.asarray(x)
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> str:
     """Enable the persistent XLA compilation cache.
 

@@ -139,13 +139,14 @@ class AutoTuner:
         pick = rng.choice(ids, size=take, replace=False)
         slots = np.asarray([index._slot_of_id[int(i)] for i in pick],
                            np.int64)
-        q = np.asarray(index._emb[jnp.asarray(slots)], np.float32)
+        from vector_db_tpu.runtime import device_pull
+        q = device_pull(index._emb[jnp.asarray(slots)]).astype(np.float32)
         # self-exclusion: ask for k+1 exact neighbors, drop the query row
         cap = index._emb.shape[0]
         _, gt_slots = exact_search_tiled(
             jnp.asarray(q), index._emb, index._has_emb, self.k + 1,
             tile=min(cap, 32768))
-        gt_slots = np.asarray(gt_slots)
+        gt_slots = device_pull(gt_slots)
         id_of_slot = np.asarray(index._id_of_slot)
         gt_ids = np.where(gt_slots >= 0,
                           id_of_slot[np.maximum(gt_slots, 0)], -1)

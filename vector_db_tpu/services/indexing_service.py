@@ -14,6 +14,7 @@ device program per batch) and ``search_batch`` passthrough.
 
 from __future__ import annotations
 
+import logging
 import random
 import threading
 from pathlib import Path
@@ -25,6 +26,8 @@ from vector_db_tpu.config import load_config
 from vector_db_tpu.index.hnsw import HNSW
 from vector_db_tpu.storage import MMapNodeStorage, NodeStorage
 from vector_db_tpu.types import Node
+
+logger = logging.getLogger(__name__)
 
 
 class IndexingService:
@@ -220,6 +223,20 @@ class IndexingService:
         # the id<->slot maps and storage mutate in place (the reference has
         # no locking at all, SURVEY.md §5 — concurrent writers would race).
         self._lock = threading.RLock()
+        # Async threshold flush for BATCHED inserts (index.flush_async,
+        # default on): checkpoint writes pull multi-MB graph tables
+        # device->host — serializing that into every post-threshold batch
+        # cut service ingest to ~1/5 of engine speed (BENCH_TIERED r3).
+        # A single worker writes the latest snapshot (latest-wins; device
+        # arrays are immutable so a snapshot is just refs + an id-map
+        # copy). The reference-parity single-node path still flushes
+        # synchronously (reference indexing_service.py:137-144: file
+        # exists as soon as the threshold-crossing insert returns).
+        self._flush_async = bool(index_config.get("flush_async", True))
+        self._flush_cv = threading.Condition()
+        self._flush_pending: Optional[dict] = None
+        self._flush_busy = False
+        self._flush_thread: Optional[threading.Thread] = None
 
     def is_index_loaded(self) -> bool:
         return self._index_loaded
@@ -233,9 +250,10 @@ class IndexingService:
         if not nodes:
             return
         with self._lock:
-            self._insert_nodes_locked(nodes)
+            self._insert_nodes_locked(nodes, batched=len(nodes) > 1)
 
-    def _insert_nodes_locked(self, nodes: Sequence[Node]) -> None:
+    def _insert_nodes_locked(self, nodes: Sequence[Node],
+                             batched: bool = False) -> None:
         if self.index_type == "ivf":
             self._ivf_insert(nodes)
         elif (
@@ -263,7 +281,10 @@ class IndexingService:
         self._index_modified = True
         self._pq_stale = True
         if self._should_flush():
-            self.save_index()
+            if batched and self._flush_async:
+                self._schedule_flush()
+            else:
+                self.save_index()
 
     def _save_nodes(self, nodes: Sequence[Node]) -> None:
         """Persist a batch through storage.save_many when available (one
@@ -603,14 +624,62 @@ class IndexingService:
         return bool(mk)
 
     def save_index(self) -> None:
+        self.wait_for_flush()  # one checkpoint writer at a time
         with self._lock:
             if self._index_modified:
                 self._do_save()
                 self._index_modified = False
 
     def force_save_index(self) -> None:
+        self.wait_for_flush()
         self._do_save()
         self._index_modified = False
+
+    # -- async threshold flush (batched ingest path) ----------------------
+    def _schedule_flush(self) -> None:
+        """Queue the current index state for a background checkpoint write
+        (latest-wins). Falls back to a synchronous save for index types
+        without snapshot support. Called under self._lock."""
+        snapshot = getattr(self.index, "snapshot_for_save", None)
+        if snapshot is None:
+            self.save_index()
+            return
+        snap = snapshot()
+        if snap is None:
+            return
+        with self._flush_cv:
+            self._flush_pending = snap
+            if self._flush_thread is None or not self._flush_thread.is_alive():
+                self._flush_thread = threading.Thread(
+                    target=self._flush_worker, daemon=True,
+                    name="vdb-flush")
+                self._flush_thread.start()
+            self._flush_cv.notify_all()
+        self._index_modified = False
+
+    def _flush_worker(self) -> None:
+        while True:
+            with self._flush_cv:
+                while self._flush_pending is None:
+                    self._flush_cv.wait()
+                snap = self._flush_pending
+                self._flush_pending = None
+                self._flush_busy = True
+            try:
+                self.index.write_snapshot(snap)
+            except Exception:  # pragma: no cover - logged, not fatal
+                logger.exception("async index flush failed")
+            finally:
+                with self._flush_cv:
+                    self._flush_busy = False
+                    self._flush_cv.notify_all()
+
+    def wait_for_flush(self) -> None:
+        """Block until no background checkpoint write is queued or in
+        flight (used before shutdown / reopen / synchronous saves)."""
+        with self._flush_cv:
+            while self._flush_pending is not None or self._flush_busy:
+                self._flush_cv.wait()
 
     def _do_save(self) -> None:
         if self.index_type == "sharded-hnsw":
