@@ -482,6 +482,88 @@ def block_select_search_3p(
     return out_d, out_i
 
 
+@partial(jax.jit, static_argnames=("k", "block", "m", "rows_k",
+                                   "p1_tile", "p1_qtile"))
+def block_select_search_2p(
+    queries: jnp.ndarray,    # f32[B, dim]
+    score_tab: jnp.ndarray,  # bf16[N, ds] phase-1 mirror table
+    score_q: jnp.ndarray,    # f32[B, ds] queries in score space
+    x_sq: jnp.ndarray,       # f32[N] full-space row norms
+    emb: jnp.ndarray,        # f32[N, dim] exact rerank table
+    valid: jnp.ndarray,      # bool[N]
+    k: int,
+    block: int = 128,
+    m: int = 4,
+    rows_k: int = 0,
+    p1_tile: int = 4096,
+    p1_qtile: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-phase exact search: fused per-block top-m scan, exact rescore.
+
+    Successor to :func:`block_select_search_3p` for the recall-1.0
+    serving path. The 3-phase pipeline spends most of its time OUTSIDE
+    the Pallas kernel — block selection, the [B, blocks_k, block, ds]
+    mirror gather, the per-row rescore, and a second top-k
+    (EXP_P1.json "stages": 31k -> 27k -> 15.5k per-call QPS as stages
+    accumulate). Here the kernel (ops/pallas/block_topm.py) emits the
+    ``m`` best mirror rows per 128-row block directly, so the pipeline
+    collapses to:
+
+      phase 1: streaming fused scan -> per-block top-m estimates
+        (f32[B, N/block*m]) with global row ids;
+      phase 2: one ``lax.top_k`` picks the best ``rows_k`` estimates,
+        whose rows are fetched from the f32 table and scored exactly
+        (HIGHEST) before the final top-k cut.
+
+    Candidate contract: a true top-k row is found iff it is within the
+    best ``m`` mirror rows of its own block and the best ``rows_k``
+    mirror estimates overall — the same estimate->exact margin as the
+    3-phase path's ``rows_k``, plus an in-block rank-m condition that
+    only bites when >m true neighbors share one slot-order block
+    (slot order is uncorrelated with query neighborhoods; measured
+    recall 1.0 at 1M x 768 with m=4, rows_k=80 — EXP_2P.json).
+
+    Exactness semantics match the reference's recall-1.0 search contract
+    (reference hnsw.py:89-134 / indexing flat scan) with exact final
+    distances; only candidate selection runs in the bf16 mirror.
+
+    Returns (d_sq f32[B, k], ids int32[B, k]) ascending, (BIG, -1) pad.
+    """
+    from vector_db_tpu.ops.pallas.block_topm import block_topm_scan
+
+    n, dim = emb.shape
+    b = queries.shape[0]
+    rows_k = rows_k or 8 * k
+
+    xsq_eff = jnp.where(valid, x_sq, 2.0e38)
+    est, rows = block_topm_scan(
+        score_q, score_tab, xsq_eff, block=block, m=m,
+        tile=min(p1_tile, _round_up(n, block)),
+        qtile=min(p1_qtile, _round_up(b, 128)))
+    rows_k = min(rows_k, est.shape[1])
+
+    neg, pos = jax.lax.top_k(-est, rows_k)               # [B, rows_k]
+    cand = jnp.take_along_axis(rows, pos, axis=1)
+    # padded / invalid rows carry estimates >= 1e37 (xsq_eff mask)
+    live = (-neg) < BIG_THRESH_LOCAL
+    cand = jnp.where(live, jnp.minimum(cand, n - 1), 0)
+
+    crows = emb[cand]                                    # [B, rows_k, dim]
+    d = (
+        jnp.sum(crows * crows, axis=-1)
+        - 2.0 * jnp.einsum("brd,bd->br", crows, queries,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        + jnp.sum(queries * queries, axis=-1, keepdims=True)
+    )
+    d = jnp.where(live, jnp.maximum(d, 0.0), BIG)
+    negd, posd = jax.lax.top_k(-d, k)
+    out_d = -negd
+    out_i = jnp.take_along_axis(cand, posd, axis=1)
+    out_i = jnp.where(out_d < BIG_THRESH_LOCAL, out_i, -1)
+    return out_d, out_i
+
+
 @partial(jax.jit, static_argnames=())
 def rescore_exact(
     queries: jnp.ndarray,
