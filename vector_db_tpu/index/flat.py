@@ -39,6 +39,8 @@ class FlatIndex:
         index_file=None,
         metric: str = "l2",
         precision: str = "f32",
+        bf16_guard: str = "warn",
+        bf16_guard_recall: float = 0.9,
     ) -> None:
         if metric not in ("l2", "cosine"):
             raise ValueError(f"Unknown metric: {metric}")
@@ -62,6 +64,21 @@ class FlatIndex:
         # scan. The mirror (PCA projection + projected table) rebuilds
         # lazily after mutations.
         self.precision = precision
+        if bf16_guard not in ("warn", "refuse", "off"):
+            raise ValueError(f"Unknown bf16_guard: {bf16_guard}")
+        # bf16 selection noise exceeds neighbor gaps on unnormalized
+        # low-dim corpora (measured: recall@10 0.61 on a SIFT-like
+        # 128-d corpus vs 0.997 at clustered 768-d — the truncation
+        # error scales with ||x||^2 while neighbor gaps don't). A user
+        # who pins precision="bf16" without autotune gets no signal, so
+        # the mirror self-calibrates: live rows are queried against
+        # both the bf16 and the exact path and the measured recall is
+        # kept in ``bf16_calibration``; below ``bf16_guard_recall`` the
+        # guard warns (default) or refuses.
+        self.bf16_guard = bf16_guard
+        self.bf16_guard_recall = float(bf16_guard_recall)
+        self.bf16_calibration: Optional[float] = None
+        self._calibrated_size = 0
         self.storage = storage or InMemoryNodeStorage()
         self.index_file = Path(index_file) if index_file else None
         self._store = DeviceVectorStore(capacity=capacity)
@@ -156,6 +173,51 @@ class FlatIndex:
             self._proj_stale = False
         return self._proj
 
+    def _calibrate_bf16(self) -> None:
+        """Self-check the bf16 mirror: recall@10 of bf16 selection vs the
+        exact scan on up to 64 live rows, re-run when the corpus doubles.
+        Warns (or refuses, per ``bf16_guard``) below ``bf16_guard_recall``
+        — the failure this catches is silent: bf16 truncation noise
+        exceeding neighbor gaps on unnormalized corpora (CLAUDE.md;
+        BENCH_SIFT bf16_scan 0.6146 at 128-d vs 0.997 at 768-d)."""
+        if self.bf16_guard == "off" or self.size < 256:
+            return
+        if self._calibrated_size and self.size < 2 * self._calibrated_size:
+            return
+        import warnings
+
+        nq, kcal = 64, 10
+        valid = self._store.valid
+        slots = jnp.nonzero(valid, size=nq, fill_value=0)[0]
+        qcal = self._store.emb[slots]
+        emb16, x_sq = self._bf16_mirror()
+        _, approx = approx_search_tiled(
+            qcal, emb16, valid, kcal,
+            tile=min(self._store.capacity, 125000), x_sq=x_sq)
+        _, exact = exact_search_tiled(
+            qcal, self._store.emb, valid, kcal,
+            tile=min(self._store.capacity, 65536))
+        a, e = device_pull(approx), device_pull(exact)
+        hits = sum(
+            len(set(a[i].tolist()) & set(e[i].tolist())) for i in range(nq)
+        )
+        want = int((e >= 0).sum())
+        self.bf16_calibration = hits / max(1, want)
+        self._calibrated_size = self.size
+        if self.bf16_calibration < self.bf16_guard_recall:
+            msg = (
+                f"bf16 scan calibration recall@{kcal} = "
+                f"{self.bf16_calibration:.3f} < {self.bf16_guard_recall} "
+                f"on {self.size} live rows: bf16 truncation noise exceeds "
+                "this corpus's neighbor gaps (typical on unnormalized "
+                "low-dim data). Use precision='blocksel' (exact, "
+                "comparable QPS) or 'f32', or normalize the corpus. Set "
+                "bf16_guard='off' to silence."
+            )
+            if self.bf16_guard == "refuse":
+                raise RuntimeError(msg)
+            warnings.warn(msg, stacklevel=3)
+
     def search_batch(
         self,
         queries: np.ndarray,
@@ -176,6 +238,7 @@ class FlatIndex:
         if filter_ids is not None:
             valid = valid & jnp.asarray(self._store.filter_mask(filter_ids))
         if self.precision == "bf16":
+            self._calibrate_bf16()
             emb16, x_sq = self._bf16_mirror()
             d_sq, slots = approx_search_tiled(
                 jnp.asarray(q), emb16, valid, k,

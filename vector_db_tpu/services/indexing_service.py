@@ -171,6 +171,9 @@ class IndexingService:
                 storage=storage, index_file=self.index_file,
                 metric=str(index_config.get("metric", "l2")),
                 precision=str(index_config.get("precision", "f32")),
+                bf16_guard=str(index_config.get("bf16_guard", "warn")),
+                bf16_guard_recall=float(
+                    index_config.get("bf16_guard_recall", 0.9)),
             )
             if self.index_file.exists():
                 self.index.load_index()
