@@ -354,3 +354,48 @@ def test_sharded_ivf_probe(rng):
     idx.delete(3)
     _, ids2 = idx.search_batch(x[3:4], k=3, n_probe=4)
     assert 3 not in ids2[0]
+
+
+def test_sharded_hnsw_save_load_roundtrip(rng, tmp_path):
+    """Sharded resume story (reference analog: storage.py:146-161 +
+    hnsw.py pickle round-trip): save -> fresh mesh object -> load ->
+    identical search results, and the loaded index keeps ingesting."""
+    mesh = make_mesh()
+    idx = ShardedHNSW(M=8, ef_construction=50, mesh=mesh, dim=16,
+                      capacity_per_shard=64)
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    idx.bulk_build(list(range(200)), x[:200])
+    idx.insert(list(range(200, 300)), x[200:])  # mixed build paths
+    idx.delete(17)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    d0, i0 = idx.search_batch(q, k=5, ef=50)
+
+    path = tmp_path / "sharded.npz"
+    idx.save_index(path)
+
+    idx2 = ShardedHNSW(M=8, ef_construction=50, mesh=make_mesh(), dim=16,
+                       capacity_per_shard=64)
+    idx2.load_index(path)
+    assert idx2.size == idx.size
+    d1, i1 = idx2.search_batch(q, k=5, ef=50)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+    assert not np.any(i1 == 17)  # tombstone survives the round-trip
+
+    # the resumed index accepts new inserts and routes around used slots
+    idx2.insert([500], x[:1] + 0.001)
+    _, ids = idx2.search_batch(x[:1], k=2, ef=50)
+    assert set(ids[0].tolist()) == {0, 500}
+
+
+def test_sharded_hnsw_load_rejects_mesh_mismatch(rng, tmp_path):
+    idx = ShardedHNSW(M=4, ef_construction=30, mesh=make_mesh(), dim=8,
+                      capacity_per_shard=32)
+    x = rng.standard_normal((40, 8)).astype(np.float32)
+    idx.bulk_build(list(range(40)), x)
+    path = tmp_path / "s.npz"
+    idx.save_index(path)
+    other = ShardedHNSW(M=4, ef_construction=30, mesh=make_mesh(), dim=8,
+                        capacity_per_shard=16)  # different capacity
+    with pytest.raises(ValueError, match="Mesh/capacity mismatch"):
+        other.load_index(path)
