@@ -85,9 +85,10 @@ def main():
         q_sq = jnp.sum(qs * qs, axis=1)
 
         def body(carry, ci):
-            bd, bi = carry
+            bd, bi, fd_c, fi_c = carry
             x = gen(jax.random.fold_in(k_chunks, ci), CHUNK)
-            row_ok = (ci * CHUNK + jnp.arange(CHUNK)) < N
+            gids = ci * CHUNK + jnp.arange(CHUNK)
+            row_ok = gids < N
             xsq = jnp.where(row_ok, jnp.sum(x * x, axis=1), 3e38)
             # exact GT fold (HIGHEST: the oracle must be trustworthy)
             cross = jnp.dot(qs, x.T, precision=jax.lax.Precision.HIGHEST,
@@ -99,6 +100,16 @@ def main():
                 jnp.concatenate([-bd, nd], axis=1), K)
             mids = jnp.take_along_axis(
                 jnp.concatenate([bi, ids], axis=1), mi, axis=1)
+            # filtered GT fold (metadata-filter analog: allow ids%10==0,
+            # the reference's filter-navigates-but-excludes contract at
+            # 10% selectivity — hnsw.py:96-97,127-131)
+            d_f = jnp.where((gids % 10 == 0)[None, :], d, 3e38)
+            nfd, fpos = jax.lax.top_k(-d_f, K)
+            fids = ci * CHUNK + fpos
+            mfd, mfi = jax.lax.top_k(
+                jnp.concatenate([-fd_c, nfd], axis=1), K)
+            mfids = jnp.take_along_axis(
+                jnp.concatenate([fi_c, fids], axis=1), mfi, axis=1)
             # aug mirror row
             xm = jnp.dot(x, proj, preferred_element_type=jnp.float32)
             aug = jnp.zeros((CHUNK, DP + 8), jnp.bfloat16)
@@ -107,25 +118,28 @@ def main():
             # int8 full-dim mirror
             scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-9) / 127.0
             xi8 = jnp.round(x / scale[:, None]).astype(jnp.int8)
-            return (-md, mids), (aug, xi8, scale.astype(jnp.float32),
-                                 jnp.where(row_ok, jnp.sum(x * x, axis=1),
-                                           3e38))
+            return ((-md, mids, -mfd, mfids),
+                    (aug, xi8, scale.astype(jnp.float32),
+                     jnp.where(row_ok, jnp.sum(x * x, axis=1), 3e38)))
 
         init = (jnp.full((B, K), 3e38, jnp.float32),
+                jnp.full((B, K), -1, jnp.int32),
+                jnp.full((B, K), 3e38, jnp.float32),
                 jnp.full((B, K), -1, jnp.int32))
-        (gd, gi), (aug, xi8, scales, xsq) = jax.lax.scan(
+        (gd, gi, gfd, gfi), (aug, xi8, scales, xsq) = jax.lax.scan(
             body, init, jnp.arange(n_chunks, dtype=jnp.int32))
-        return (gd, gi, aug.reshape(N_pad, DP + 8),
+        return (gd, gi, gfi, aug.reshape(N_pad, DP + 8),
                 xi8.reshape(N_pad, DIM), scales.reshape(N_pad),
                 xsq.reshape(N_pad))
 
     log(f"building 10M tables on device ({n_chunks} chunks)...")
     t0 = time.perf_counter()
-    gd, gt, aug, xi8, scales, xsq = build_all(queries)
+    gd, gt, gt_f, aug, xi8, scales, xsq = build_all(queries)
     jax.block_until_ready(aug)
     build_s = time.perf_counter() - t0
     log(f"gen+gt+mirrors: {build_s:.0f}s")
     gt = np.asarray(gt)
+    gt_f = np.asarray(gt_f)
 
     # ---- two-stage search ----
     n_blocks = N_pad // 128
@@ -141,14 +155,16 @@ def main():
     # one dispatch covers all B queries: QS-query slices run inside a
     # lax.scan (per-call relay latency is ~1s; per-slice dispatch would
     # make the artifact latency-bound, not device-bound)
-    @partial(jax.jit, static_argnames=("blocks_k", "tile"))
-    def search(qs_all, qm_all, aug, xi8, scales, xsq, blocks_k,
-               tile=CHUNK * _mult):
+    @partial(jax.jit, static_argnames=("blocks_k", "tile", "qslice",
+                                       "filtered"))
+    def search(qs_all, qm_all, aug, xi8, scales, xsq, msk, blocks_k,
+               tile=CHUNK * _mult, qslice=QS, filtered=False):
         n_t = N_pad // tile
 
         def one_slice(_, qpair):
             qs, qm = qpair
-            qa = jnp.zeros((QS, DP + 8), jnp.bfloat16)
+            qn = qs.shape[0]
+            qa = jnp.zeros((qn, DP + 8), jnp.bfloat16)
             qa = qa.at[:, :DP].set(qm.astype(jnp.bfloat16))
             qa = qa.at[:, DP].set(1.0)
 
@@ -156,34 +172,47 @@ def main():
                 blk = jax.lax.dynamic_slice(
                     aug, (t * tile, 0), (tile, DP + 8))
                 d = jnp.dot(qa, blk.T, preferred_element_type=jnp.float32)
+                if filtered:
+                    pen = jax.lax.dynamic_slice(msk, (t * tile,), (tile,))
+                    d = d + pen[None, :]
                 return None, jnp.min(
-                    d.reshape(QS, tile // 128, 128), axis=-1)
+                    d.reshape(qn, tile // 128, 128), axis=-1)
 
             _, mins = jax.lax.scan(p1, None,
                                    jnp.arange(n_t, dtype=jnp.int32))
-            mins = jnp.moveaxis(mins, 0, 1).reshape(QS, n_blocks)
-            _, bidx = jax.lax.approx_min_k(mins, blocks_k)   # [QS, C]
+            mins = jnp.moveaxis(mins, 0, 1).reshape(qn, n_blocks)
+            _, bidx = jax.lax.approx_min_k(mins, blocks_k)   # [qn, C]
 
             # stage 2: int8 rerank of selected blocks
-            rows = xi8.reshape(n_blocks, 128, DIM)[bidx]   # [QS,C,128,DIM]
-            sc = scales.reshape(n_blocks, 128)[bidx]       # [QS, C, 128]
+            rows = xi8.reshape(n_blocks, 128, DIM)[bidx]   # [qn,C,128,DIM]
+            sc = scales.reshape(n_blocks, 128)[bidx]       # [qn, C, 128]
             xq = xsq.reshape(n_blocks, 128)[bidx]
             dots = jnp.einsum("qcbd,qd->qcb", rows.astype(jnp.bfloat16),
                               qs.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
             d = (xq - 2.0 * sc * dots
                  + jnp.sum(qs * qs, axis=1)[:, None, None])
-            d = d.reshape(QS, -1)
+            if filtered:
+                d = d + msk.reshape(n_blocks, 128)[bidx]
+            d = d.reshape(qn, -1)
             neg, pos = jax.lax.top_k(-d, K)
             ids = (bidx[:, :, None] * 128
                    + jnp.arange(128, dtype=jnp.int32)[None, None, :]
-                   ).reshape(QS, -1)
+                   ).reshape(qn, -1)
             return None, (-neg, jnp.take_along_axis(ids, pos, axis=1))
 
         _, (dd, ii) = jax.lax.scan(
             one_slice, None,
-            (qs_all.reshape(-1, QS, DIM), qm_all.reshape(-1, QS, DP)))
+            (qs_all.reshape(-1, qslice, DIM),
+             qm_all.reshape(-1, qslice, DP)))
         return dd.reshape(-1, K), ii.reshape(-1, K)
+
+    # filter penalty table: 0 where allowed (global id % 10 == 0), else
+    # +3e38 — folded into phase 1 AND the stage-2 rerank so excluded rows
+    # never surface (reference filter semantics, hnsw.py:96-97,127-131)
+    gids_all = jnp.arange(N_pad, dtype=jnp.int32)
+    msk_pen = jnp.where((gids_all % 10 == 0) & (gids_all < N),
+                        0.0, 3.0e38).astype(jnp.float32)
 
     results = {"N": N, "dim": DIM, "dp": DP, "build_s": build_s,
                "memory_gb": {
@@ -191,24 +220,130 @@ def main():
                    "int8_mirror": round(N_pad * DIM / 1e9, 2),
                },
                "ops": []}
-    for C in (16, 32, 64):
-        d, ids = search(queries, qm, aug, xi8, scales, xsq, C)
-        ids = np.asarray(ids)
-        rec = float(np.mean([
-            len(set(ids[i].tolist()) & set(gt[i].tolist())) / K
-            for i in range(B)]))
+    def save():
+        Path("BENCH_10M.json").write_text(json.dumps(results, indent=2))
+
+    def recall_vs(ids, oracle):
+        return float(np.mean([
+            len(set(ids[i].tolist()) & set(oracle[i].tolist())) / K
+            for i in range(len(oracle))]))
+
+    op_qps = {}
+    for C in (8, 16, 32, 64):
+        d, ids = search(queries, qm, aug, xi8, scales, xsq, msk_pen, C)
+        rec = recall_vs(np.asarray(ids), gt)
         ts = []
         for r in range(3):
             qv = queries * (1.0 + (r + 1) * 1e-6)
             qmv = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
             t0 = time.perf_counter()
-            jax.block_until_ready(search(qv, qmv, aug, xi8, scales, xsq, C))
+            jax.block_until_ready(
+                search(qv, qmv, aug, xi8, scales, xsq, msk_pen, C))
             ts.append(time.perf_counter() - t0)
         qps = B / float(np.median(ts))
+        op_qps[C] = (rec, qps)
         log(f"blocks_k={C}: recall@10={rec:.4f} qps={qps:.0f}")
         results["ops"].append({"blocks_k": C, "recall": rec, "qps": qps})
+        save()
 
-    Path("BENCH_10M.json").write_text(json.dumps(results, indent=2))
+    # ---- routed operating point: calibrate on the first half of the
+    # query set (smallest blocks_k reaching >=0.95), report on the held-
+    # out half — the autotune contract (services/autotune.py) applied to
+    # the 10M mode ladder
+    target = 0.95
+    cal_n = B // 2
+    routed = None
+    for C in (8, 16, 32, 64):
+        _, ids = search(queries[:cal_n], qm[:cal_n], aug, xi8, scales,
+                        xsq, msk_pen, C, qslice=cal_n)
+        if recall_vs(np.asarray(ids), gt[:cal_n]) >= target:
+            routed = C
+            break
+    routed = routed or 64
+    _, ids = search(queries[cal_n:], qm[cal_n:], aug, xi8, scales, xsq,
+                    msk_pen, routed, qslice=B - cal_n)
+    results["routed"] = {
+        "target": target, "blocks_k": routed,
+        "holdout_recall": recall_vs(np.asarray(ids), gt[cal_n:]),
+        "qps": op_qps.get(routed, (None, None))[1],
+    }
+    log(f"routed: blocks_k={routed} holdout_recall="
+        f"{results['routed']['holdout_recall']:.4f}")
+    save()
+
+    # ---- sustained throughput at the routed point (queue depth 8) ----
+    ts = []
+    for r in range(3):
+        vs = [(queries * (1.0 + (r * 8 + i + 1) * 1e-6)) for i in range(8)]
+        vms = [jnp.dot(v, proj, preferred_element_type=jnp.float32)
+               for v in vs]
+        t0 = time.perf_counter()
+        outs = [search(v, vm, aug, xi8, scales, xsq, msk_pen, routed)
+                for v, vm in zip(vs, vms)]
+        jax.block_until_ready(outs)
+        ts.append(time.perf_counter() - t0)
+    results["sustained_d8"] = {
+        "blocks_k": routed, "qps": 8 * B / float(np.median(ts)),
+        "recall": op_qps.get(routed, (None,))[0],
+    }
+    log(f"sustained d8: {results['sustained_d8']['qps']:.0f} qps")
+    save()
+
+    # ---- filtered search (10% selectivity) vs filtered exact GT ----
+    _, fids = search(queries, qm, aug, xi8, scales, xsq, msk_pen, routed,
+                     filtered=True)
+    fids_np = np.asarray(fids)
+    assert (np.asarray(fids_np) % 10 == 0).all(), "filter leaked"
+    frec = recall_vs(fids_np, gt_f)
+    ts = []
+    for r in range(3):
+        qv = queries * (1.0 + (r + 1) * 1e-6)
+        qmv = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
+        t0 = time.perf_counter()
+        jax.block_until_ready(search(qv, qmv, aug, xi8, scales, xsq,
+                                     msk_pen, routed, filtered=True))
+        ts.append(time.perf_counter() - t0)
+    results["filtered_10pct"] = {
+        "blocks_k": routed, "recall": frec,
+        "qps": B / float(np.median(ts)),
+    }
+    log(f"filtered(10%): recall={frec:.4f} "
+        f"qps={results['filtered_10pct']['qps']:.0f}")
+    save()
+
+    # ---- small-batch latency (B=1 / B=8): wall per call + RTT-floor
+    # subtracted device estimate (relay RTT dominates single dispatches;
+    # methodology of BENCH_LATENCY.json) ----
+    tiny = jax.jit(lambda v: jnp.sum(v * v))
+    tiny(queries[0]).block_until_ready()
+    rts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        tiny(queries[0]).block_until_ready()
+        rts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rts)) * 1e3
+    results["latency"] = {"rtt_floor_ms": round(rtt_ms, 2), "rows": []}
+    for nb in (1, 8):
+        qv, qmv = queries[:nb], qm[:nb]
+        _, lid = search(qv, qmv, aug, xi8, scales, xsq, msk_pen, routed,
+                        qslice=nb)
+        lrec = recall_vs(np.asarray(lid), gt[:nb])
+        ws = []
+        for r in range(20):
+            v = queries[:nb] * (1.0 + (r + 1) * 1e-6)
+            vm = jnp.dot(v, proj, preferred_element_type=jnp.float32)
+            t0 = time.perf_counter()
+            jax.block_until_ready(search(v, vm, aug, xi8, scales, xsq,
+                                         msk_pen, routed, qslice=nb))
+            ws.append((time.perf_counter() - t0) * 1e3)
+        wall = float(np.median(ws))
+        row = {"B": nb, "blocks_k": routed, "recall_sample": lrec,
+               "wall_ms": round(wall, 2),
+               "device_ms_est": round(max(wall - rtt_ms, 0.0), 2)}
+        results["latency"]["rows"].append(row)
+        log(f"latency B={nb}: wall {wall:.1f} ms "
+            f"(dev est {row['device_ms_est']:.1f} ms)")
+    save()
     log("wrote BENCH_10M.json")
 
 
