@@ -42,7 +42,15 @@ def main():
     from vector_db_tpu.ops.kmeans import kmeans
     from vector_db_tpu.runtime import device_pull
 
-    data = np.load(CACHE / "data.npy", mmap_mode="r")
+    from vector_db_tpu.datasets import embedding_like
+
+    B = 1000
+    dpath = CACHE / "data.npy"
+    if not dpath.exists():  # bootstrap the shared wide1m cache
+        log(f"generating {N + B}x{DIM} (device) ...")
+        CACHE.mkdir(exist_ok=True)
+        np.save(dpath, embedding_like(N + B, DIM, 0))
+    data = np.load(dpath, mmap_mode="r")
     embeddings = np.asarray(data[:N])
     out = {"N": N, "dim": DIM, "stages": []}
 
@@ -133,20 +141,41 @@ def main():
     Path("EXP_BUILD_PROFILE.json").write_text(json.dumps(out, indent=1))
 
     # end-to-end bulk_build for the real total (includes upper levels +
-    # graph assembly)
+    # graph assembly). Same params as exp_wide_1m.get_index, and the
+    # result is saved into the shared cache so downstream scripts
+    # (exp_2p, bench_1m cached mode, exp_latency_device) skip the build.
     import random
 
     from vector_db_tpu.index.hnsw import HNSW
 
     t0 = time.perf_counter()
-    index = HNSW(M=16, ef_construction=100, rng=random.Random(42),
-                 capacity=N, l_max=6)
+    index = HNSW(M=16, ef_construction=200, rng=random.Random(42),
+                 capacity=N, l_max=5)
     index.bulk_build(list(range(N)), embeddings)
+    jax.block_until_ready(index.graph.neighbors)
     total = time.perf_counter() - t0
     out["bulk_build_total_s"] = round(total, 1)
     out["bulk_build_vps"] = round(N / total)
     log(f"bulk_build total: {total:.0f}s ({N / total:.0f} vps)")
     Path("EXP_BUILD_PROFILE.json").write_text(json.dumps(out, indent=1))
+
+    gpath = CACHE / "graph.npz"
+    if not gpath.exists():
+        np.savez(gpath,
+                 neighbors=device_pull(index.graph.neighbors),
+                 levels=device_pull(index.graph.levels),
+                 entry=device_pull(index.graph.entry),
+                 entry_level=device_pull(index.graph.entry_level))
+        log("graph cached")
+    gt_path = CACHE / "gt.npy"
+    if not gt_path.exists():
+        from vector_db_tpu.ops.exact import exact_search_tiled
+
+        q = jnp.asarray(np.asarray(data[N:]))
+        gt = device_pull(exact_search_tiled(
+            q, index._emb, index._has_emb, 10, tile=31250)[1])
+        np.save(gt_path, gt)
+        log("gt cached")
 
 
 if __name__ == "__main__":

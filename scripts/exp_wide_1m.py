@@ -118,11 +118,13 @@ def get_index(N, DIM, B):
         jax.block_until_ready(index.graph.neighbors)
         log(f"build: {time.perf_counter() - t0:.0f}s")
         cache.mkdir(exist_ok=True)
+        from vector_db_tpu.runtime import device_pull
+
         np.savez(gpath,
-                 neighbors=np.asarray(index.graph.neighbors),
-                 levels=np.asarray(index.graph.levels),
-                 entry=np.asarray(index.graph.entry),
-                 entry_level=np.asarray(index.graph.entry_level))
+                 neighbors=device_pull(index.graph.neighbors),
+                 levels=device_pull(index.graph.levels),
+                 entry=device_pull(index.graph.entry),
+                 entry_level=device_pull(index.graph.entry_level))
 
     gt_path = cache / "gt.npy"
     gt = np.load(gt_path) if gt_path.exists() else None
@@ -132,7 +134,9 @@ def get_index(N, DIM, B):
         from vector_db_tpu.ops.exact import exact_search_tiled
 
         t0 = time.perf_counter()
-        gt = np.asarray(exact_search_tiled(
+        from vector_db_tpu.runtime import device_pull
+
+        gt = device_pull(exact_search_tiled(
             jnp.asarray(q), index._emb, index._has_emb, 10, tile=31250)[1])
         log(f"gt: {time.perf_counter() - t0:.0f}s")
         np.save(gt_path, gt)
