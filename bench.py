@@ -432,6 +432,29 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
         log(f"  blocksel-3p failed: {e!r}")
         out["blocksel_3p_error"] = repr(e)[:300]
 
+    # two-phase block-select: the fused per-block top-m kernel emits row
+    # candidates directly (ops/exact.py block_select_search_2p) — the
+    # r5 recall-1.0 serving mode
+    from vector_db_tpu.ops.exact import block_select_search_2p
+
+    def run_2p(qv):
+        qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
+        d, i = block_select_search_2p(
+            qv, ptab, qp, x_sq, x, valid, k, block=128, m=4,
+            rows_k=8 * k)
+        sig = float(np.asarray(d, np.float64).sum())
+        return np.asarray(i), sig
+
+    try:
+        p2_qps, outs2 = timed_qps(run_2p, q, n_q, label=f"headline_2p_{n}")
+        p2_recall = recall_at_k(outs2[-1], gt, k)
+        log(f"  blocksel-2p {n // 1000}k x {dim}d: {p2_qps:.0f} qps "
+            f"(recall@{k}={p2_recall:.4f} vs f32 exact)")
+        out["blocksel_2p"] = {"qps": p2_qps, "recall": p2_recall}
+    except Exception as e:
+        log(f"  blocksel-2p failed: {e!r}")
+        out["blocksel_2p_error"] = repr(e)[:300]
+
     # sustained (queue-depth 8) serving throughput: dispatches overlap
     # so the relay round trip amortizes; recall is the per-call row's
     # (identical program, identical selection)
@@ -459,6 +482,19 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
             log(f"  blocksel-3p sustained(d8): {s_3p:.0f} qps")
             out["blocksel_3p_sustained"] = {"qps": s_3p,
                                             "recall": p3_recall,
+                                            "queue_depth": 8}
+        if "blocksel_2p" in out:
+            def d_2p(qv):
+                qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
+                return block_select_search_2p(
+                    qv, ptab, qp, x_sq, x, valid, k, block=128, m=4,
+                    rows_k=8 * k)[0]
+
+            s_2p = timed_pipelined(d_2p, q, n_q,
+                                   label=f"headline_2p_sust_{n}")
+            log(f"  blocksel-2p sustained(d8): {s_2p:.0f} qps")
+            out["blocksel_2p_sustained"] = {"qps": s_2p,
+                                            "recall": p2_recall,
                                             "queue_depth": 8}
     except Exception as e:
         log(f"  sustained rows failed: {e!r}")
@@ -532,8 +568,9 @@ def main() -> None:
     else:
         canary = {**canary, "post": canary_post}
     modes = {m: headline[m]
-             for m in ("bf16_scan", "blocksel_3p", "exact_f32",
-                       "bf16_scan_sustained", "blocksel_3p_sustained")
+             for m in ("bf16_scan", "blocksel_3p", "blocksel_2p",
+                       "exact_f32", "bf16_scan_sustained",
+                       "blocksel_3p_sustained", "blocksel_2p_sustained")
              if m in headline and headline[m]["recall"] >= target}
     best_mode = max(modes, key=lambda m: modes[m]["qps"]) \
         if modes else "exact_f32"
@@ -564,6 +601,11 @@ def main() -> None:
             "bf16 scan + TPU hw top-k, sustained queue-depth 8",
         "blocksel_3p_sustained":
             "3-phase block-select scan (Pallas fused phase 1), "
+            "sustained queue-depth 8",
+        "blocksel_2p":
+            "2-phase block-select scan (fused per-block top-m kernel)",
+        "blocksel_2p_sustained":
+            "2-phase block-select scan (fused per-block top-m kernel), "
             "sustained queue-depth 8",
     }
     print(json.dumps({

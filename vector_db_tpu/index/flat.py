@@ -44,7 +44,7 @@ class FlatIndex:
     ) -> None:
         if metric not in ("l2", "cosine"):
             raise ValueError(f"Unknown metric: {metric}")
-        if precision not in ("f32", "bf16", "blocksel"):
+        if precision not in ("f32", "bf16", "blocksel", "blocksel2p"):
             raise ValueError(f"Unknown precision: {precision}")
         # cosine: rows are L2-normalized at insert and queries at search, so
         # the same fused matmul kernel serves both metrics; on normalized
@@ -257,6 +257,19 @@ class FlatIndex:
                 tile=min(self._store.capacity, 131072),
                 blocks_k=max(2 * k, 20), rows_k=max(8 * k, 80),
                 pallas_phase1=True,
+            )
+        elif self.precision == "blocksel2p":
+            # two-phase successor: the fused per-block top-m kernel emits
+            # row candidates directly (no block selection / mirror block
+            # gather / re-score pass) — same exact final distances
+            from vector_db_tpu.ops.exact import block_select_search_2p
+
+            proj, tab, x_sq = self._proj_mirror()
+            qd = jnp.asarray(q)
+            qp = jnp.dot(qd, proj, preferred_element_type=jnp.float32)
+            d_sq, slots = block_select_search_2p(
+                qd, tab, qp, x_sq, self._store.emb, valid, k,
+                block=128, m=4, rows_k=max(8 * k, 80),
             )
         elif self._store.capacity <= SINGLE_TILE_LIMIT:
             d_sq, slots = exact_search(
