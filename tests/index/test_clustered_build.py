@@ -73,3 +73,48 @@ def test_occlusion_prune_tiled_matches_unitary(rng):
     assert (ti >= 0).all()
     # selection diversifies: some row must differ from plain closest-deg
     assert (ti != fwd_i[:, :deg]).any()
+
+
+def test_bulk_build_clustered_device_branch(rng, monkeypatch):
+    """Force the fully-device-resident clustered bulk path (normally only
+    taken above 262144 rows) on a small corpus and check graph quality +
+    agreement with the exact-kNN branch's search behavior."""
+    import random
+
+    import vector_db_tpu.index.hnsw as H
+
+    monkeypatch.setattr(H, "BULK_EXACT_THRESHOLD", 512)
+    monkeypatch.setattr(H, "BULK_HOST_THRESHOLD", 256)
+
+    n, dim, k = 3000, 32, 5
+    u = rng.standard_normal((n, 8)).astype(np.float32)
+    v = rng.standard_normal((8, dim)).astype(np.float32)
+    x = (u @ v + 0.05 * rng.standard_normal((n, dim))).astype(np.float32)
+
+    index = H.HNSW(M=8, ef_construction=50, rng=random.Random(42),
+                   capacity=n, l_max=4)
+    index.bulk_build(list(range(n)), x)
+
+    q = x[:20] + 0.01 * rng.standard_normal((20, dim)).astype(np.float32)
+    sq = (x * x).sum(1)
+    d = sq[None, :, ] - 2 * (q @ x.T) + (q * q).sum(1)[:, None]
+    gt = np.argsort(d, axis=1)[:, :k]
+    _, ids = index.search_batch(q, k=k, ef=100)
+    recall = np.mean([len(set(ids[i][ids[i] >= 0].tolist())
+                          & set(gt[i].tolist())) / k for i in range(20)])
+    assert recall >= 0.9, recall
+
+
+def test_bulk_build_clustered_alpha_prune_branch(rng, monkeypatch):
+    import random
+
+    import vector_db_tpu.index.hnsw as H
+
+    monkeypatch.setattr(H, "BULK_EXACT_THRESHOLD", 512)
+    n, dim, k = 1500, 16, 5
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    index = H.HNSW(M=8, ef_construction=50, rng=random.Random(42),
+                   capacity=n, l_max=3)
+    index.bulk_build(list(range(n)), x, alpha=1.1)
+    _, ids = index.search_batch(x[:8], k=1, ef=50)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(8))

@@ -75,19 +75,35 @@ def _reverse_merge(fwd_i: np.ndarray, fwd_d: np.ndarray, width: int) -> np.ndarr
     return rows
 
 
+# bulk_build level-size thresholds (module-level so tests can exercise
+# every branch on small corpora):
+# - below HOST: plain numpy beats device compiles;
+# - above EXACT: O(n^2) all-pairs kNN is too expensive — switch to the
+#   cluster-partitioned device pipeline (fully device-resident).
+BULK_HOST_THRESHOLD = 8192
+BULK_EXACT_THRESHOLD = 262144
+
+
 def _clustered_forward(
-    embeddings: np.ndarray,
+    embeddings,
     deg: int,
     seed: int = 0,
     spill: int = 3,
     lmax_cap: int = 8192,
     refine_rounds: int = 2,
+    return_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate forward edges for large corpora via cluster-partitioned
     exact kNN: k-means into ~sqrt(n) cells, assign every point to its
     ``spill`` nearest cells, exact kNN within each cell (one device scan,
     see ops.graph_build.clustered_knn_merge), best-of-union per point.
     O(n^1.5) matmul work instead of O(n^2); spill=2 keeps boundary recall.
+
+    ``embeddings`` may be a DEVICE array (jnp): the pipeline then runs
+    without re-uploading the corpus — at 1M x 768 the redundant 3 GB H2D
+    through the relay was ~265 s, 4x the device compute of the whole
+    build (EXP_BUILD_PROFILE.json). ``return_device=True`` keeps the
+    edge tables on device for the device-side reverse merge.
     """
     import jax as _jax
 
@@ -100,16 +116,28 @@ def _clustered_forward(
     n, dim = embeddings.shape
     c = max(64, 1 << int(round(math.log2(math.sqrt(n)))))
     rng = np.random.default_rng(seed)
+    on_device = isinstance(embeddings, jnp.ndarray)
 
     sample_n = min(n, 131072)
-    sample = embeddings[rng.choice(n, sample_n, replace=False)]
-    cents, _ = kmeans(jnp.asarray(sample), c, _jax.random.key(seed), iters=15)
+    sample_idx = rng.choice(n, sample_n, replace=False)
+    if on_device:
+        sample = embeddings[jnp.asarray(np.sort(sample_idx))]
+    else:
+        sample = jnp.asarray(embeddings[sample_idx])
+    cents, _ = kmeans(sample, c, _jax.random.key(seed), iters=15)
 
     chunk = 8192
     pad = (-n) % chunk
-    emb_pad = np.zeros((n + pad, dim), np.float32)
-    emb_pad[:n] = embeddings
-    emb_dev = jnp.asarray(emb_pad)
+    if on_device:
+        emb_dev = (
+            jnp.concatenate(
+                [embeddings, jnp.zeros((pad, dim), jnp.float32)])
+            if pad else embeddings
+        )
+    else:
+        emb_pad = np.zeros((n + pad, dim), np.float32)
+        emb_pad[:n] = embeddings
+        emb_dev = jnp.asarray(emb_pad)
     assign = device_pull(
         assign_topk_clusters(emb_dev, cents, k=spill, chunk=chunk)
     )[:n]
@@ -137,16 +165,17 @@ def _clustered_forward(
     # missed by rescoring each node against its neighbors' neighbors
     from vector_db_tpu.ops.graph_build import nn_descent_round
 
+    n_pad_rows = emb_dev.shape[0]
     for _ in range(refine_rounds):
         # pad rows must stay inert: their edges are -1 already
         fd_pad = jnp.concatenate([
-            fwd_d, jnp.full((emb_pad.shape[0] - fwd_d.shape[0], deg),
+            fwd_d, jnp.full((n_pad_rows - fwd_d.shape[0], deg),
                             np.float32(3e38))
-        ]) if fwd_d.shape[0] < emb_pad.shape[0] else fwd_d
+        ]) if fwd_d.shape[0] < n_pad_rows else fwd_d
         fi_pad = jnp.concatenate([
-            fwd_i, jnp.full((emb_pad.shape[0] - fwd_i.shape[0], deg), -1,
+            fwd_i, jnp.full((n_pad_rows - fwd_i.shape[0], deg), -1,
                             jnp.int32)
-        ]) if fwd_i.shape[0] < emb_pad.shape[0] else fwd_i
+        ]) if fwd_i.shape[0] < n_pad_rows else fwd_i
         # chunk sized so the [chunk, deg*sample, dim] gather stays <1GB
         nd_sample = max(4, min(8, deg // 2))
         nd_chunk = 2048 if deg * nd_sample <= 128 else 1024
@@ -157,6 +186,8 @@ def _clustered_forward(
         # pad rows may have picked up edges via their zero vectors; real
         # rows never reference pads (cand ids come from real rows' edges)
         fwd_d, fwd_i = fd_pad[:n], fi_pad[:n]
+    if return_device:
+        return fwd_d[:n], fwd_i[:n]
     return device_pull(fwd_d[:n]), device_pull(fwd_i[:n])
 
 
@@ -375,13 +406,19 @@ class HNSW:
         self._store.write(slots, embeddings)
 
         ncols = K.ncols(self.M, self.l_max)
-        neighbors = np.full((self._capacity, ncols), -1, np.int32)
+        # neighbor table assembled ON DEVICE: per level only the (slots,
+        # mapped-rows) pair crosses the host boundary (small above level
+        # 0; level 0 at clustered scale never leaves the device at all).
+        # The old host-side assembly shipped the full [capacity, ncols]
+        # table once per build plus the level-0 edge tables both ways —
+        # at 1M x 768 those transfers and the host reverse-merge sort
+        # were ~2x the device compute (EXP_BUILD_PROFILE.json).
+        nb_dev = jnp.full((self._capacity, ncols), -1, jnp.int32)
         levels_full = np.full((self._capacity,), -1, np.int32)
         levels_full[slots] = levels_np
 
-        host_threshold = 8192  # below this, device compiles cost more than numpy
-        exact_threshold = 262144  # above this, exact all-pairs kNN is too
-        # expensive (O(n^2) matmuls) — switch to cluster-partitioned kNN
+        host_threshold = BULK_HOST_THRESHOLD
+        exact_threshold = BULK_EXACT_THRESHOLD
         for level in range(self.l_max):
             if level == 0:
                 sub = np.arange(n)
@@ -395,9 +432,15 @@ class HNSW:
             if sub.size > exact_threshold:
                 # build at full row width (2M at level 0): wider forward
                 # edges + NN-descent rounds recover the recall a cluster-
-                # partitioned build loses vs exact kNN
+                # partitioned build loses vs exact kNN. The corpus is
+                # already device-resident in the store — everything in
+                # this branch stays on device (edges, reverse merge,
+                # slot mapping); only the tiny slot list goes up.
+                slots_dev = jnp.asarray(slots[sub])
+                src_dev = self._store.emb[slots_dev]
                 fwd_d, fwd_i = _clustered_forward(
-                    embeddings[sub], min(width, sub.size - 1), seed=level
+                    src_dev, min(width, sub.size - 1), seed=level,
+                    return_device=True,
                 )
                 if alpha != 1.0:
                     # diversify to M alpha-occluded forward edges (the
@@ -409,23 +452,39 @@ class HNSW:
                     )
 
                     p_chunk = 2048
-                    p_pad = (-fwd_i.shape[0]) % p_chunk
-                    fd_p = np.concatenate(
-                        [fwd_d, np.full((p_pad, fwd_d.shape[1]),
-                                        np.float32(3e38))]) \
+                    p_pad = (-sub.size) % p_chunk
+                    fd_p = jnp.concatenate(
+                        [fwd_d, jnp.full((p_pad, fwd_d.shape[1]),
+                                         np.float32(3e38))]) \
                         if p_pad else fwd_d
-                    fi_p = np.concatenate(
-                        [fwd_i, np.full((p_pad, fwd_i.shape[1]), -1,
-                                        np.int32)]) if p_pad else fwd_i
-                    pe_src = np.zeros(
-                        (sub.size + p_pad, embeddings.shape[1]), np.float32)
-                    pe_src[: sub.size] = embeddings[sub]
+                    fi_p = jnp.concatenate(
+                        [fwd_i, jnp.full((p_pad, fwd_i.shape[1]), -1,
+                                         jnp.int32)]) if p_pad else fwd_i
+                    pe_src = jnp.concatenate(
+                        [src_dev,
+                         jnp.zeros((p_pad, embeddings.shape[1]),
+                                   jnp.float32)]) if p_pad else src_dev
                     od, oi = occlusion_prune_tiled(
-                        jnp.asarray(pe_src), jnp.asarray(fd_p),
-                        jnp.asarray(fi_p), deg=deg, chunk=p_chunk,
+                        pe_src, fd_p, fi_p, deg=deg, chunk=p_chunk,
                         alpha=alpha)
-                    fwd_d = device_pull(od)[: sub.size]
-                    fwd_i = device_pull(oi)[: sub.size]
+                    fwd_d = od[: sub.size]
+                    fwd_i = oi[: sub.size]
+                from vector_db_tpu.ops.graph_build import (
+                    reverse_merge as _reverse_merge_dev,
+                )
+
+                import jax as _jax
+
+                rows_dev = _jax.jit(
+                    _reverse_merge_dev, static_argnames=("width",)
+                )(fwd_d, fwd_i, width=width)
+                mapped = jnp.where(
+                    rows_dev >= 0, slots_dev[jnp.maximum(rows_dev, 0)], -1
+                )
+                start = K.level_col_start(level, self.M)
+                nb_dev = nb_dev.at[
+                    slots_dev, start : start + width].set(mapped)
+                continue
             elif sub.size <= host_threshold:
                 # tiny level: plain numpy, naive closest-deg selection (the
                 # reference's own selection rule, hnsw.py:136-141)
@@ -462,11 +521,13 @@ class HNSW:
             rows = _reverse_merge(fwd_i, fwd_d, width)
             mapped = np.where(rows >= 0, slots[sub][np.maximum(rows, 0)], -1)
             start = K.level_col_start(level, self.M)
-            neighbors[slots[sub], start : start + width] = mapped
+            nb_dev = nb_dev.at[
+                jnp.asarray(slots[sub]), start : start + width
+            ].set(jnp.asarray(mapped))
 
         entry_idx = int(np.argmax(levels_np))
         self.graph = K.Graph(
-            neighbors=jnp.asarray(neighbors),
+            neighbors=nb_dev,
             levels=jnp.asarray(levels_full),
             entry=jnp.int32(slots[entry_idx]),
             entry_level=jnp.int32(levels_np[entry_idx]),
