@@ -440,8 +440,8 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
     def run_2p(qv):
         qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         d, i = block_select_search_2p(
-            qv, ptab, qp, x_sq, x, valid, k, block=128, m=4,
-            rows_k=8 * k)
+            qv, ptab, qp, x_sq, x, valid, k, block=128, m=2,
+            rows_k=8 * k)  # EXP_2P winner: m=2 73.0k vs m=4 43.7k piped
         sig = float(np.asarray(d, np.float64).sum())
         return np.asarray(i), sig
 
@@ -487,7 +487,7 @@ def bench_scan_headline(n: int, dim: int, n_q: int, k: int):
             def d_2p(qv):
                 qp = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
                 return block_select_search_2p(
-                    qv, ptab, qp, x_sq, x, valid, k, block=128, m=4,
+                    qv, ptab, qp, x_sq, x, valid, k, block=128, m=2,
                     rows_k=8 * k)[0]
 
             s_2p = timed_pipelined(d_2p, q, n_q,
