@@ -239,6 +239,36 @@ def main():
         del x_sq, rp_tab
         save()
 
+    if want("scan2p"):
+        # two-phase fused per-block top-m kernel (round 5) — the
+        # recall-1.0 headline: the Pallas scan emits the m best rows per
+        # 128-row block directly, collapsing the 3p pipeline's select +
+        # mirror-gather + rescore stages (EXP_2P.json: 73.0k piped QPS)
+        from vector_db_tpu.ops.exact import block_select_search_2p
+
+        x_sq = jax.jit(lambda e: jnp.sum(e * e, -1))(index._emb)
+        index.enable_rp(dims=128)
+        rp_tab, _ = index._rp_tables()
+        proj = index._rp_proj
+        jax.block_until_ready((rp_tab, x_sq))
+
+        def run_2p(v):
+            qp = jnp.dot(v, proj, preferred_element_type=jnp.float32)
+            return block_select_search_2p(
+                v, rp_tab, qp, x_sq, index._emb, index._has_emb, K,
+                block=128, m=2, rows_k=8 * K)[0]
+
+        qp = jnp.dot(qd, proj, preferred_element_type=jnp.float32)
+        _, ids = block_select_search_2p(
+            qd, rp_tab, qp, x_sq, index._emb, index._has_emb, K,
+            block=128, m=2, rows_k=8 * K)
+        qps = timed(run_2p, qd, B)
+        rec = recall_of(np.asarray(ids), gt, K)
+        log(f"blocksel_2p: recall={rec:.4f} qps={qps:.0f}")
+        results["blocksel_2p"] = {"qps": qps, "recall": rec}
+        del x_sq, rp_tab
+        save()
+
     # wide-beam graph mode (round 3): frontier-parallel traversal with
     # inline neighbor blocks (inline tables are 2M*dims B/row — only
     # built when the exact-wide section runs; PQ-wide doesn't use them)

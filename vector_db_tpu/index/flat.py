@@ -267,9 +267,13 @@ class FlatIndex:
             proj, tab, x_sq = self._proj_mirror()
             qd = jnp.asarray(q)
             qp = jnp.dot(qd, proj, preferred_element_type=jnp.float32)
+            # m=2 serves 73.0k piped QPS at recall 1.0 for k=10 vs m=4's
+            # 43.7k (EXP_2P.json); the rank-m in-block condition only
+            # bites when >m true neighbors share one 128-row slot block,
+            # so scale m up with k rather than pay 2x kernel output
             d_sq, slots = block_select_search_2p(
                 qd, tab, qp, x_sq, self._store.emb, valid, k,
-                block=128, m=4, rows_k=max(8 * k, 80),
+                block=128, m=2 if k <= 16 else 4, rows_k=max(8 * k, 80),
             )
         elif self._store.capacity <= SINGLE_TILE_LIMIT:
             d_sq, slots = exact_search(
