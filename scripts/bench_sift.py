@@ -219,6 +219,12 @@ def main():
                                     # recall@10 past 0.95
                                     (16, 512, 10, "gather"),
                                     (16, 512, 10, "onehot8"),
+                                    # shipped serving default (round 5):
+                                    # Pallas fused-ADC probe at the
+                                    # EXP_PQ_FETCH_PALLAS operating
+                                    # points — the canonical headline
+                                    (16, 512, 10, "pallas"),
+                                    (16, 1024, 10, "pallas"),
                                     (k_cells, 128, 10, "onehot8"),
                                     (16, 256, 100, "onehot8"),
                                     (16, 256, 100, "pallas"),
