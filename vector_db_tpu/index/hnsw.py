@@ -1307,12 +1307,13 @@ class HNSW:
     # ------------------------------------------------------------------
     def snapshot_for_save(self) -> Optional[dict]:
         """Capture a consistent point-in-time view of the index for a
-        (possibly deferred) checkpoint write. Cheap: device arrays are
-        immutable jnp values (mutation swaps whole arrays), so holding
-        refs IS the snapshot; only the mutable host-side id map needs a
-        copy. Lets a background flusher write the checkpoint while the
-        next ingest batch runs — a sync flush serializes a multi-second
-        device->host pull into every post-threshold batch."""
+        (possibly deferred) checkpoint write. The device->host pull
+        happens HERE, on the calling thread: device arrays are immutable
+        jnp values so holding refs would be a valid snapshot, but pulling
+        them from the background flush worker means two threads talk to
+        the device at once, which wedges the remote-relay client (both
+        threads futex-wait forever — measured, not theoretical). The
+        caller pays the pull; the flush worker only writes the npz."""
         if self.index_file is None or self.graph is None:
             return None
         snap = {
@@ -1341,6 +1342,9 @@ class HNSW:
             snap["pq_codebooks"] = pq.codebooks
             if pq.rotation is not None:
                 snap["pq_rotation"] = pq.rotation
+        for k, v in snap.items():
+            if not isinstance(v, (int, float, np.ndarray)):
+                snap[k] = device_pull(v)
         return snap
 
     def write_snapshot(self, snap: dict) -> None:
