@@ -89,6 +89,7 @@ def main():
     storage = StorageService(str(work / "vdb"), dim=DIM, capacity=N + BATCH)
     svc = IndexingService(storage=storage.storage, config_path=str(cfg_path))
     flushes = 0
+    batch_times = []
     t_ingest = time.perf_counter()
     for s in range(0, N, BATCH):
         e = min(N, s + BATCH)
@@ -97,6 +98,7 @@ def main():
         t0 = time.perf_counter()
         svc.insert_nodes(nodes)
         dt = time.perf_counter() - t0
+        batch_times.append(dt)
         # a flush happened iff the save cleared the modified flag
         flushed = not svc._index_modified and e >= FLUSH
         flushes += int(flushed)
@@ -104,11 +106,21 @@ def main():
             + (" [flushed]" if flushed else ""))
     ingest_s = time.perf_counter() - t_ingest
     svc.force_save_index()
+    # warm rate excludes XLA-compile batches (the remote relay pays
+    # minutes per cold compile; shapes are power-of-two bucketed so a
+    # deployment pays them once per bucket, not per batch): median over
+    # the second half of the run, where every bucket is warm
+    warm = sorted(batch_times[len(batch_times) // 2:])
+    warm_med = warm[len(warm) // 2]
     results["ingest"] = {
         "wall_s": ingest_s, "vps": N / ingest_s, "flushes": flushes,
+        "warm_batch_s_median": warm_med,
+        "warm_vps": BATCH / warm_med,
+        "batch_s": [round(t, 2) for t in batch_times],
         "post_threshold_batches": max(0, (N - FLUSH) // BATCH + 1),
     }
-    log(f"ingest: {N / ingest_s:.0f} vps, {flushes} threshold flushes")
+    log(f"ingest: {N / ingest_s:.0f} vps wall, "
+        f"{BATCH / warm_med:.0f} vps warm, {flushes} threshold flushes")
 
     # 2) restart: memmap rescan + checkpoint load (no retraining) --------
     t0 = time.perf_counter()

@@ -1316,9 +1316,25 @@ class HNSW:
         caller pays the pull; the flush worker only writes the npz."""
         if self.index_file is None or self.graph is None:
             return None
+        # split adjacency checkpoint: only ~1/M of nodes have any
+        # level>=1 row, so the dense [capacity, M*(l_max+2)] table is
+        # ~70% -1 padding. Pulling/writing the level-0 block for every
+        # row plus a gathered upper block for just the multi-level slots
+        # cuts checkpoint bytes ~3x — this is the per-flush cost on the
+        # post-threshold ingest path, where the relay moves ~30 MB/s.
+        levels_np = device_pull(self.graph.levels)
+        upper = np.flatnonzero(levels_np >= 1).astype(np.int32)
+        # pad the gather to a power-of-two bucket so flush-after-flush
+        # reuses one compiled gather program per bucket
+        u_pad = max(8, 1 << (max(1, upper.size) - 1).bit_length())
+        upper_padded = np.full((u_pad,), 0, np.int32)
+        upper_padded[: upper.size] = upper
+        nbr = self.graph.neighbors
         snap = {
-            "neighbors": self.graph.neighbors,
-            "levels": self.graph.levels,
+            "neighbors0": nbr[:, : 2 * self.M],
+            "neighbors_up": nbr[jnp.asarray(upper_padded), 2 * self.M:],
+            "upper_slots": upper,
+            "levels": levels_np,
             "entry": self.graph.entry,
             "entry_level": self.graph.entry_level,
             "id_of_slot": self._id_of_slot.copy(),
@@ -1345,6 +1361,7 @@ class HNSW:
         for k, v in snap.items():
             if not isinstance(v, (int, float, np.ndarray)):
                 snap[k] = device_pull(v)
+        snap["neighbors_up"] = snap["neighbors_up"][: upper.size]
         return snap
 
     def write_snapshot(self, snap: dict) -> None:
@@ -1386,7 +1403,18 @@ class HNSW:
             self.ef_construction = int(z["ef_construction"])
             self.l_max = int(z["l_max"])
             self.level_mult = 1.0 / math.log(self.M) if self.M > 1 else 1.0
-            neighbors = np.asarray(z["neighbors"])
+            if "neighbors" in z:  # dense legacy checkpoints
+                neighbors = np.asarray(z["neighbors"])
+            else:  # split format (see snapshot_for_save)
+                nbr0 = np.asarray(z["neighbors0"])
+                nbr_up = np.asarray(z["neighbors_up"])
+                upper = np.asarray(z["upper_slots"])
+                cap = nbr0.shape[0]
+                neighbors = np.full(
+                    (cap, K.ncols(self.M, self.l_max)), -1, np.int32)
+                neighbors[:, : 2 * self.M] = nbr0
+                if upper.size:
+                    neighbors[upper, 2 * self.M:] = nbr_up
             levels = np.asarray(z["levels"])
             entry = np.asarray(z["entry"])
             entry_level = np.asarray(z["entry_level"])
