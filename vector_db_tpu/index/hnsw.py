@@ -28,9 +28,11 @@ from __future__ import annotations
 import math
 import os
 import random
+from functools import partial
 from pathlib import Path
 from typing import List, Optional, Sequence, Set, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +44,23 @@ from vector_db_tpu.types import Node
 
 DEFAULT_L_MAX = 6
 MIN_CAPACITY = 256
+
+
+@partial(jax.jit, static_argnames=("m2",))
+def _pack_snapshot(nbr, upper_idx, entry, entry_level, m2: int):
+    """One int32 vector = [entry, entry_level, level0-block, upper-block]
+    — the whole graph checkpoint crosses the relay in a SINGLE
+    device->host transfer (each jax.device_get pays ~1 s of relay round
+    trip regardless of size; four separate pulls cost more latency than
+    the bytes move). One compiled program per (capacity, upper-bucket, M)
+    combination, reused across flushes."""
+    head = jnp.stack(
+        [entry.astype(jnp.int32), entry_level.astype(jnp.int32)])
+    return jnp.concatenate([
+        head,
+        nbr[:, :m2].reshape(-1),
+        nbr[upper_idx][:, m2:].reshape(-1),
+    ])
 
 
 def _reverse_merge(fwd_i: np.ndarray, fwd_d: np.ndarray, width: int) -> np.ndarray:
@@ -293,6 +312,7 @@ class HNSW:
         self._store.ensure_dim(dim)
         if not had_dim and self.graph is None:
             self.graph = K.empty_graph(self._capacity, self.M, self.l_max)
+            self._levels_host = np.full((self._capacity,), -1, np.int32)
 
     def _grow_graph(self, old_cap: int, new_cap: int) -> None:
         """DeviceVectorStore growth hook: pad the graph tables in step."""
@@ -311,6 +331,9 @@ class HNSW:
             entry=g.entry,
             entry_level=g.entry_level,
         )
+        if getattr(self, "_levels_host", None) is not None:
+            self._levels_host = np.concatenate(
+                [self._levels_host, np.full((pad,), -1, np.int32)])
 
     # ------------------------------------------------------------------
     def insert_node(self, node: Node) -> None:
@@ -416,6 +439,7 @@ class HNSW:
         nb_dev = jnp.full((self._capacity, ncols), -1, jnp.int32)
         levels_full = np.full((self._capacity,), -1, np.int32)
         levels_full[slots] = levels_np
+        self._levels_host = levels_full.copy()
 
         host_threshold = BULK_HOST_THRESHOLD
         exact_threshold = BULK_EXACT_THRESHOLD
@@ -578,6 +602,8 @@ class HNSW:
         embs_p = np.zeros((b_pad, embs_np.shape[1]), np.float32)
         embs_p[:b] = embs_np
         self._store.write(slots, embs_p)
+        if getattr(self, "_levels_host", None) is not None:
+            self._levels_host[slots[:b]] = levels[:b]
 
         # search + commit as ONE device program: on remote/tunneled
         # backends each dispatch costs real latency, so fewer calls wins
@@ -610,6 +636,8 @@ class HNSW:
         slot = self._store.release(node_id)
         if slot is None:
             return
+        if getattr(self, "_levels_host", None) is not None:
+            self._levels_host[slot] = -1
         self.graph = K.delete_slot(
             self.graph, jnp.int32(slot), M=self.M, l_max=self.l_max
         )
@@ -1322,21 +1350,34 @@ class HNSW:
         # row plus a gathered upper block for just the multi-level slots
         # cuts checkpoint bytes ~3x — this is the per-flush cost on the
         # post-threshold ingest path, where the relay moves ~30 MB/s.
-        levels_np = device_pull(self.graph.levels)
+        # levels are sampled host-side at every insert (and -1'd on
+        # delete), so the host mirror is authoritative — no pull needed
+        levels_np = getattr(self, "_levels_host", None)
+        if levels_np is None:
+            levels_np = device_pull(self.graph.levels)
+        else:
+            levels_np = levels_np.copy()
         upper = np.flatnonzero(levels_np >= 1).astype(np.int32)
         # pad the gather to a power-of-two bucket so flush-after-flush
-        # reuses one compiled gather program per bucket
+        # reuses one compiled program per bucket
         u_pad = max(8, 1 << (max(1, upper.size) - 1).bit_length())
         upper_padded = np.full((u_pad,), 0, np.int32)
         upper_padded[: upper.size] = upper
-        nbr = self.graph.neighbors
+        m2 = 2 * self.M
+        cap = self.graph.neighbors.shape[0]
+        rest = self.graph.neighbors.shape[1] - m2
+        packed = device_pull(_pack_snapshot(
+            self.graph.neighbors, jnp.asarray(upper_padded),
+            self.graph.entry, self.graph.entry_level, m2=m2))
+        n0 = cap * m2
         snap = {
-            "neighbors0": nbr[:, : 2 * self.M],
-            "neighbors_up": nbr[jnp.asarray(upper_padded), 2 * self.M:],
+            "neighbors0": packed[2 : 2 + n0].reshape(cap, m2),
+            "neighbors_up": packed[2 + n0:].reshape(u_pad, rest)
+            [: upper.size],
             "upper_slots": upper,
             "levels": levels_np,
-            "entry": self.graph.entry,
-            "entry_level": self.graph.entry_level,
+            "entry": np.asarray(packed[0]),
+            "entry_level": np.asarray(packed[1]),
             "id_of_slot": self._id_of_slot.copy(),
             "M": self.M,
             "ef_construction": self.ef_construction,
@@ -1361,7 +1402,6 @@ class HNSW:
         for k, v in snap.items():
             if not isinstance(v, (int, float, np.ndarray)):
                 snap[k] = device_pull(v)
-        snap["neighbors_up"] = snap["neighbors_up"][: upper.size]
         return snap
 
     def write_snapshot(self, snap: dict) -> None:
@@ -1433,6 +1473,7 @@ class HNSW:
             capacity=neighbors.shape[0], on_grow=self._grow_graph
         )
         self._store.import_id_map(id_of_slot)
+        self._levels_host = levels.copy()
 
         # hydrate the device embedding table from storage in ONE bulk read
         # (per-id get_embedding loops cost minutes at 1M capacity); ids
