@@ -65,18 +65,27 @@ def main():
                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     jax.block_until_ready((ptab, x_sq, x16))
 
-    def bf16_body(qv):
+    # the 1M tables (x 3 GB, x16 1.5 GB, ptab 0.25 GB) are threaded
+    # through as jit ARGUMENTS: closing over them captures them as
+    # lowering constants (4.6 GB) and the compile never returns — same
+    # trap bench_10m.py documents
+    tabs = (x, x16, x_sq, ptab, proj, valid)
+
+    def bf16_body(qv, tabs):
+        x, x16, x_sq, ptab, proj, valid = tabs
         _, slots = approx_search_tiled(qv, x16, valid, K, tile=125000,
                                        x_sq=x_sq)
         return rescore_exact(qv, x, slots)[1]
 
-    def p3_body(qv):
+    def p3_body(qv, tabs):
+        x, x16, x_sq, ptab, proj, valid = tabs
         sq = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         return block_select_search_3p(
             qv, ptab, sq, x_sq, x, valid, K, tile=131072, blocks_k=20,
             rows_k=80, pallas_phase1=True, p2_chunk=2)[1]
 
-    def p2_body(qv):
+    def p2_body(qv, tabs):
+        x, x16, x_sq, ptab, proj, valid = tabs
         sq = jnp.dot(qv, proj, preferred_element_type=jnp.float32)
         return block_select_search_2p(
             qv, ptab, sq, x_sq, x, valid, K, block=128, m=4, rows_k=80)[1]
@@ -89,19 +98,20 @@ def main():
                         ("blocksel_2p", p2_body)):
         try:
             @partial(jax.jit, static_argnames=("reps",))
-            def looped(qv, reps):
+            def looped(qv, tabs, reps):
                 def it(i, acc):
-                    ids = body(qv * (1.0 + 1e-7 * i.astype(jnp.float32)))
+                    ids = body(qv * (1.0 + 1e-7 * i.astype(jnp.float32)),
+                               tabs)
                     return acc + jnp.sum(ids)
 
                 return jax.lax.fori_loop(0, reps, it, jnp.int32(0))
 
             def wall(reps):
-                looped(q1, reps).block_until_ready()  # warm/compile
+                looped(q1, tabs, reps).block_until_ready()  # warm/compile
                 ts = []
                 for _ in range(5):
                     t0 = time.perf_counter()
-                    looped(q1, reps).block_until_ready()
+                    looped(q1, tabs, reps).block_until_ready()
                     ts.append(time.perf_counter() - t0)
                 return float(np.median(ts))
 
@@ -110,12 +120,12 @@ def main():
             # single-dispatch wall for context (RTT-bound)
             t0 = time.perf_counter()
             body_j = jax.jit(body)
-            body_j(q1).block_until_ready()
+            body_j(q1, tabs).block_until_ready()
             ts = []
             for r in range(10):
                 v = q1 * (1.0 + (r + 1) * 1e-6)
                 t0 = time.perf_counter()
-                body_j(v).block_until_ready()
+                body_j(v, tabs).block_until_ready()
                 ts.append(time.perf_counter() - t0)
             row = {"label": label,
                    "device_ms_slope": round(dev_ms, 3),
@@ -133,7 +143,7 @@ def main():
         tdir = "/tmp/lat_trace"
         jax.profiler.start_trace(tdir)
         for body in (bf16_body, p3_body, p2_body):
-            jax.jit(body)(q1).block_until_ready()
+            jax.jit(body)(q1, tabs).block_until_ready()
         jax.profiler.stop_trace()
         out["trace_dir"] = tdir
     except Exception as e:
